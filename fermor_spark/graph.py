@@ -1,0 +1,501 @@
+"""PropertyGraph: an immutable directed property graph as two DataFrames.
+
+Data model (cf. reference data model, src/fermor/graph.clj:114 — one
+adjacency structure per edge label + a vertex-document map):
+
+    V: id STRING, kind STRING (nullable), doc STRING (JSON, nullable)
+    E: label STRING, src STRING, dst STRING,
+       weight DOUBLE (nullable), doc STRING (JSON, nullable)
+
+Vertices exist implicitly: any id appearing as an edge endpoint exists
+(reference: src/fermor/graph.clj:230-236).  ``vertices()`` therefore unions
+V ids with edge endpoints unless the graph was built with
+``materialized_vertices=True`` (the scale-preferred path: one pre-built table
+beats a 3-way union + distinct on every scan).
+
+Edge-builder semantics (reference: src/fermor/graph.clj:312-346):
+  * ``unique``   — re-adding (label, src, dst) replaces the document (last wins)
+  * ``weighted`` — re-adding sums the weights
+  * ``parallel`` — documents accumulate; the merged doc is a JSON object
+                   ``{"parallel/count": n, "0": doc0, ...}``
+
+Builders are applied lazily at ``forked()`` — the linear/forked lifecycle of
+the reference (mutable batch build → immutable query snapshot,
+src/fermor/graph.clj:262-274) maps to "append rows → resolve conflicts →
+cache".
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+V_FIELDS = ["id", "kind", "doc"]
+E_FIELDS = ["label", "src", "dst", "weight", "doc"]
+_E_BUILD_FIELDS = E_FIELDS + ["_seq"]
+
+V_SCHEMA = "id string, kind string, doc string"
+E_BUILD_SCHEMA = "label string, src string, dst string, weight double, doc string, _seq bigint"
+
+UNIQUE = "unique"
+WEIGHTED = "weighted"
+PARALLEL = "parallel"
+
+
+def _doc_json(doc) -> str | None:
+    if doc is None:
+        return None
+    return json.dumps(doc, sort_keys=True, separators=(",", ":"))
+
+
+class PropertyGraph:
+    """Immutable when forked; builder-style while linear.
+
+    ``linear`` state accumulates raw edge rows (with an arrival-order ``_seq``
+    used for last-wins conflict resolution); ``forked()`` resolves per-label
+    builder strategies and returns a query-ready immutable graph.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        vertices: DataFrame | None = None,
+        edges: DataFrame | None = None,
+        edge_builders: dict[str, str] | None = None,
+        forked: bool = False,
+        materialized_vertices: bool = False,
+    ):
+        self.spark = spark
+        self.V = vertices if vertices is not None else spark.createDataFrame([], V_SCHEMA)
+        if edges is None:
+            edges = spark.createDataFrame([], E_BUILD_SCHEMA if not forked else E_BUILD_SCHEMA)
+        self.E = edges
+        self.edge_builders = dict(edge_builders or {})
+        self.is_forked = forked
+        self.materialized_vertices = materialized_vertices
+        self._seq_counter = 0
+
+    # ------------------------------------------------------------------ build
+
+    @classmethod
+    def build(cls, spark: SparkSession, edge_builders: dict[str, str] | None = None) -> "PropertyGraph":
+        """New empty linear graph (reference: build-graph, src/fermor/graph.clj:276-291)."""
+        return cls(spark, edge_builders=edge_builders, forked=False)
+
+    def _next_seq(self) -> int:
+        self._seq_counter += 1
+        return self._seq_counter
+
+    def add_edges(
+        self,
+        label: str,
+        triples: Iterable[Sequence] | DataFrame,
+        builder: str | None = None,
+    ) -> "PropertyGraph":
+        """Batch-add edges under a label.
+
+        ``triples``: iterable of (src, dst) / (src, dst, doc) / with
+        builder='weighted', (src, dst, weight) — or a DataFrame with columns
+        (src, dst[, weight][, doc]).
+        Reference: add-edges, src/fermor/graph.clj:348-363.
+        """
+        if builder is not None:
+            self.edge_builders.setdefault(label, builder)
+        b = self.edge_builders.get(label, UNIQUE)
+        base_seq = self._next_seq() * 1_000_000_000
+
+        if isinstance(triples, DataFrame):
+            cols = triples.columns
+            df = triples.select(
+                F.lit(label).alias("label"),
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+                (F.col("weight").cast("double") if "weight" in cols else F.lit(None).cast("double")).alias("weight"),
+                (F.col("doc").cast("string") if "doc" in cols else F.lit(None).cast("string")).alias("doc"),
+                (F.lit(base_seq) + F.monotonically_increasing_id()).alias("_seq"),
+            )
+        else:
+            rows = []
+            for i, t in enumerate(triples):
+                src, dst = str(t[0]), str(t[1])
+                weight, doc = None, None
+                if len(t) > 2 and t[2] is not None:
+                    if b == WEIGHTED:
+                        weight = float(t[2])
+                    else:
+                        doc = _doc_json(t[2])
+                rows.append((label, src, dst, weight, doc, base_seq + i))
+            df = self.spark.createDataFrame(rows, E_BUILD_SCHEMA)
+
+        new_e = self.E.select(*_E_BUILD_FIELDS).unionByName(df) if "_seq" in self.E.columns else df
+        g = PropertyGraph(
+            self.spark, self.V, new_e, self.edge_builders, forked=False,
+            materialized_vertices=self.materialized_vertices,
+        )
+        g._seq_counter = self._seq_counter
+        return g
+
+    def add_vertices(self, pairs: Iterable[Sequence] | DataFrame) -> "PropertyGraph":
+        """Add (id[, doc]) pairs or (id, kind, doc) triples; last-wins on id.
+
+        Reference: add-vertices, src/fermor/graph.clj:377-384.
+        """
+        if isinstance(pairs, DataFrame):
+            cols = pairs.columns
+            df = pairs.select(
+                F.col("id").cast("string"),
+                (F.col("kind").cast("string") if "kind" in cols else F.lit(None).cast("string")).alias("kind"),
+                (F.col("doc").cast("string") if "doc" in cols else F.lit(None).cast("string")).alias("doc"),
+            )
+        else:
+            rows = []
+            for p in pairs:
+                if isinstance(p, (list, tuple)):
+                    vid = str(p[0])
+                    doc = _doc_json(p[1]) if len(p) > 1 else None
+                    kind = str(p[2]) if len(p) > 2 and p[2] is not None else None
+                else:
+                    vid, doc, kind = str(p), None, None
+                rows.append((vid, kind, doc))
+            df = self.spark.createDataFrame(rows, V_SCHEMA)
+        new_v = self.V.unionByName(df)
+        g = PropertyGraph(
+            self.spark, new_v, self.E, self.edge_builders, forked=self.is_forked,
+            materialized_vertices=self.materialized_vertices,
+        )
+        g._seq_counter = self._seq_counter
+        return g
+
+    # ------------------------------------------------------- forked lifecycle
+
+    def forked(self, cache: bool = True) -> "PropertyGraph":
+        """Resolve per-label edge-builder conflicts → immutable query graph.
+
+        Reference lifecycle: to-forked, src/fermor/graph.clj:267-274. On a
+        cluster this is the natural checkpoint/cache boundary — builders are
+        one shuffle per label-class, done once, amortized over all queries.
+        """
+        e = self.E
+        if "_seq" not in e.columns:
+            e = e.withColumn("_seq", F.monotonically_increasing_id())
+
+        by_builder: dict[str, list[str]] = {}
+        for lbl, b in self.edge_builders.items():
+            by_builder.setdefault(b, []).append(lbl)
+        special = {l for ls in by_builder.values() for l in ls if self.edge_builders.get(l) != UNIQUE}
+
+        parts = []
+        default_part = e.where(~F.col("label").isin(list(special)) if special else F.lit(True))
+        # unique (last wins) — the default for unconfigured labels too
+        w = Window.partitionBy("label", "src", "dst").orderBy(F.col("_seq").desc())
+        parts.append(
+            default_part.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*E_FIELDS)
+        )
+        weighted = by_builder.get(WEIGHTED, [])
+        if weighted:
+            parts.append(
+                e.where(F.col("label").isin(weighted))
+                .groupBy("label", "src", "dst")
+                .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("weight"))
+                .withColumn("doc", F.lit(None).cast("string"))
+                .select(*E_FIELDS)
+            )
+        parallel = by_builder.get(PARALLEL, [])
+        if parallel:
+            collected = (
+                e.where(F.col("label").isin(parallel))
+                .groupBy("label", "src", "dst")
+                .agg(F.array_sort(F.collect_list(F.struct("_seq", "doc"))).alias("_docs"))
+            )
+            # merged doc: {"parallel/count": n, "0": doc0, ...} (reference:
+            # add-parallel-edge, src/fermor/graph.clj:333-346)
+            doc_expr = F.concat(
+                F.lit('{"parallel/count":'),
+                F.size("_docs").cast("string"),
+                F.coalesce(
+                    F.aggregate(
+                        F.filter(
+                            F.transform(
+                                F.col("_docs"),
+                                lambda x, i: F.when(
+                                    x["doc"].isNotNull(),
+                                    F.concat(F.lit(',"'), i.cast("string"), F.lit('":'), x["doc"]),
+                                ).otherwise(F.lit(None)),
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                        F.lit(""),
+                        lambda acc, x: F.concat(acc, x),
+                    ),
+                    F.lit(""),
+                ),
+                F.lit("}"),
+            )
+            parts.append(
+                collected.withColumn("doc", doc_expr)
+                .withColumn("weight", F.lit(None).cast("double"))
+                .select(*E_FIELDS)
+            )
+        resolved = parts[0]
+        for p in parts[1:]:
+            resolved = resolved.unionByName(p)
+
+        v = (
+            self.V.withColumn("_rn", F.row_number().over(
+                Window.partitionBy("id").orderBy(F.monotonically_increasing_id())))
+            .where(F.col("_rn") == 1).drop("_rn")
+            if self.V.count() > 0 else self.V
+        )
+        if cache:
+            resolved = resolved.cache()
+            v = v.cache()
+        g = PropertyGraph(
+            self.spark, v, resolved, self.edge_builders, forked=True,
+            materialized_vertices=self.materialized_vertices,
+        )
+        return g
+
+    @classmethod
+    def from_dataframes(
+        cls,
+        spark: SparkSession,
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        cache: bool = False,
+    ) -> "PropertyGraph":
+        """Wrap pre-built conforming DataFrames directly as a forked graph.
+
+        The scale path: E/V come straight off Parquet/Delta, already
+        deduplicated, optionally bucketed by (label, src).
+        """
+        cols = edges.columns
+        e = edges.select(
+            F.col("label").cast("string"),
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+            (F.col("weight").cast("double") if "weight" in cols else F.lit(None).cast("double")).alias("weight"),
+            (F.col("doc").cast("string") if "doc" in cols else F.lit(None).cast("string")).alias("doc"),
+        )
+        v = None
+        if vertices is not None:
+            vcols = vertices.columns
+            v = vertices.select(
+                F.col("id").cast("string"),
+                (F.col("kind").cast("string") if "kind" in vcols else F.lit(None).cast("string")).alias("kind"),
+                (F.col("doc").cast("string") if "doc" in vcols else F.lit(None).cast("string")).alias("doc"),
+            )
+        if cache:
+            e = e.cache()
+            if v is not None:
+                v = v.cache()
+        return cls(spark, v, e, forked=True, materialized_vertices=vertices is not None)
+
+    # ---------------------------------------------------------------- scans
+
+    def vertex_ids(self) -> DataFrame:
+        """All vertex ids (implicit-existence semantics).
+
+        Reference: all-vertices, src/fermor/graph.clj:230-236, 470-476.
+        """
+        if self.materialized_vertices:
+            return self.V.select("id")
+        return (
+            self.V.select("id")
+            .unionByName(self.E.select(F.col("src").alias("id")))
+            .unionByName(self.E.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    def vertices(self, kind: str | None = None) -> "Route":
+        from fermor_spark.route import Route
+
+        ids = self.vertex_ids()
+        if kind is not None:
+            ids = ids.join(F.broadcast(self.V.select("id", "kind")), "id", "left").where(
+                F.col("kind") == kind
+            ).select("id")
+        return Route(self, ids, "v")
+
+    def edges(self, labels: Sequence[str] | str | None = None) -> "Route":
+        from fermor_spark.route import Route
+
+        return Route(self, self._edges_df(labels).withColumn("dir", F.lit("fwd")), "e")
+
+    def _edges_df(self, labels: Sequence[str] | str | None = None) -> DataFrame:
+        """Label-restricted edge scan → partition pruning when E is
+        partitioned by label (reference per-label maps, src/fermor/graph.clj:114)."""
+        e = self.E.select(*E_FIELDS)
+        if labels is None:
+            return e
+        if isinstance(labels, str):
+            labels = [labels]
+        if len(labels) == 1:
+            return e.where(F.col("label") == labels[0])
+        return e.where(F.col("label").isin(list(labels)))
+
+    def vertices_with_edge(self, labels=None) -> DataFrame:
+        """Vertices having ≥1 edge with a label (reference: src/fermor/graph.clj:772-778)."""
+        e = self._edges_df(labels)
+        return e.select(F.col("src").alias("id")).unionByName(e.select(F.col("dst").alias("id"))).distinct()
+
+    def has_vertex(self, vid: str, labels=None) -> bool:
+        if labels is None:
+            return self.vertex_ids().where(F.col("id") == str(vid)).limit(1).count() > 0
+        e = self._edges_df(labels)
+        return (
+            e.where((F.col("src") == str(vid)) | (F.col("dst") == str(vid))).limit(1).count() > 0
+        )
+
+    def get_vertex(self, vid) -> "Route":
+        """Point lookup, no existence check (reference: src/fermor/graph.clj:258-260)."""
+        from fermor_spark.route import Route
+
+        return Route(self, self.spark.createDataFrame([(str(vid),)], "id string"), "v")
+
+    def get_vertices(self, vids: Sequence) -> "Route":
+        from fermor_spark.route import Route
+
+        return Route(
+            self, self.spark.createDataFrame([(str(v),) for v in vids], "id string"), "v"
+        )
+
+    def get_edge(self, label: str, src, dst) -> DataFrame:
+        return self._edges_df(label).where(
+            (F.col("src") == str(src)) & (F.col("dst") == str(dst))
+        )
+
+    def document(self, vid) -> dict | None:
+        row = self.V.where(F.col("id") == str(vid)).select("doc").limit(1).collect()
+        if not row or row[0][0] is None:
+            return None
+        return json.loads(row[0][0])
+
+    # ------------------------------------------------------------- mutation
+
+    def set_documents(self, pairs: Iterable[Sequence]) -> "PropertyGraph":
+        """Upsert vertex documents (reference: set-documents, src/fermor/graph.clj:90-102)."""
+        rows = [(str(i), None, _doc_json(d)) for i, d in pairs]
+        updates = self.spark.createDataFrame(rows, V_SCHEMA)
+        merged = (
+            self.V.alias("old")
+            .join(updates.alias("new"), "id", "full")
+            .select(
+                "id",
+                F.coalesce(F.col("old.kind"), F.col("new.kind")).alias("kind"),
+                F.coalesce(F.col("new.doc"), F.col("old.doc")).alias("doc"),
+            )
+        )
+        return PropertyGraph(self.spark, merged, self.E, self.edge_builders,
+                             forked=self.is_forked,
+                             materialized_vertices=self.materialized_vertices)
+
+    def remove_vertices(self, vids: Sequence) -> "PropertyGraph":
+        """Remove vertices and their incident edges (left_anti joins)."""
+        rm = self.spark.createDataFrame([(str(v),) for v in vids], "id string")
+        new_v = self.V.join(rm, "id", "left_anti")
+        new_e = (
+            self.E.join(rm.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(rm.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select(*self.E.columns)
+        )
+        return PropertyGraph(self.spark, new_v, new_e, self.edge_builders,
+                             forked=self.is_forked,
+                             materialized_vertices=self.materialized_vertices)
+
+    def remove_edges(self, triples: Iterable[Sequence]) -> "PropertyGraph":
+        rm = self.spark.createDataFrame(
+            [(str(l), str(s), str(d)) for l, s, d in triples], "label string, src string, dst string"
+        )
+        new_e = self.E.join(rm, ["label", "src", "dst"], "left_anti").select(*self.E.columns)
+        return PropertyGraph(self.spark, self.V, new_e, self.edge_builders,
+                             forked=self.is_forked,
+                             materialized_vertices=self.materialized_vertices)
+
+    # ------------------------------------------------------------ transforms
+
+    def transpose(self, labels=None) -> "PropertyGraph":
+        """Reverse all (or selected-label) edges (reference: src/fermor/graph.clj:156-167)."""
+        e = self.E.select(*E_FIELDS) if "_seq" not in self.E.columns else self.E.select(*E_FIELDS)
+        sel = F.lit(True) if labels is None else F.col("label").isin(
+            [labels] if isinstance(labels, str) else list(labels)
+        )
+        flipped = e.where(sel).select(
+            "label", F.col("dst").alias("src"), F.col("src").alias("dst"), "weight", "doc"
+        )
+        kept = e.where(~sel) if labels is not None else e.limit(0)
+        return PropertyGraph(self.spark, self.V, flipped.unionByName(kept),
+                             self.edge_builders, forked=True,
+                             materialized_vertices=self.materialized_vertices)
+
+    def merge(self, other: "PropertyGraph") -> "PropertyGraph":
+        """Merge graphs, last-wins on conflicts (reference: src/fermor/graph.clj:531-562)."""
+        w_e = Window.partitionBy("label", "src", "dst").orderBy(F.col("_pri").desc())
+        e = (
+            self.E.select(*E_FIELDS).withColumn("_pri", F.lit(0))
+            .unionByName(other.E.select(*E_FIELDS).withColumn("_pri", F.lit(1)))
+            .withColumn("_rn", F.row_number().over(w_e))
+            .where(F.col("_rn") == 1)
+            .select(*E_FIELDS)
+        )
+        w_v = Window.partitionBy("id").orderBy(F.col("_pri").desc())
+        v = (
+            self.V.withColumn("_pri", F.lit(0))
+            .unionByName(other.V.withColumn("_pri", F.lit(1)))
+            .withColumn("_rn", F.row_number().over(w_v))
+            .where(F.col("_rn") == 1)
+            .select(*V_FIELDS)
+        )
+        builders = {**other.edge_builders, **self.edge_builders}
+        return PropertyGraph(self.spark, v, e, builders, forked=True,
+                             materialized_vertices=self.materialized_vertices
+                             and other.materialized_vertices)
+
+    def undirected_view(self, labels=None) -> DataFrame:
+        """Both orientations of each edge — the undirected-edge semantics
+        (reference: src/fermor/graph.clj:19-42)."""
+        e = self._edges_df(labels)
+        return e.unionByName(
+            e.select("label", F.col("dst").alias("src"), F.col("src").alias("dst"), "weight", "doc")
+        )
+
+    # ------------------------------------------------------------- degrees
+
+    def degrees(self, labels=None, direction: str = "both") -> DataFrame:
+        """Per-vertex edge counts → (id, degree).
+
+        One shuffle: union the endpoint projections, single groupBy. Vertices
+        with no edges get degree 0 via a left join from the vertex scan.
+        Reference: degree family, src/fermor/core.clj:375-388, 1582-1598.
+        """
+        e = self._edges_df(labels)
+        ends = []
+        if direction in ("out", "both"):
+            ends.append(e.select(F.col("src").alias("id")))
+        if direction in ("in", "both"):
+            ends.append(e.select(F.col("dst").alias("id")))
+        u = ends[0]
+        for x in ends[1:]:
+            u = u.unionByName(x)
+        counts = u.groupBy("id").agg(F.count("*").alias("degree"))
+        return (
+            self.vertex_ids()
+            .join(counts, "id", "left")
+            .select("id", F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+        )
+
+    # -------------------------------------------------------------- equality
+
+    def graph_equals(self, other: "PropertyGraph") -> bool:
+        """Equality on (edges, documents) — test helper
+        (reference: graph-equality, src/fermor/graph.clj:577-589)."""
+        e1, e2 = self.E.select(*E_FIELDS), other.E.select(*E_FIELDS)
+        if e1.exceptAll(e2).limit(1).count() or e2.exceptAll(e1).limit(1).count():
+            return False
+        v1 = self.V.where(F.col("doc").isNotNull()).select("id", "doc")
+        v2 = other.V.where(F.col("doc").isNotNull()).select("id", "doc")
+        return not (v1.exceptAll(v2).limit(1).count() or v2.exceptAll(v1).limit(1).count())

@@ -1,0 +1,405 @@
+"""Route: the composable traversal algebra over a PropertyGraph.
+
+A Route is a DataFrame of "elements" — vertex rows (`id`) or edge rows
+(`label, src, dst, weight, doc, dir`) — plus optional carried columns:
+`path` (provenance, ARRAY<STRING>) and any `_`-prefixed tag column (e.g.
+`_origin` for per-source-group semantics). Every step is a pure DataFrame
+transformation, so Catalyst sees the whole traversal as one logical plan:
+label filters prune partitions, chained hops become joins it can reorder,
+and small frontiers broadcast.
+
+This plays the role of the reference's lazy-seq pipeline
+(reference: src/fermor/core.clj — out/in/both-e/lookahead/etc.); order is
+NOT preserved (documented semantic difference — the reference's own tests
+multiset-compare where order is incidental).
+
+Edge orientation: an edge row is (src)-[label]->(dst); `out_vertex` = src,
+`in_vertex` = dst, matching the reference's (out)-->(in) convention
+(reference: src/fermor/graph.clj:591).  `dir` records how the edge was
+reached ('fwd' via out_e, 'rev' via in_e) so `other_v`/`same_v` can steer
+away from/toward the origin (reference: used-forward flag,
+src/fermor/graph.clj:643-644).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fermor_spark.graph import E_FIELDS, PropertyGraph
+
+_E_COLS = E_FIELDS + ["dir"]
+
+
+def _vrepr(col):
+    return F.concat(F.lit("v:"), col)
+
+
+def _erepr(label, src, dst):
+    return F.concat(F.lit("e:"), label, F.lit(":"), src, F.lit(":"), dst)
+
+
+class Route:
+    def __init__(self, graph: PropertyGraph, df: DataFrame, etype: str):
+        self.g = graph
+        self.df = df
+        self.etype = etype  # 'v' | 'e'
+
+    # --------------------------------------------------------------- helpers
+
+    def _carries(self) -> list[str]:
+        base = {"id"} if self.etype == "v" else set(_E_COLS)
+        return [c for c in self.df.columns if c not in base]
+
+    def _with(self, df: DataFrame, etype: str | None = None) -> "Route":
+        return Route(self.g, df, etype or self.etype)
+
+    @property
+    def has_path(self) -> bool:
+        return "path" in self.df.columns
+
+    def _elem_repr(self):
+        if self.etype == "v":
+            return _vrepr(F.col("id"))
+        return _erepr(F.col("label"), F.col("src"), F.col("dst"))
+
+    # ------------------------------------------------------- traversal steps
+
+    def _edge_join(self, labels, on_edge_col: str, direction: str) -> "Route":
+        """frontier ⋈ E — the fundamental hop. Broadcast/shuffle choice is
+        left to Catalyst+AQE; at scale the frontier is usually the small side."""
+        # fresh aliases per hop: chained hops self-join E, so each join gets
+        # unambiguous column names
+        e = self.g._edges_df(labels).select(
+            *[F.col(c).alias(f"__e_{c}") for c in E_FIELDS]
+        )
+        f = self.df.select(
+            F.col("id").alias("_fid"), *[F.col(c) for c in self._carries()]
+        )
+        joined = f.join(e, f["_fid"] == e[f"__e_{on_edge_col}"], "inner")
+        cols = [F.col(f"__e_{c}").alias(c) for c in E_FIELDS] + [F.lit(direction).alias("dir")]
+        for c in self._carries():
+            if c == "path":
+                cols.append(
+                    F.concat(
+                        F.col("path"),
+                        F.array(_erepr(F.col("__e_label"), F.col("__e_src"), F.col("__e_dst"))),
+                    ).alias("path")
+                )
+            else:
+                cols.append(f[c])
+        return self._with(joined.select(*cols), "e")
+
+    def out_e(self, labels=None) -> "Route":
+        """vertex → outgoing edges (reference: out-e, src/fermor/core.clj:484-523)."""
+        assert self.etype == "v"
+        return self._edge_join(labels, "src", "fwd")
+
+    def in_e(self, labels=None) -> "Route":
+        """vertex → incoming edges (reference: in-e, src/fermor/core.clj:443-482)."""
+        assert self.etype == "v"
+        return self._edge_join(labels, "dst", "rev")
+
+    def both_e(self, labels=None) -> "Route":
+        """(reference: both-e, src/fermor/core.clj:525-592)."""
+        a, b = self.out_e(labels), self.in_e(labels)
+        return self._with(a.df.unionByName(b.df), "e")
+
+    def _project_v(self, idcol, append_path: bool = True) -> "Route":
+        cols = [idcol.alias("id")]
+        for c in self._carries():
+            if c == "path" and append_path:
+                cols.append(F.concat(F.col("path"), F.array(_vrepr(idcol))).alias("path"))
+            else:
+                cols.append(F.col(c))
+        return self._with(self.df.select(*cols), "v")
+
+    def in_v(self) -> "Route":
+        """edge → its head/in vertex (= dst) (reference: in-v, src/fermor/core.clj:594-608)."""
+        assert self.etype == "e"
+        return self._project_v(F.col("dst"))
+
+    def out_v(self) -> "Route":
+        """edge → its tail/out vertex (= src)."""
+        assert self.etype == "e"
+        return self._project_v(F.col("src"))
+
+    def other_v(self) -> "Route":
+        """edge → the endpoint away from where traversal came from
+        (reference: other-v/go-on, src/fermor/core.clj:402-412, 610-618)."""
+        assert self.etype == "e"
+        return self._project_v(F.when(F.col("dir") == "fwd", F.col("dst")).otherwise(F.col("src")))
+
+    def same_v(self) -> "Route":
+        assert self.etype == "e"
+        return self._project_v(F.when(F.col("dir") == "fwd", F.col("src")).otherwise(F.col("dst")))
+
+    def both_v(self) -> "Route":
+        """edge → both endpoints (reference: both-v, src/fermor/core.clj:620-626)."""
+        assert self.etype == "e"
+        return self._with(self.out_v().df.unionByName(self.in_v().df), "v")
+
+    def followed_forward(self) -> "Route":
+        return self._with(self.df.where(F.col("dir") == "fwd"))
+
+    def followed_reverse(self) -> "Route":
+        return self._with(self.df.where(F.col("dir") == "rev"))
+
+    def out(self, labels=None) -> "Route":
+        """vertex → out-neighbors (reference: out, src/fermor/core.clj:639-648)."""
+        return self.out_e(labels).in_v()
+
+    def in_(self, labels=None) -> "Route":
+        """vertex → in-neighbors (reference: in, src/fermor/core.clj:628-637)."""
+        return self.in_e(labels).out_v()
+
+    def both(self, labels=None) -> "Route":
+        """neighbors in both directions (reference: both, src/fermor/core.clj:650-660)."""
+        return self._with(self.out(labels).df.unionByName(self.in_(labels).df), "v")
+
+    def siblings(self, labels=None) -> "Route":
+        """(src)-[:l]->(parent)<-[:l]-(dest), minus self
+        (reference: siblings, src/fermor/core.clj:745-790)."""
+        assert self.etype == "v"
+        tagged = self._with(self.df.withColumn("_self", F.col("id")))
+        res = tagged.out(labels).in_(labels)
+        out = res.df.where(F.col("id") != F.col("_self")).drop("_self")
+        return self._with(out, "v")
+
+    # ---------------------------------------------------------------- filters
+
+    def where(self, cond) -> "Route":
+        return self._with(self.df.where(cond))
+
+    def is_(self, vid) -> "Route":
+        """(reference: is, src/fermor/core.clj:1262-1272)."""
+        return self._with(self.df.where(F.col("id") == str(vid)))
+
+    def isnt(self, vid) -> "Route":
+        return self._with(self.df.where(F.col("id") != str(vid)))
+
+    def one_of(self, vids: Sequence) -> "Route":
+        return self._with(self.df.where(F.col("id").isin([str(v) for v in vids])))
+
+    def none_of(self, vids: Sequence) -> "Route":
+        return self._with(self.df.where(~F.col("id").isin([str(v) for v in vids])))
+
+    def of_kind(self, kind: str) -> "Route":
+        """(reference: of-kind, src/fermor/core.clj:1284-1289). Kind lives in V."""
+        v = self.g.V.select("id", "kind")
+        return self._with(
+            self.df.join(F.broadcast(v), "id", "left").where(F.col("kind") == kind).drop("kind")
+        )
+
+    def has_property(self, key: str, value) -> "Route":
+        """doc[key] == value (reference: has-property, src/fermor/core.clj:695-699)."""
+        if self.etype == "v":
+            v = self.g.V.select("id", "doc")
+            df = self.df.join(v, "id", "left")
+            out = df.where(
+                F.get_json_object(F.col("doc"), f"$.{key}") == F.lit(json.dumps(value) if not isinstance(value, str) else value)
+            ).drop("doc")
+            return self._with(out)
+        return self._with(
+            self.df.where(F.get_json_object(F.col("doc"), f"$.{key}") == F.lit(value))
+        )
+
+    # ------------------------------------------------------- lookahead family
+
+    def _sub_route(self) -> "Route":
+        """Tag each element with an `_origin` key and hand a fresh route to a
+        sub-traversal; traversal steps carry `_origin` through."""
+        if self.etype == "v":
+            df = self.df.select("id").distinct().withColumn("_origin", F.col("id"))
+            return Route(self.g, df, "v")
+        df = self.df.select(*_E_COLS).distinct().withColumn(
+            "_origin", self._elem_repr()
+        )
+        return Route(self.g, df, "e")
+
+    def _origin_key(self):
+        return F.col("id") if self.etype == "v" else self._elem_repr()
+
+    def lookahead(self, f: Callable[["Route"], "Route"], min_count: int | None = None,
+                  max_count: int | None = None) -> "Route":
+        """Semi-join: keep elements whose sub-traversal yields ≥1 result; with
+        min/max, keep elements whose sub-route size ∈ [min, max]
+        (reference: lookahead, src/fermor/core.clj:826-846)."""
+        sub = f(self._sub_route()).df
+        if min_count is None and max_count is None:
+            keep = sub.select(F.col("_origin")).distinct()
+        else:
+            counts = sub.groupBy("_origin").agg(F.count("*").alias("_n"))
+            cond = F.lit(True)
+            if min_count is not None:
+                cond = cond & (F.col("_n") >= min_count)
+            if max_count is not None:
+                cond = cond & (F.col("_n") <= max_count)
+            keep = counts.where(cond).select("_origin")
+        me = self.df.withColumn("_k", self._origin_key())
+        out = me.join(keep.withColumnRenamed("_origin", "_k"), "_k", "left_semi").drop("_k")
+        return self._with(out)
+
+    def neg_lookahead(self, f: Callable[["Route"], "Route"]) -> "Route":
+        """Anti-join: keep elements whose sub-route is empty
+        (reference: neg-lookahead, src/fermor/core.clj:872-893)."""
+        sub = f(self._sub_route()).df.select("_origin").distinct()
+        me = self.df.withColumn("_k", self._origin_key())
+        out = me.join(sub.withColumnRenamed("_origin", "_k"), "_k", "left_anti").drop("_k")
+        return self._with(out)
+
+    # ------------------------------------------------------ branching/merging
+
+    def branch(self, *fns: Callable[["Route"], "Route"]) -> list["Route"]:
+        """(reference: branch, src/fermor/core.clj:895-904)."""
+        return [f(self) for f in fns]
+
+    @staticmethod
+    def merge_exhaustive(routes: Sequence["Route"]) -> "Route":
+        """Union of branches with a branch-index column `_branch` (Spark unions
+        are unordered; sort by `_branch` where the reference relied on branch
+        order — reference: merge-exhaustive, src/fermor/core.clj:917-922)."""
+        dfs = [r.df.withColumn("_branch", F.lit(i)) for i, r in enumerate(routes)]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d, allowMissingColumns=True)
+        return Route(routes[0].g, u, routes[0].etype)
+
+    def union(self, other: "Route") -> "Route":
+        return self._with(self.df.unionByName(other.df, allowMissingColumns=True))
+
+    def intersect(self, other: "Route") -> "Route":
+        return self._with(self.df.intersect(other.df.select(*self.df.columns)))
+
+    def minus(self, other: "Route") -> "Route":
+        """Exclude elements present in `other` — the reference's
+        `(with-set remove ...)` idiom (reference: src/fermor/core.clj:1308-1325)
+        as a distributed anti-join instead of a driver-side set."""
+        key = "id" if self.etype == "v" else None
+        if key:
+            return self._with(self.df.join(other.df.select("id").distinct(), "id", "left_anti"))
+        return self._with(
+            self.df.join(other.df.select(*_E_COLS).distinct(), _E_COLS, "left_anti")
+        )
+
+    # ------------------------------------------------- grouping / aggregation
+
+    def group_count(self, col: str | None = None) -> DataFrame:
+        """{item → count} (reference: group-count, src/fermor/core.clj:1458-1475)."""
+        key = F.col(col) if col else self._origin_key().alias("key")
+        return self.df.groupBy(key if col else key).agg(F.count("*").alias("count"))
+
+    def sorted_group_count(self, col: str | None = None) -> DataFrame:
+        gc = self.group_count(col)
+        return gc.orderBy(gc.columns[0])
+
+    def group_by_count(self, col: str | None = None, min_count: int = 1) -> DataFrame:
+        """{count → set of items} (reference: group-by-count, src/fermor/core.clj:1492-1506)."""
+        gc = self.group_count(col)
+        k = gc.columns[0]
+        out = gc.where(F.col("count") >= min_count)
+        return out.groupBy("count").agg(F.collect_set(k).alias("items"))
+
+    def sorted_group_by_count(self, col: str | None = None) -> DataFrame:
+        """(reference: sorted-group-by-count, src/fermor/core.clj:1508-1520)."""
+        return self.group_by_count(col).orderBy("count")
+
+    def distinct(self) -> "Route":
+        return self._with(self.df.distinct())
+
+    def distinct_by(self, col: str) -> "Route":
+        """(reference: distinct-by, src/fermor/core.clj:1542-1557; order-
+        preservation is not meaningful distributed — documented delta)."""
+        return self._with(self.df.dropDuplicates([col]))
+
+    def limit(self, n: int) -> "Route":
+        return self._with(self.df.limit(n))
+
+    def sort(self, *cols) -> "Route":
+        return self._with(self.df.orderBy(*cols))
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def degree(self, labels=None, direction: str = "both") -> DataFrame:
+        """Join per-vertex degree onto the route (reference: degree family,
+        src/fermor/core.clj:375-388)."""
+        assert self.etype == "v"
+        return self.df.join(self.g.degrees(labels, direction), "id", "left").select(
+            *self.df.columns, F.coalesce(F.col("degree"), F.lit(0)).alias("degree")
+        )
+
+    # ------------------------------------------------------------- documents
+
+    def with_doc(self) -> "Route":
+        if self.etype == "v":
+            return self._with(self.df.join(self.g.V.select("id", "doc"), "id", "left"))
+        return self
+
+    def values(self, *keys: str) -> DataFrame:
+        """Project JSON document fields (column pruning applies — only `doc`
+        is read, and only when projected; cf. reference lazy document fetch,
+        src/fermor/graph.clj:646-663)."""
+        d = self.with_doc().df
+        return d.select(
+            *self.df.columns,
+            *[F.get_json_object(F.col("doc"), f"$.{k}").alias(k) for k in keys],
+        ).drop("doc") if self.etype == "v" else d.select(
+            *[c for c in self.df.columns],
+            *[F.get_json_object(F.col("doc"), f"$.{k}").alias(k) for k in keys],
+        )
+
+    # ------------------------------------------------------------------ paths
+
+    def with_path(self) -> "Route":
+        """Start provenance tracking (reference: with-path, src/fermor/path.clj:270-280)."""
+        if self.has_path:
+            return self
+        return self._with(self.df.withColumn("path", F.array(self._elem_repr())))
+
+    def paths(self) -> DataFrame:
+        assert self.has_path
+        return self.df.select("path")
+
+    def reverse_paths(self) -> DataFrame:
+        assert self.has_path
+        return self.df.select(F.reverse(F.col("path")).alias("path"))
+
+    def path_vertices(self) -> DataFrame:
+        return self.df.select(
+            F.filter(F.col("path"), lambda x: x.startswith("v:")).alias("path")
+        )
+
+    def path_edges(self) -> DataFrame:
+        return self.df.select(
+            F.filter(F.col("path"), lambda x: x.startswith("e:")).alias("path")
+        )
+
+    def cyclic_path(self) -> "Route":
+        """Keep elements whose path repeats an edge (reference: cyclic-path?,
+        src/fermor/path.clj:335-363)."""
+        edges = F.filter(F.col("path"), lambda x: x.startswith("e:"))
+        return self._with(
+            self.df.where(F.size(edges) != F.size(F.array_distinct(edges)))
+        )
+
+    def no_path(self) -> "Route":
+        return self._with(self.df.drop("path"))
+
+    # ------------------------------------------------------------ collection
+
+    def ids(self) -> list[str]:
+        assert self.etype == "v"
+        return [r["id"] for r in self.df.select("id").collect()]
+
+    def id_set(self) -> set[str]:
+        return set(self.ids())
+
+    def edge_tuples(self) -> list[tuple]:
+        assert self.etype == "e"
+        return [
+            (r["label"], r["src"], r["dst"]) for r in self.df.select("label", "src", "dst").collect()
+        ]

@@ -1,0 +1,122 @@
+"""Graph construction / builder / mutation tests.
+
+Expected values from the reference's committed assertions
+(test/fermor/core_test.clj:167-208 for edge flavours).
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+from fermor_spark import PropertyGraph
+from tests.fixtures import edge_flavours_graph, edges_graph, job_graph
+
+
+def test_vertices_implicit_existence(spark):
+    g = edge_flavours_graph(spark)
+    # reference: (= #{:a :b :c :x :y} (set (map element-id (vertices g))))
+    assert g.vertices().id_set() == {"a", "b", "c", "x", "y"}
+
+
+def test_unique_edge_last_wins(spark):
+    g = edge_flavours_graph(spark)
+    docs = {
+        (r["src"], r["dst"]): r["doc"]
+        for r in g._edges_df("normal").collect()
+    }
+    # reference: (= #{nil {:x 1}} (set (documents (out-e :normal ...))))
+    assert json.loads(docs[("a", "b")]) == {"x": 1}
+    assert docs[("b", "c")] is None
+
+
+def test_weighted_edges_sum(spark):
+    g = edge_flavours_graph(spark)
+    w = {(r["src"], r["dst"]): r["weight"] for r in g._edges_df("w").collect()}
+    # reference: #{11.0 23.0}
+    assert w == {("a", "b"): 23.0, ("b", "c"): 11.0}
+
+
+def test_parallel_edges_merged_doc(spark):
+    g = edge_flavours_graph(spark)
+    docs = {(r["src"], r["dst"]): json.loads(r["doc"]) for r in g._edges_df("p").collect()}
+    # reference merged doc shapes, core_test.clj:192-206
+    assert docs[("a", "b")] == {
+        "parallel/count": 7,
+        "0": {"x": 10}, "1": {"x": 2}, "3": {"x": 3}, "4": {"x": 4},
+        "5": {"k": 2}, "6": {"k": 9},
+    }
+    assert docs[("x", "y")] == {"parallel/count": 1}
+    assert docs[("b", "c")] == {"parallel/count": 2, "0": {"x": 11}, "1": {"x": 11}}
+
+
+def test_vertex_documents(spark):
+    g = job_graph(spark)
+    assert g.document("bob") == {"type": "person", "name": "Bob"}
+    assert g.document("appBob1") is None
+
+
+def test_set_documents(spark):
+    g = job_graph(spark).set_documents([("bob", {"name": "Robert"}), ("newv", {"a": 1})])
+    assert g.document("bob") == {"name": "Robert"}
+    assert g.document("newv") == {"a": 1}
+
+
+def test_transpose(spark):
+    g = edges_graph(spark, "to", [("a", "b"), ("b", "c")])
+    t = g.transpose()
+    assert set(t.edges().edge_tuples()) == {("to", "b", "a"), ("to", "c", "b")}
+
+
+def test_remove_vertices_and_edges(spark):
+    g = edges_graph(spark, "to", [("a", "b"), ("b", "c"), ("c", "d")])
+    g2 = g.remove_vertices(["b"])
+    assert set(g2.edges().edge_tuples()) == {("to", "c", "d")}
+    g3 = g.remove_edges([("to", "b", "c")])
+    assert set(g3.edges().edge_tuples()) == {("to", "a", "b"), ("to", "c", "d")}
+
+
+def test_merge_last_wins(spark):
+    g1 = PropertyGraph.build(spark).add_edges("l", [("a", "b", {"v": 1}), ("x", "y")]).forked()
+    g2 = PropertyGraph.build(spark).add_edges("l", [("a", "b", {"v": 2})]).forked()
+    m = g1.merge(g2)
+    docs = {(r["src"], r["dst"]): r["doc"] for r in m._edges_df("l").collect()}
+    assert json.loads(docs[("a", "b")]) == {"v": 2}
+    assert ("x", "y") in docs
+
+
+def test_degrees(spark):
+    g = job_graph(spark)
+    d = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    # reference centrality expected: gremlin_examples_test.clj:128-140
+    assert d["blueprints"] == 3
+    assert d["rexster"] == 1
+    for v in ["bob", "stephen", "appBob1", "appBob2", "appStephen1", "appStephen2",
+              "blueprintsJob1", "blueprintsJob2", "blueprintsJob3", "rexsterJob1"]:
+        assert d[v] == 2, v
+
+
+def test_vertices_with_edge(spark):
+    g = job_graph(spark)
+    ids = {r["id"] for r in g.vertices_with_edge("created").collect()}
+    assert ids == {"blueprints", "rexster", "blueprintsJob1", "blueprintsJob2",
+                   "blueprintsJob3", "rexsterJob1"}
+
+
+def test_graph_equality(spark):
+    g1 = edges_graph(spark, "l", [("a", "b"), ("b", "c")])
+    g2 = edges_graph(spark, "l", [("b", "c"), ("a", "b")])
+    g3 = edges_graph(spark, "l", [("a", "b")])
+    assert g1.graph_equals(g2)
+    assert not g1.graph_equals(g3)
+
+
+def test_undirected_view(spark):
+    g = edges_graph(spark, "l", [("a", "b")])
+    u = g.undirected_view()
+    assert u.count() == 2
+
+
+def test_from_dataframes(spark):
+    e = spark.createDataFrame([("l", "a", "b")], "label string, src string, dst string")
+    g = PropertyGraph.from_dataframes(spark, e)
+    assert g.vertices().id_set() == {"a", "b"}
