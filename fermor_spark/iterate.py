@@ -1,0 +1,423 @@
+"""Iterative frontier engine — the Spark shape of the reference's recursive
+traversal (`descend`/`all` family, reference: src/fermor/core.clj:978-1249,
+src/fermor/descend.clj) and of the component-style algorithms.
+
+The reference's stack-safe CPS trampoline collapses, on Spark, into a
+driver-side loop over frontier DataFrames:
+
+    while frontier nonempty:
+        next = step(frontier)   # one join
+        emit / cut per control
+        checkpoint every k iterations
+
+Key semantic deltas (documented; the reference's own tests multiset-compare):
+- emission is breadth-first/unordered, not DFS-ordered;
+- the no-result failsafe becomes a max-iteration guard + empty-frontier stop.
+
+Cycle handling follows the reference's split (reference: `all` vs
+`all-with-cycles`, src/fermor/core.clj:1095-1122): per-path cutting
+(correct for path semantics — carries a path array + array_contains filter)
+vs global-visited (fast, valid for reachability).
+
+Scale notes:
+- `localCheckpoint(eager=True)` every `checkpoint_every` iterations truncates
+  lineage — correctness-critical for deep iteration, not a tuning detail.
+- each hop is one shuffle join; frontiers are usually small → AQE broadcasts.
+- per-path expansion is exponential on dense graphs by nature; prefer the
+  global-visited reachability entry points where paths aren't needed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fermor_spark.graph import PropertyGraph
+from fermor_spark.route import Route
+
+_CHECKPOINT_EVERY = 6
+
+
+def _step_edges(g: PropertyGraph, labels, direction: str) -> DataFrame:
+    """(u, v[, w]) adjacency pairs for a traversal direction."""
+    e = g._edges_df(labels)
+    out_pairs = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("weight").alias("w"))
+    in_pairs = e.select(F.col("dst").alias("u"), F.col("src").alias("v"), F.col("weight").alias("w"))
+    if direction == "out":
+        return out_pairs
+    if direction == "in":
+        return in_pairs
+    return out_pairs.unionByName(in_pairs)
+
+
+def _maybe_checkpoint(df: DataFrame, i: int) -> DataFrame:
+    if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
+# --------------------------------------------------------------- reachability
+
+
+def all_reachable(
+    g: PropertyGraph,
+    start: Route | DataFrame,
+    labels=None,
+    direction: str = "out",
+    max_depth: int | None = None,
+    include_start: bool = False,
+) -> DataFrame:
+    """Transitive expansion with GLOBAL visited-set cycle cutting → (id, depth).
+
+    The fast mode — valid when only reachability matters
+    (reference: `all` used for reachability, src/fermor/core.clj:1095-1110).
+    """
+    start_df = start.df if isinstance(start, Route) else start
+    adj = _step_edges(g, labels, direction).select("u", "v")
+    frontier = start_df.select("id").distinct().withColumn("depth", F.lit(0))
+    seen = frontier
+    results = [frontier] if include_start else []
+    depth = 0
+    while True:
+        if max_depth is not None and depth >= max_depth:
+            break
+        nxt = (
+            frontier.join(adj, frontier["id"] == adj["u"], "inner")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(seen.select("id"), "id", "left_anti")
+            .withColumn("depth", F.lit(depth + 1))
+        )
+        nxt = _maybe_checkpoint(nxt, depth).cache()
+        if nxt.limit(1).count() == 0:
+            break
+        results.append(nxt)
+        seen = _maybe_checkpoint(seen.unionByName(nxt), depth)
+        frontier = nxt
+        depth += 1
+    if not results:
+        return start_df.select("id").withColumn("depth", F.lit(0)).limit(0)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def all_paths(
+    g: PropertyGraph,
+    start: Route | DataFrame,
+    labels=None,
+    direction: str = "out",
+    max_depth: int | None = None,
+    include_start: bool = True,
+    to_pred=None,
+    leaves_only: bool = False,
+) -> DataFrame:
+    """Per-path cycle-cut expansion emitting (id, path ARRAY<STRING>).
+
+    Reference: all-paths / deepest-paths / all-paths-to / search
+    (src/fermor/core.clj:1138-1202). `to_pred` (a Column predicate over the
+    current vertex id) stops descending below a match and diverts it to the
+    results (reference: all-paths-to). `leaves_only` emits only rows whose
+    expansion is empty (reference: deepest).
+    """
+    start_df = start.df if isinstance(start, Route) else start
+    adj = _step_edges(g, labels, direction).select("u", "v")
+    frontier = start_df.select("id").distinct().withColumn(
+        "path", F.array(F.concat(F.lit("v:"), F.col("id")))
+    )
+    results = []
+    emitted_frontiers = []
+    if to_pred is not None:
+        matched = frontier.where(to_pred(F.col("id")))
+        results.append(matched)
+        frontier = frontier.where(~to_pred(F.col("id")))
+    if include_start and to_pred is None and not leaves_only:
+        emitted_frontiers.append(frontier)
+    depth = 0
+    while True:
+        if max_depth is not None and depth >= max_depth:
+            if leaves_only:
+                results.append(frontier)
+            break
+        joined = frontier.join(adj, frontier["id"] == adj["u"], "inner")
+        newpath = F.concat(F.col("path"), F.array(F.concat(F.lit("v:"), F.col("v"))))
+        nxt = (
+            joined.where(~F.array_contains(F.col("path"), F.concat(F.lit("v:"), F.col("v"))))
+            .select(F.col("v").alias("id"), newpath.alias("path"))
+        )
+        nxt = _maybe_checkpoint(nxt, depth).cache()
+        if leaves_only:
+            # rows in frontier with no surviving child are leaves
+            has_child = nxt.select(F.col("path").alias("_p")).withColumn(
+                "_parent", F.slice(F.col("_p"), 1, F.size(F.col("_p")) - 1)
+            ).select("_parent").distinct()
+            leaves = frontier.join(
+                has_child, frontier["path"] == has_child["_parent"], "left_anti"
+            )
+            results.append(leaves)
+        if nxt.limit(1).count() == 0:
+            break
+        if to_pred is not None:
+            matched = nxt.where(to_pred(F.col("id")))
+            results.append(matched)
+            nxt = nxt.where(~to_pred(F.col("id"))).cache()
+            if nxt.limit(1).count() == 0:
+                break
+        if not leaves_only and to_pred is None:
+            emitted_frontiers.append(nxt)
+        frontier = nxt
+        depth += 1
+    all_parts = results + emitted_frontiers
+    if not all_parts:
+        return frontier.limit(0)
+    out = all_parts[0]
+    for r in all_parts[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def all_cycles(
+    g: PropertyGraph,
+    max_len: int,
+    labels=None,
+    start: Route | DataFrame | None = None,
+    with_edges: bool = True,
+) -> DataFrame:
+    """Paths that return to their origin within max_len hops → (path).
+
+    Reference: all-cycles (src/fermor/core.clj:1204-1233; expected values
+    gremlin_examples_test.clj:183-190). Emits one row per (start, cycle)
+    orientation, like the reference (each 3-cycle appears once per member).
+    """
+    e = g._edges_df(labels)
+    adj = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("label").alias("l"))
+    start_df = (start.df if isinstance(start, Route) else start) if start is not None else g.vertex_ids()
+    frontier = start_df.select("id").distinct().withColumn(
+        "path", F.array(F.concat(F.lit("v:"), F.col("id")))
+    ).withColumn("origin", F.col("id"))
+    cycles = []
+    for depth in range(max_len):
+        joined = frontier.join(adj, frontier["id"] == adj["u"], "inner")
+        step_path = (
+            F.concat(
+                F.col("path"),
+                F.array(F.concat(F.lit("e:"), F.col("l"), F.lit(":"), F.col("u"), F.lit(":"), F.col("v"))),
+                F.array(F.concat(F.lit("v:"), F.col("v"))),
+            )
+            if with_edges
+            else F.concat(F.col("path"), F.array(F.concat(F.lit("v:"), F.col("v"))))
+        )
+        # cut on the PRE-append path: a revisit of a non-origin vertex kills
+        # the path; a revisit of the origin closes a cycle
+        expanded = joined.select(
+            F.col("v").alias("id"), step_path.alias("path"), F.col("origin"),
+            F.array_contains(F.col("path"), F.concat(F.lit("v:"), F.col("v"))).alias("_seen"),
+        )
+        closed = expanded.where(F.col("id") == F.col("origin")).select("id", "path", "origin")
+        cycles.append(closed)
+        frontier = expanded.where(
+            (F.col("id") != F.col("origin")) & ~F.col("_seen")
+        ).select("id", "path", "origin")
+        frontier = _maybe_checkpoint(frontier, depth).cache()
+        if frontier.limit(1).count() == 0:
+            break
+    out = cycles[0]
+    for c in cycles[1:]:
+        out = out.unionByName(c)
+    return out.select("path")
+
+
+# ------------------------------------------------------------- components
+
+
+def connected_components(g: PropertyGraph, labels=None) -> DataFrame:
+    """Undirected CCs via min-id label propagation → (id, component).
+
+    Converges in O(diameter) joins; AQE + localCheckpoint keep plans flat.
+    (SURVEY §2.9: GraphFrames' Pregel equivalent, expressed as plain joins.)
+    """
+    adj = _step_edges(g, labels, "both").select("u", "v")
+    comp = g.vertex_ids().withColumn("comp", F.col("id"))
+    i = 0
+    while True:
+        neigh = (
+            comp.join(adj, comp["id"] == adj["u"], "inner")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            comp.join(neigh, "id", "left")
+            .select("id", F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"))
+        )
+        new = _maybe_checkpoint(new, i).cache()
+        changed = (
+            new.alias("n").join(comp.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new
+        i += 1
+        if changed == 0 or i > 200:
+            break
+    return comp
+
+
+def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int = 64) -> DataFrame:
+    """SCC via distributed FW-BW pivot decomposition → (id, component).
+
+    Each round: pick the min id of every open partition as its pivot,
+    flood-fill forward and backward reachability *within the partition*;
+    fwd∩bwd = the pivot's SCC (settled); the remainder splits into
+    fwd-only / bwd-only / untouched sub-partitions. Converges in
+    O(log n) rounds on most graphs (FW-BW-Trim family of parallel SCC
+    algorithms). Reference delegates to Bifurcan's Tarjan
+    (src/fermor/graph/algo.clj:24-32); a driver-side Tarjan for CFG-sized
+    graphs lives in fermor_spark.algo.
+    """
+    fwd = _step_edges(g, labels, "out").select("u", "v")
+    bwd = _step_edges(g, labels, "in").select("u", "v")
+
+    def flood(adj: DataFrame, nodes: DataFrame) -> DataFrame:
+        """nodes: (id, part, pivot). Returns (id, part) of vertices reachable
+        from their partition's pivot, staying within the partition."""
+        reached = nodes.where(F.col("id") == F.col("pivot")).select("id", "part")
+        frontier = reached
+        i = 0
+        while True:
+            nxt = (
+                frontier.join(adj, frontier["id"] == adj["u"], "inner")
+                .select(F.col("v").alias("id"), "part")
+                .distinct()
+                .join(nodes.select("id", "part"), ["id", "part"], "left_semi")
+                .join(reached, ["id", "part"], "left_anti")
+            )
+            nxt = _maybe_checkpoint(nxt, i).cache()
+            if nxt.limit(1).count() == 0:
+                return reached
+            reached = _maybe_checkpoint(reached.unionByName(nxt), i)
+            frontier = nxt
+            i += 1
+
+    open_nodes = g.vertex_ids().withColumn("part", F.lit("0"))
+    settled = []
+    for rnd in range(max_outer):
+        pivots = open_nodes.groupBy("part").agg(F.min("id").alias("pivot"))
+        nodes = open_nodes.join(pivots, "part")
+        fr = flood(fwd, nodes).withColumn("_f", F.lit(1))
+        br = flood(bwd, nodes).withColumn("_b", F.lit(1))
+        tagged = (
+            nodes.join(fr, ["id", "part"], "left")
+            .join(br, ["id", "part"], "left")
+            .select(
+                "id", "part", "pivot",
+                F.coalesce(F.col("_f"), F.lit(0)).alias("f"),
+                F.coalesce(F.col("_b"), F.lit(0)).alias("b"),
+            )
+        )
+        scc = tagged.where((F.col("f") == 1) & (F.col("b") == 1)).select(
+            "id", F.col("pivot").alias("component")
+        )
+        settled.append(scc.localCheckpoint(eager=True))
+        remaining = tagged.where((F.col("f") == 0) | (F.col("b") == 0)).select(
+            "id",
+            F.concat(F.col("part"), F.lit("."), F.col("f").cast("string"),
+                     F.col("b").cast("string")).alias("part"),
+        )
+        remaining = remaining.localCheckpoint(eager=True)
+        if remaining.limit(1).count() == 0:
+            break
+        open_nodes = remaining
+    out = settled[0]
+    for s in settled[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+# ------------------------------------------------------------ shortest paths
+
+
+def shortest_path_weighted(
+    g: PropertyGraph,
+    sources: Route | DataFrame,
+    labels=None,
+    direction: str = "out",
+    default_weight: float = 1.0,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Single/multi-source weighted shortest distances → (id, dist).
+
+    Bellman-Ford-style iterative relaxation to fixpoint (min-cost aggregation
+    per destination). Reference: Dijkstra via Bifurcan with user cost fn
+    (src/fermor/graph/algo.clj:92-125); the relaxation formulation is the
+    distributed-native equivalent.
+    """
+    src_df = sources.df if isinstance(sources, Route) else sources
+    adj = _step_edges(g, labels, direction).select(
+        "u", "v", F.coalesce(F.col("w"), F.lit(default_weight)).alias("w")
+    )
+    dist = src_df.select("id").distinct().withColumn("dist", F.lit(0.0))
+    for i in range(max_iter):
+        relaxed = (
+            dist.join(adj, dist["id"] == adj["u"], "inner")
+            .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new = _maybe_checkpoint(new, i).cache()
+        improved = (
+            new.alias("n")
+            .join(dist.alias("o"), "id", "left")
+            .where(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
+            .limit(1)
+            .count()
+        )
+        dist = new
+        if improved == 0:
+            break
+    return dist
+
+
+def breadth_first_nodes(g: PropertyGraph, start, labels=None, direction: str = "out") -> DataFrame:
+    """BFS order as (id, depth) — the canonical frontier loop
+    (reference: breadth-first-nodes, src/fermor/graph/algo.clj:433-452)."""
+    start_df = start.df if isinstance(start, Route) else start
+    return all_reachable(g, start_df, labels, direction, include_start=True)
+
+
+# ------------------------------------------------------------- betweenness
+
+
+def betweenness_counts(g: PropertyGraph, labels=None) -> DataFrame:
+    """The reference's betweenness recipe (gremlin_examples_test.clj:163-179):
+    all cycle-cut paths from every vertex via `both`, keep the shortest
+    path-group per (first,last) pair, count vertex occurrences → (id, count).
+    """
+    paths = all_paths(g, g.vertices(), labels=labels, direction="both", include_start=True)
+    keyed = paths.select(
+        F.col("path"),
+        F.element_at("path", 1).alias("s"),
+        F.element_at("path", -1).alias("t"),
+        F.size("path").alias("len"),
+    )
+    minlen = keyed.groupBy("s", "t").agg(F.min("len").alias("len"))
+    shortest = keyed.join(minlen, ["s", "t", "len"], "left_semi")
+    return (
+        shortest.select(F.explode("path").alias("vid"))
+        .select(F.expr("substring(vid, 3)").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def iterate_route(route: Route, f: Callable[[Route], Route], n: int) -> Route:
+    """Apply a traversal fn n times (reference: iter, src/fermor/core.clj:1245-1249)."""
+    for _ in range(n):
+        route = f(route)
+    return route
