@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full pipeline runs, no driver
+collect cost). The star-graph build/cache is timed separately as
+`graph_build` — it is the amortized `forked()` boundary every graph query
+shares.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fermor_spark import get_spark  # noqa: E402
+from fermor_spark import queries as q  # noqa: E402
+from fermor_spark.datasets import star_graph  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top3_orders_per_customer",
+    "events_tumbling_hour",
+    "events_sessions_30m",
+    "g_out_nation",
+    "g_2hop_region",
+    "g_lookahead_big_buyers",
+    "g_recommender",
+    "g_reachable_from_region",
+    "text_quality",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_topk_cosine",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="fermor-bench")
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    g = star_graph(spark, SF_DIR)
+    g.E.count()  # materialize the cached edge table
+    g.V.count()
+    timings["graph_build"] = round(time.perf_counter() - t0, 3)
+
+    registry = q.all_queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _force(registry[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Loaders for the driver testdata tables and the derived star property graph.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings, parquet under /root/testdata/sf*/.
+
+The star graph re-expresses the relational schema as a property graph so the
+graph operator surface can be exercised (and oracle-checked) on real data:
+
+    c:{custkey}   -[in_nation]->  n:{nationkey}
+    s:{suppkey}   -[supp_nation]-> n:{nationkey}
+    n:{nationkey} -[in_region]->  r:{regionkey}
+    o:{orderkey}  -[placed_by]->  c:{custkey}
+    c:{custkey}   -[bought]->     p:{partkey}     (distinct customer×part)
+    o:{orderkey}  -[contains]->   p:{partkey}     (one edge per lineitem row)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fermor_spark.graph import PropertyGraph
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_table_cache: dict[tuple[str, str], DataFrame] = {}
+_graph_cache: dict[str, PropertyGraph] = {}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (sf_dir, name)
+    if key not in _table_cache:
+        if name == "events":
+            # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+            # parquet reader rejects; read nanos as long and convert to a
+            # microsecond timestamp (matching DuckDB's ns→µs truncation).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            # integer division — double division of int64 nanos loses the
+            # final microsecond to 53-bit mantissa rounding
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            _table_cache[key] = df
+        else:
+            _table_cache[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _table_cache[key]
+
+
+def _id(prefix: str, col) -> F.Column:
+    return F.concat(F.lit(prefix + ":"), col.cast("string"))
+
+
+def star_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    """PropertyGraph over the star schema; cached per sf_dir (the `forked`
+    boundary — built once, amortized over all queries)."""
+    if sf_dir in _graph_cache:
+        return _graph_cache[sf_dir]
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    supp = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def edge(df, label, src, dst, weight=None):
+        cols = [
+            F.lit(label).alias("label"),
+            src.alias("src"),
+            dst.alias("dst"),
+            (weight if weight is not None else F.lit(None)).cast("double").alias("weight"),
+            F.lit(None).cast("string").alias("doc"),
+        ]
+        return df.select(*cols)
+
+    bought = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        edge(cust, "in_nation", _id("c", F.col("c_custkey")), _id("n", F.col("c_nationkey")))
+        .unionByName(edge(supp, "supp_nation", _id("s", F.col("s_suppkey")), _id("n", F.col("s_nationkey"))))
+        .unionByName(edge(nation, "in_region", _id("n", F.col("n_nationkey")), _id("r", F.col("n_regionkey"))))
+        .unionByName(edge(orders, "placed_by", _id("o", F.col("o_orderkey")), _id("c", F.col("o_custkey"))))
+        .unionByName(edge(bought, "bought", _id("c", F.col("o_custkey")), _id("p", F.col("l_partkey"))))
+        .unionByName(edge(li, "contains", _id("o", F.col("l_orderkey")), _id("p", F.col("l_partkey")),
+                          weight=F.col("l_quantity")))
+    )
+
+    def vtx(df, prefix, idcol, kind):
+        return df.select(
+            _id(prefix, F.col(idcol)).alias("id"),
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("string").alias("doc"),
+        )
+
+    vertices = (
+        vtx(cust, "c", "c_custkey", "customer")
+        .unionByName(vtx(nation, "n", "n_nationkey", "nation"))
+        .unionByName(vtx(region, "r", "r_regionkey", "region"))
+        .unionByName(vtx(supp, "s", "s_suppkey", "supplier"))
+        .unionByName(vtx(part, "p", "p_partkey", "part"))
+        .unionByName(vtx(orders, "o", "o_orderkey", "order"))
+    )
+    g = PropertyGraph.from_dataframes(spark, edges, vertices, cache=True)
+    _graph_cache[sf_dir] = g
+    return g

@@ -1,0 +1,737 @@
+"""The query registry: every entry pairs a Spark implementation with an
+ANSI-SQL oracle (DuckDB-runnable) over the same tables.
+
+This is the correctness surface the driver checks (row-count + schema +
+order-insensitive value-hash at sf0.01). Conventions that keep the two sides
+hash-identical:
+- every computed/aggregate column is aliased THE SAME on both sides;
+- floating-point aggregates are rounded (2 dp for money sums, 4-6 dp for
+  ratios/averages) on BOTH sides so accumulation-order noise can't flip bits;
+- top-k queries always carry a deterministic tie-break key;
+- graph queries run through the Route/iterate engine on the star graph
+  (datasets.star_graph); their oracles are the equivalent relational SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fermor_spark import iterate
+from fermor_spark.datasets import star_graph, table
+
+# --------------------------------------------------------------------------
+# registry plumbing
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# --------------------------------------------------------------------------
+# relational core (TPC-H-shaped, over the driver tables)
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "top3_orders_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "orders_status_matrix",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def orders_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# event-time windows (batch-checkable analogs of the streaming operators)
+
+@query(
+    "events_tumbling_hour",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "events_sliding_6h_3h",
+    """
+    WITH buckets AS (
+      SELECT ts, value,
+             make_timestamp((3600 * 3 * CAST(floor(epoch(ts) / (3600.0 * 3)) AS BIGINT)
+                             - 3600 * 3 * s.i) * 1000000) AS window_start
+      FROM events, (SELECT unnest(range(2)) AS i) s
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM buckets
+    GROUP BY window_start
+    """,
+)
+def events_sliding_6h_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 6h length, 3h slide — each event lands in 2 windows."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "events_sessions_30m",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute inactivity gap (Structured Streaming's
+    session_window, applied in batch mode)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "events_dedup_first",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest event — the batch analog of
+    dropDuplicatesWithinWatermark, made deterministic with a full sort key."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"),
+                F.col("ts").alias("first_ts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# graph traversal queries (Route engine over the star graph; SQL oracles)
+
+@query(
+    "g_out_nation",
+    "SELECT 'c:' || c_custkey AS c_id, 'n:' || c_nationkey AS n_id FROM customer",
+)
+def g_out_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = star_graph(spark, sf_dir)
+    cust = g.vertices("customer")
+    tagged = cust._with(cust.df.withColumn("_c", F.col("id")))
+    return tagged.out("in_nation").df.select(F.col("_c").alias("c_id"), F.col("id").alias("n_id"))
+
+
+@query(
+    "g_2hop_region",
+    """
+    SELECT 'c:' || c_custkey AS c_id, 'r:' || n_regionkey AS r_id
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def g_2hop_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = star_graph(spark, sf_dir)
+    cust = g.vertices("customer")
+    tagged = cust._with(cust.df.withColumn("_c", F.col("id")))
+    return (
+        tagged.out("in_nation").out("in_region")
+        .df.select(F.col("_c").alias("c_id"), F.col("id").alias("r_id"))
+    )
+
+
+@query(
+    "g_degree_nation",
+    """
+    SELECT id, count(*) AS degree FROM (
+      SELECT 'n:' || c_nationkey AS id FROM customer
+      UNION ALL SELECT 'n:' || s_nationkey FROM supplier
+      UNION ALL SELECT 'n:' || n_nationkey FROM nation
+    ) GROUP BY id
+    """,
+)
+def g_degree_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = star_graph(spark, sf_dir)
+    return g.degrees().where(F.col("id").startswith("n:"))
+
+
+@query(
+    "g_lookahead_big_buyers",
+    """
+    SELECT 'c:' || c_custkey AS id FROM customer
+    WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+    """,
+)
+def g_lookahead_big_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = star_graph(spark, sf_dir)
+    return g.vertices("customer").lookahead(lambda r: r.in_("placed_by"), min_count=15).df
+
+
+@query(
+    "g_neg_lookahead_nations",
+    """
+    SELECT 'n:' || n_nationkey AS id FROM nation
+    WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+    """,
+)
+def g_neg_lookahead_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with no supplier — anti-join lookahead."""
+    g = star_graph(spark, sf_dir)
+    return g.vertices("nation").neg_lookahead(lambda r: r.in_("supp_nation")).df
+
+
+@query(
+    "g_lookahead_range",
+    """
+    SELECT 'c:' || o_custkey AS id FROM orders
+    GROUP BY o_custkey HAVING count(*) BETWEEN 8 AND 12
+    """,
+)
+def g_lookahead_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = star_graph(spark, sf_dir)
+    return g.vertices("customer").lookahead(
+        lambda r: r.in_("placed_by"), min_count=8, max_count=12
+    ).df
+
+
+@query(
+    "g_order_count_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def g_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The group-by-count operator (reference: src/fermor/core.clj:1492-1506)
+    on real data: distribution of per-customer order counts."""
+    g = star_graph(spark, sf_dir)
+    orders = g.vertices("customer").in_e("placed_by")
+    per_cust = orders.df.groupBy("dst").agg(F.count("*").alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "g_siblings_same_nation",
+    """
+    SELECT 'c:' || a.c_custkey AS c_id, count(*) AS n_siblings
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+    WHERE a.c_custkey <= 50
+    GROUP BY a.c_custkey
+    """,
+)
+def g_siblings_same_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = star_graph(spark, sf_dir)
+    cust = g.vertices("customer").where(
+        F.split(F.col("id"), ":").getItem(1).cast("long") <= 50
+    )
+    sibs = cust._with(cust.df.withColumn("_self", F.col("id"))).out("in_nation").in_("in_nation")
+    return (
+        sibs.df.where(F.col("id") != F.col("_self"))
+        .groupBy(F.col("_self").alias("c_id"))
+        .agg(F.count("*").alias("n_siblings"))
+    )
+
+
+@query(
+    "g_recommender",
+    """
+    WITH bought AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), scored AS (
+      SELECT b1.c AS c, b3.p AS p, count(*) AS score
+      FROM bought b1
+      JOIN bought b2 ON b1.p = b2.p AND b2.c <> b1.c
+      JOIN bought b3 ON b3.c = b2.c
+      WHERE b1.c <= 20
+        AND NOT EXISTS (SELECT 1 FROM bought own WHERE own.c = b1.c AND own.p = b3.p)
+      GROUP BY b1.c, b3.p
+    )
+    SELECT 'c:' || c AS c_id, 'p:' || p AS p_id, score, rn FROM (
+      SELECT c, p, score,
+             row_number() OVER (PARTITION BY c ORDER BY score DESC, 'p:' || p) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def g_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering recommender — the reference's flagship shape
+    (gremlin_examples_test.clj:221-266): 2-hop co-purchase expansion,
+    per-origin exclusion of already-bought, grouped-count ranking, top-5."""
+    g = star_graph(spark, sf_dir)
+    cust = g.vertices("customer").where(
+        F.split(F.col("id"), ":").getItem(1).cast("long") <= 20
+    )
+    tagged = cust._with(cust.df.withColumn("_self", F.col("id")))
+    cobuyer_parts = (
+        tagged.out("bought")
+        .in_("bought")
+        .where(F.col("id") != F.col("_self"))
+        .out("bought")
+    )
+    own = g._edges_df("bought").select(
+        F.col("src").alias("_self"), F.col("dst").alias("id")
+    )
+    scored = (
+        cobuyer_parts.df.join(own, ["_self", "id"], "left_anti")
+        .groupBy("_self", "id")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("_self").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select(F.col("_self").alias("c_id"), F.col("id").alias("p_id"), "score", "rn")
+    )
+
+
+@query(
+    "g_reachable_from_region",
+    """
+    SELECT 'r:0' AS id, 0 AS depth
+    UNION ALL
+    SELECT 'n:' || n_nationkey, 1 FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT 'c:' || c_custkey, 2 FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 0
+    UNION ALL
+    SELECT 's:' || s_suppkey, 2 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 0
+    UNION ALL
+    SELECT 'o:' || o_orderkey, 3
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+    """,
+)
+def g_reachable_from_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive reachability (the iteration engine) — everything upstream of
+    region 0 through in_region/in_nation/supp_nation/placed_by edges."""
+    g = star_graph(spark, sf_dir)
+    return iterate.all_reachable(
+        g, g.get_vertex("r:0"),
+        labels=["in_region", "in_nation", "supp_nation", "placed_by"],
+        direction="in", include_start=True,
+    )
+
+
+# --------------------------------------------------------------------------
+# text / document pipeline operators
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+@query(
+    "text_token_count",
+    r"""
+    SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 4) AS avg_token_len,
+           round(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) * 1.0 / len(toks), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword ratio."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tot_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(tot_len * 1.0 / F.size(toks), 4).alias("avg_token_len"),
+        F.round(n_stop * 1.0 / F.size(toks), 4).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep min doc_id per distinct text."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLE_SQL = r"""
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+           UNNEST(range(1, len(toks) - 1)) AS u(i)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.8 (shingle → explode →
+    self-join on shingle → per-pair intersection counts)."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    mh AS (
+      SELECT doc_id,
+             min(md5('0' || sh)) AS h0, min(md5('1' || sh)) AS h1,
+             min(md5('2' || sh)) AS h2, min(md5('3' || sh)) AS h3,
+             min(md5('4' || sh)) AS h4, min(md5('5' || sh)) AS h5,
+             min(md5('6' || sh)) AS h6, min(md5('7' || sh)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 || h1 AS key FROM mh
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM mh
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM mh
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                             AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 8 md5-based minhashes, 4 bands × 2 rows.
+
+    Deterministic across engines because the hash family is md5 over
+    seed-prefixed shingles and signatures are min() over hex strings.
+    At scale: shingle explode → groupBy doc (map-side combine) →
+    band-key self-join, never an all-pairs comparison.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")).cast("binary"))).alias(f"h{i}")
+        for i in range(8)
+    ]
+    mh = sh.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for band in range(4):
+        part = mh.select(
+            "doc_id", F.lit(band).alias("band"),
+            F.concat(F.col(f"h{2*band}"), F.col(f"h{2*band+1}")).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+
+@query(
+    "ann_topk_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id
+             ) AS rank
+      FROM e q JOIN e n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against all vectors.
+
+    The scale path (IVF/LSH bucketing) lives in fermor_spark.pipeline; this
+    is the exact baseline it is measured against.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    emb = emb.withColumn("norm", norm)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("norm").alias("nn"))
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    cos = dot / (F.col("qn") * F.col("nn"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# entry points consumed by __spark_entry__.py
+
+def all_queries():
+    return dict(QUERIES)
+
+
+def all_oracles():
+    return dict(ORACLES)

@@ -1,0 +1,82 @@
+"""Replicates the driver's t2 correctness gate locally: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the same
+parquet tables, then compare row count, column names, and order-insensitive
+values.
+
+Run at sf0.001 by default for speed; set PARITY_SF_DIR=/root/testdata/sf0.01
+to match the driver exactly.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from fermor_spark.datasets import TABLES
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in idx) for r in rows
+    )
+
+
+QUERY_NAMES = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck()
+    res = con.execute(entrymod.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs oracle {len(orows)}"
+    sm = _rows_to_multiset(scols, srows)
+    om = _rows_to_multiset(ocols, orows)
+    if sm != om:
+        diffs = [(a, b) for a, b in zip(sm, om) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle still must run and return a DataFrame."""
+    oracles = entrymod.oracle_sql()
+    for name, q in entrymod.queries().items():
+        if name not in oracles:
+            df = q(spark, SF_DIR)
+            assert df.count() >= 0, name
