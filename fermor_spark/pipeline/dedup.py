@@ -1,0 +1,274 @@
+"""Deduplication operators.
+
+Scale design: every near-dup path is candidate-generation-by-blocking
+(LSH bands / hash buckets) followed by verification inside buckets — never
+an all-pairs comparison. Exact dedup is a single hash-groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep exactly one row per key (first by order_cols) — deterministic
+    hash-groupBy dedup."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingle array for a text column."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) exploded distinct shingles."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard ≥ threshold → (id_a, id_b, jaccard).
+
+    Shuffle profile: explode → distinct → self-join keyed on shingle (the
+    blocking key) → per-pair counts. Hot shingles fan out quadratically, so
+    at scale drop top-frequency shingles first (stopword shingles carry no
+    dedup signal); AQE skew-join handles the remainder.
+    """
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature via min(md5(seed || shingle)).
+
+    md5-over-string-min is engine-portable and deterministic; one groupBy
+    with map-side partial aggregation."""
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")).cast("binary"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidates(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band → (id_a, id_b).
+
+    bands × rows_per_band must equal the signature width. The join key is
+    (band, concatenated-rows) — a pure equi-join, shuffle on the band key.
+    """
+    parts = []
+    for band in range(bands):
+        cols = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            signatures.select(
+                F.col("id"), F.lit(band).alias("band"), F.concat(*cols).alias("key")
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a = banded.select(F.col("id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.8, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidates(sigs, bands, num_hashes // bands)
+    sh = shingle_table(df, id_col, text_col, shingle_n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        cands.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash BIGINT): 64-bit SimHash over whitespace tokens.
+
+    Token hash = xxhash64 (JVM-side, vectorizable); each bit of the digest
+    is the sign of the per-bit vote sum. One explode + one groupBy.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming → (id_a, id_b, hamming).
+
+    Blocking: split the 64-bit hash into 4 16-bit bands; any pair within
+    Hamming ≤ 3 shares ≥1 exact band (pigeonhole), so the candidate join is
+    an equi-join on (band, band_value), then verify with bit_count(xor).
+    """
+    s = simhash(df, id_col, text_col)
+    parts = []
+    for band in range(4):
+        parts.append(
+            s.select(
+                "id", "simhash", F.lit(band).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), band * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9,
+    num_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold via hyperplane-LSH blocking.
+
+    Candidates share a full sign-bucket over `num_planes` deterministic
+    pseudo-random hyperplanes (derived from xxhash64(seed, plane, dim) —
+    no driver-side RNG state); verification is exact cosine.
+    High thresholds → near-identical vectors → same bucket with high
+    probability; for recall-critical use, union buckets from several seeds.
+    """
+    from fermor_spark.pipeline.similarity import with_norm, cosine_expr, _hyperplanes
+
+    dim_df = df.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+    dim = dim_df.collect()[0]["d"]
+    planes = _hyperplanes(num_planes, dim, seed)
+    e = with_norm(df, id_col, vec_col)
+    bucket = F.concat(*[
+        F.when(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ])
+    eb = e.withColumn("bucket", bucket)
+    a = eb.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                  F.col("norm").alias("na"), "bucket")
+    b = eb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                  F.col("norm").alias("nb"), "bucket")
+    cos = cosine_expr("va", "vb", "na", "nb")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """Resolve near-dup pairs into clusters → (id, cluster) where cluster is
+    the min id of the connected component (min-id label propagation — the
+    same fixpoint as iterate.connected_components, inlined here for plain
+    id-pair input)."""
+    adj = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    )
+    comp = all_ids.select(F.col(all_ids.columns[0]).alias("id")).withColumn(
+        "cluster", F.col("id")
+    )
+    for i in range(50):
+        neigh = (
+            comp.join(adj, comp["id"] == adj["u"], "inner")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("cluster").alias("nc"))
+        )
+        new = comp.join(neigh, "id", "left").select(
+            "id", F.least(F.col("cluster"), F.coalesce(F.col("nc"), F.col("cluster"))).alias("cluster")
+        )
+        if i % 6 == 5:
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.cache()
+        changed = (
+            new.alias("n").join(comp.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster")).limit(1).count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp

@@ -1,0 +1,153 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side column expressions (no Python UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# Tiny deterministic stopword profiles for the n-gram/stopword language-ID
+# heuristic. Real deployments plug in fastText/CLD3 via a pandas_udf; the
+# heuristic keeps the operator dependency-free and testable.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "von", "ein", "zu", "mit"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men"],
+}
+
+# A BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
+# the shape GPT-style tokenizers use for pre-tokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text_col):
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_bpeish): whitespace tokens + BPE-ish regex tokens."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long").alias("n_bpeish"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, score).
+
+    score is a simple bounded combination: length sanity × stopword presence
+    × alphabetic density — the standard cheap pre-filter shape for web-scale
+    corpus cleaning.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    tot_len = F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0),
+                          lambda acc, x: acc + x)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) * 1.0 / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    )
+    stop_ratio = n_stop * 1.0 / F.greatest(n, F.lit(1))
+    length_ok = F.when((n >= 5) & (n <= 100000), 1.0).otherwise(0.2)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(tot_len * 1.0 / F.greatest(n, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha, 4).alias("alpha_ratio"),
+        F.round(length_ok * (F.lit(0.5) + F.least(stop_ratio * 2, F.lit(0.5))) * alpha, 4)
+        .alias("score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang, lang_score): argmax over per-language stopword-hit ratios.
+
+    Deterministic tie-break: higher score wins, then lexicographic language
+    code. A pure column expression — at 100 TB this runs entirely inside
+    whole-stage codegen.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.greatest(F.size(toks), F.lit(1))
+    scored = F.array(*[
+        F.struct(
+            F.round(F.size(F.filter(toks, lambda x: x.isin(words))) * 1.0 / n, 6).alias("s"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    ])
+    best = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(
+            F.when(a["lang"] < b["lang"], -1).otherwise(1)
+        ),
+    ).getItem(0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        best["lang"].alias("lang"),
+        best["s"].alias("lang_score"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """(id, fingerprints ARRAY<BIGINT>): winnowing document fingerprint.
+
+    k-gram xxhash64 sequence → sliding min per `window` positions →
+    distinct sorted mins (Schleimer/Wilkerson/Aiken winnowing). Robust to
+    local edits; used for copy detection at corpus scale.
+    """
+    # Fully row-linear formulation: explode tokens once, build k-grams with
+    # lead() windows, sliding-min with a rows-window, re-aggregate. Nested
+    # array-transform formulations (transform over sequence + element_at)
+    # re-inline the tokenization per position after Catalyst's projection
+    # collapse — quadratic expression evaluation per document.
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    wl = Window.partitionBy("id").orderBy("pos")
+    gram_cols = [F.col("tok")] + [F.lead("tok", j).over(wl) for j in range(1, k)]
+    grams = (
+        toks.withColumn("_gram", F.concat_ws(" ", *gram_cols))
+        .withColumn("_complete", F.lead("tok", k - 1).over(wl).isNotNull() | (F.col("pos") == 0))
+        .where(F.col("_complete"))
+        .select("id", "pos", F.xxhash64("_gram").alias("h"))
+    )
+    wmin = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    wcnt = Window.partitionBy("id")
+    mins = (
+        grams.withColumn("f", F.min("h").over(wmin))
+        .withColumn("_n", F.count("*").over(wcnt))
+        .where(F.col("pos") <= F.greatest(F.col("_n") - window, F.lit(0)))
+        .select("id", "f")
+    )
+    return mins.groupBy("id").agg(
+        F.array_sort(F.collect_set("f")).alias("fingerprints")
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame, id_col: str, text_col: str, min_shared: int = 3, **fp_kwargs
+) -> DataFrame:
+    """Pairs sharing ≥ min_shared winnowing fingerprints → (id_a, id_b, shared).
+    Blocking key = the fingerprint value (equi-join), never all-pairs."""
+    fp = fingerprint(df, id_col, text_col, **fp_kwargs).select(
+        "id", F.explode("fingerprints").alias("f")
+    )
+    a = fp.select(F.col("id").alias("id_a"), "f")
+    b = fp.select(F.col("id").alias("id_b"), "f")
+    return (
+        a.join(b, "f")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -727,6 +727,86 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pipeline-module operators surfaced as queries
+
+_LANG_SQL_PARTS = []
+
+
+def _lang_sql() -> str:
+    from fermor_spark.pipeline.text import LANG_PROFILES
+
+    parts = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"round(len(list_filter(toks, x -> x IN ({lst}))) * 1.0 "
+            f"/ greatest(len(toks), 1), 6) AS lang_score FROM t"
+        )
+    union = "\n  UNION ALL ".join(parts)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      {union}
+    )
+    SELECT doc_id AS id, lang, lang_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY lang_score DESC, lang) AS rn
+      FROM s
+    ) WHERE rn = 1
+    """
+
+
+@query("text_lang_id", None)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-profile argmax (fermor_spark.pipeline.text)."""
+    from fermor_spark.pipeline.text import lang_id
+
+    return lang_id(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLES["text_lang_id"] = _lang_sql()
+
+
+@query("dedup_simhash_candidates")  # rows-only: xxhash64 has no DuckDB analog
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fermor_spark.pipeline.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+    )
+
+
+@query("ann_lsh_topk")  # rows-only: approximate by design; recall vs exact in tests
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fermor_spark.pipeline.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
+                    num_planes=4, num_tables=8)
+
+
+@query("text_fingerprint_overlap")  # rows-only: xxhash64 winnowing
+def text_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fermor_spark.pipeline.text import fingerprint_overlap_pairs
+
+    return fingerprint_overlap_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", min_shared=5
+    )
+
+
+@query("g_connected_components")  # rows-only: iterative fixpoint
+def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component sizes of the star graph restricted to locality edges
+    (each region forms one component)."""
+    g = star_graph(spark, sf_dir)
+    cc = iterate.connected_components(g, labels=["in_nation", "in_region", "supp_nation"])
+    return cc.groupBy("comp").agg(F.count("*").alias("n_members"))
+
+
+# --------------------------------------------------------------------------
 # entry points consumed by __spark_entry__.py
 
 def all_queries():

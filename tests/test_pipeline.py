@@ -1,0 +1,188 @@
+"""Pipeline operator tests: dedup families on planted near-dups, similarity
+search recall vs the exact baseline, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fermor_spark.pipeline import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Documents with planted exact and near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "completely different content about spark query engines and shuffles ok"),  # near dup of 4
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(planted):
+    out = dedup.exact_dedup(planted, ["text"], ["doc_id"])
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids
+    assert out.count() == 5
+
+
+def test_ngram_jaccard_pairs(planted):
+    pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup -> jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got
+    assert (4, 5) in got
+    assert all(a != 6 and b != 6 for a, b in got)
+
+
+def test_minhash_lsh_finds_planted_dups(planted):
+    pairs = dedup.minhash_dedup_pairs(planted, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (4, 5) in got
+
+
+def test_minhash_on_real_docs_matches_bruteforce_jaccard(spark, docs):
+    """LSH candidates must contain every true Jaccard>=0.8 pair (these are
+    planted 25 pairs in the driver data)."""
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert len(true_pairs) > 0
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    missed = true_pairs - lsh_pairs
+    assert len(missed) <= max(1, len(true_pairs) // 10), f"LSH recall too low: missed {missed}"
+
+
+def test_simhash_near_dups(planted):
+    pairs = dedup.simhash_near_dup_pairs(planted, "doc_id", "text", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical text -> hamming 0
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert ham[(1, 2)] == 0
+
+
+def test_dedup_clusters(planted):
+    pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", threshold=0.5)
+    clusters = dedup.dedup_clusters(
+        pairs.select(F.col("id_a").cast("string").alias("id_a"),
+                     F.col("id_b").cast("string").alias("id_b")),
+        planted.select(F.col("doc_id").cast("string")),
+    )
+    m = {r["id"]: r["cluster"] for r in clusters.collect()}
+    assert m["1"] == m["2"] == m["3"]
+    assert m["4"] == m["5"]
+    assert m["6"] == "6"
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_brute_force_topk(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+    # ranks are 1..5 per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    q = emb.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.lsh_topk(emb, q, k=5, num_planes=4, num_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall {recall}"
+
+
+def test_token_count(planted):
+    out = {r["id"]: (r["n_tokens"], r["n_bpeish"]) for r in
+           text.token_count(planted, "doc_id", "text").collect()}
+    assert out[6] == (3, 3)
+    assert out[1][0] == 13
+
+
+def test_quality_score(planted):
+    out = {r["id"]: r for r in text.quality_score(planted, "doc_id", "text").collect()}
+    assert out[1]["stopword_ratio"] > 0.1  # 'the' twice + 'and'
+    assert 0 < out[1]["score"] <= 1
+    assert out[1]["alpha_ratio"] > 0.7
+
+
+def test_lang_id_deterministic(spark, docs):
+    out = text.lang_id(docs, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r["lang"] in text.LANG_PROFILES for r in rows)
+    # determinism: run twice, same result
+    again = {(r["id"], r["lang"]) for r in text.lang_id(docs, "doc_id", "text").collect()}
+    assert {(r["id"], r["lang"]) for r in rows} == again
+
+
+def test_fingerprint_overlap(planted):
+    pairs = text.fingerprint_overlap_pairs(planted, "doc_id", "text", min_shared=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got
+
+
+def test_multimodal_decode_stub(spark):
+    rows = [
+        (1, "image", bytes([10, 20, 30, 40]), {"source": "s1", "mime": "image/png"}),
+        (2, "image", bytes([100, 5]), {"source": "s2", "mime": "image/jpeg"}),
+    ]
+    df = multimodal.media_table(spark, rows)
+    decoded = {r["media_id"]: r for r in multimodal.decode_image(df, fake=True).collect()}
+    assert decoded[1]["width"] == 11 and decoded[1]["height"] == 21
+    assert decoded[1]["n_bytes"] == 4
+    # real decode is stubbed
+    with pytest.raises(Exception):
+        multimodal.decode_image(df, fake=False).collect()
+
+
+def test_multimodal_frame_sample(spark):
+    rows = [(1, "video", bytes(range(16)), {"source": "s", "mime": "video/mp4"})]
+    df = multimodal.media_table(spark, rows)
+    frames = multimodal.frame_sample(df, every_n=4, max_frames=3, fake=True).collect()
+    assert len(frames) == 3
+    assert [f["frame_index"] for f in frames] == [0, 1, 2]
+
+
+def test_multimodal_meta_features(spark):
+    rows = [(1, "image", bytes([1, 2, 3]), {"source": "s1", "mime": "image/png"})]
+    df = multimodal.media_table(spark, rows)
+    out = multimodal.extract_meta_features(df).collect()[0]
+    assert out["n_bytes"] == 3 and out["mime"] == "image/png"
