@@ -1,0 +1,143 @@
+"""Structured Streaming operators over event streams.
+
+The reference has no streaming surface (its "streaming" is lazy seqs,
+README.md:5-9); per the build plan (SURVEY.md §2.12/§7) this engine takes on
+event-time processing natively: watermarked tumbling/sliding/session windows,
+stateful dedup, and custom per-key state via applyInPandasWithState.
+
+Every transform takes and returns a (streaming) DataFrame, so the same code
+runs in batch mode for backfills — the batch analogs in
+fermor_spark.queries (events_*) are exactly these shapes, which is also how
+they are oracle-checked.
+
+Scale notes: state store size is bounded by the watermark horizon; keys are
+the shuffle partitioning, so heavily-skewed user_ids want a salted pre-agg
+for the tumbling path. File sources use maxFilesPerTrigger to bound batch
+size on backfill.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts normalized, as in
+    datasets.table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file streaming source requires a directory; expose the single
+    # events.parquet through a stable symlinked dir
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"fermor_events_{key}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stream_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "6 hours", slide: str = "3 hours",
+                   watermark: str = "6 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user (inactivity gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "total_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup bounded by the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+_RUNNING_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count and value sum
+    via applyInPandasWithState — the arbitrary-stateful escape hatch the
+    built-in aggregations don't cover (e.g. decayed counters, CUSUM)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _RUNNING_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
+                  timeout_sec: int = 120):
+    """Test/backfill helper: drain all available input into an in-memory
+    table and stop. Returns the SparkSession-queryable table name."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return name

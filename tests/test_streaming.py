@@ -1,0 +1,92 @@
+"""Structured Streaming tests: each streaming result is checked against the
+equivalent batch computation over the same events parquet (the batch analogs
+are themselves oracle-checked in test_oracle_parity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fermor_spark import streaming
+from fermor_spark.datasets import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return table(spark, SF, "events").cache()
+
+
+def _drain(spark, sdf, name, mode="append"):
+    streaming.run_to_memory(sdf, name, output_mode=mode)
+    return spark.table(name)
+
+
+def test_stream_tumbling_matches_batch(spark, batch_events):
+    s = streaming.read_events_stream(spark, SF)
+    # complete mode: every window emitted -> exact batch equality
+    out = _drain(spark, streaming.tumbling_counts(s), "t_tumbling", mode="complete")
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+           for r in out.collect()}
+    exp_df = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("t"))
+    )
+    exp = {(r["w"]["start"], r["event_type"]): (r["n"], r["t"]) for r in exp_df.collect()}
+    assert got == exp
+
+
+def test_append_mode_holds_back_open_windows(spark, batch_events):
+    """Watermark semantics: append mode only emits windows closed by the
+    final watermark (max_ts - 2h); later windows stay in state."""
+    s = streaming.read_events_stream(spark, SF)
+    out = _drain(spark, streaming.tumbling_counts(s), "t_tumbling_append")
+    emitted = {(r["window_start"], r["event_type"]) for r in out.collect()}
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    exp_df = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "event_type")
+    )
+    all_windows = {(r["ws"], r["event_type"]): r["we"] for r in exp_df.collect()}
+    import datetime
+    wm = max_ts - datetime.timedelta(hours=2)
+    closed = {k for k, we in all_windows.items() if we <= wm}
+    assert emitted == closed
+    assert len(closed) < len(all_windows)  # some windows were genuinely held
+
+
+def test_stream_sessions_match_batch(spark, batch_events):
+    s = streaming.read_events_stream(spark, SF)
+    out = _drain(spark, streaming.session_aggregate(s), "t_sessions", mode="complete")
+    got = {(r["user_id"], r["session_start"]): r["n_events"] for r in out.collect()}
+    exp_df = (
+        batch_events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    exp = {(r["user_id"], r["w"]["start"]): r["n"] for r in exp_df.collect()}
+    assert got == exp
+
+
+def test_stream_dedup(spark, batch_events):
+    s = streaming.read_events_stream(spark, SF)
+    out = _drain(spark, streaming.dedup_within_watermark(s, ["user_id", "event_type"]),
+                 "t_dedup")
+    # one row per (user_id, event_type) present in the data
+    exp = batch_events.select("user_id", "event_type").distinct().count()
+    assert out.count() == exp
+
+
+def test_running_user_totals(spark, batch_events):
+    s = streaming.read_events_stream(spark, SF)
+    out = _drain(spark, streaming.running_user_totals(s), "t_running", mode="update")
+    # final state per user (last update) must equal the batch totals
+    from pyspark.sql import Window
+    latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+           for r in latest.collect()}
+    exp_df = batch_events.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+    exp = {r["user_id"]: (r["n"], r["t"]) for r in exp_df.collect()}
+    assert got == exp
