@@ -488,6 +488,41 @@ class PropertyGraph:
             .select("id", F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
         )
 
+    # --------------------------------------------------------------- interop
+
+    def to_networkx(self, labels=None, directed: bool = True, max_edges: int = 1_000_000):
+        """Export to a NetworkX graph for driver-side ecosystem interop —
+        the analog of the reference's Loom adapter
+        (reference: as-loom-graph, src/fermor/loom_graph.clj:35-168).
+        Size-guarded like fermor_spark.algo. NetworkX is optional; raises
+        ImportError with guidance if absent."""
+        try:
+            import networkx as nx
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "networkx is not installed; driver-side interop requires it"
+            ) from e
+        e = self._edges_df(labels)
+        n = e.limit(max_edges + 1).count()
+        if n > max_edges:
+            raise ValueError(f"edge count exceeds to_networkx guard ({max_edges})")
+        G = nx.MultiDiGraph() if directed else nx.MultiGraph()
+        for r in e.collect():
+            attrs = {"label": r["label"]}
+            if r["weight"] is not None:
+                attrs["weight"] = r["weight"]
+            if r["doc"] is not None:
+                attrs["doc"] = json.loads(r["doc"])
+            G.add_edge(r["src"], r["dst"], **attrs)
+        for r in self.V.collect():
+            if r["id"] not in G:
+                G.add_node(r["id"])
+            if r["doc"] is not None:
+                G.nodes[r["id"]]["doc"] = json.loads(r["doc"])
+            if r["kind"] is not None:
+                G.nodes[r["id"]]["kind"] = r["kind"]
+        return G
+
     # -------------------------------------------------------------- equality
 
     def graph_equals(self, other: "PropertyGraph") -> bool:

@@ -416,6 +416,33 @@ def betweenness_counts(g: PropertyGraph, labels=None) -> DataFrame:
     )
 
 
+def triangle_count(g: PropertyGraph, labels=None) -> DataFrame:
+    """Per-vertex triangle counts → (id, triangles), undirected semantics.
+
+    Join-based: canonical (u<v) edge set self-joined twice — the distributed
+    shape of the reference's `shapes` counter (src/fermor/force_atlas/graph.clj:15-42).
+    At scale the standard degree-ordering trick applies (orient edges from
+    low- to high-degree endpoint) to bound the wedge join.
+    """
+    e = g.undirected_view(labels).select("src", "dst").where(F.col("src") != F.col("dst"))
+    canon = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct().cache()
+    ab = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = canon.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # a<b<c triangles, each once
+    counts = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        g.vertex_ids().join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
 def iterate_route(route: Route, f: Callable[[Route], Route], n: int) -> Route:
     """Apply a traversal fn n times (reference: iter, src/fermor/core.clj:1245-1249)."""
     for _ in range(n):

@@ -389,6 +389,145 @@ class Route:
     def no_path(self) -> "Route":
         return self._with(self.df.drop("path"))
 
+    # -------------------------------------------------- section / pair forms
+
+    def section(self, f: Callable[["Route"], "Route"]) -> "Route":
+        """Per-element: run sub-route f, tag results with the origin element
+        (reference: section, src/fermor/core.clj:799-804). The origin rides
+        in `_section` for downstream per-origin aggregation."""
+        sub = self._sub_route()
+        out = f(Route(self.g, sub.df.withColumnRenamed("_origin", "_section"), self.etype))
+        return out
+
+    def context(self, f: Callable[["Route", "Route"], "Route"]) -> "Route":
+        """Like section but f also receives the origin route
+        (reference: context, src/fermor/core.clj:806-809)."""
+        sub = self._sub_route()
+        tagged = Route(self.g, sub.df.withColumnRenamed("_origin", "_section"), self.etype)
+        return f(tagged, self)
+
+    def sorted_section(self, f: Callable[["Route"], "Route"], *sort_cols) -> DataFrame:
+        """section + per-origin sorted collection
+        (reference: sorted-section, src/fermor/core.clj:811-814)."""
+        sec = self.section(f)
+        key = sec._origin_key()
+        return (
+            sec.df.groupBy("_section")
+            .agg(F.array_sort(F.collect_list(key)).alias("items"))
+        )
+
+    def make_pairs(self, f: Callable[["Route"], "Route"]) -> DataFrame:
+        """element → (element, f(element)) rows
+        (reference: make-pairs, src/fermor/core.clj:792-797)."""
+        sec = self.section(f)
+        return sec.df.select(
+            F.col("_section").alias("left"), sec._origin_key().alias("right")
+        )
+
+    def gather(self) -> DataFrame:
+        """Collect the whole route into one array row
+        (reference: gather, src/fermor/core.clj:816-819)."""
+        return self.df.agg(F.collect_list(self._origin_key()).alias("items"))
+
+    @staticmethod
+    def spread(df: DataFrame, array_col: str = "items") -> DataFrame:
+        """Flatten an array column back to rows (reference: spread,
+        src/fermor/core.clj:821-824)."""
+        return df.select(F.explode(F.col(array_col)).alias("id"))
+
+    # -------------------------------------------------- ordering / pagination
+
+    def in_sorted(self, labels=None) -> "Route":
+        """in-neighbors sorted within each source-vertex group — ordering is
+        expressed as explicit sort keys (reference: in-sorted,
+        src/fermor/core.clj:680-688)."""
+        tagged = self._with(self.df.withColumn("_grp", F.col("id")))
+        return tagged.in_(labels).sort("_grp", "id")
+
+    def out_sorted(self, labels=None) -> "Route":
+        tagged = self._with(self.df.withColumn("_grp", F.col("id")))
+        return tagged.out(labels).sort("_grp", "id")
+
+    def take_drop(self, *counts: int) -> "Route":
+        """Alternating take/drop chunks over a sorted-by-id route
+        (reference: take-drop, src/fermor/core.clj:1381-1402). Distributed
+        semantics require a deterministic order: row_number over id."""
+        w = Window.orderBy(self._origin_key())
+        bounds = []
+        pos = 0
+        keep = True
+        for c in counts:
+            if keep:
+                bounds.append((pos, pos + c))
+            pos += c
+            keep = not keep
+        staged = self.df.withColumn("_rn", F.row_number().over(w) - 1)
+        cond = F.lit(False)
+        for lo, hi in bounds:
+            cond = cond | ((F.col("_rn") >= lo) & (F.col("_rn") < hi))
+        return self._with(staged.where(cond).drop("_rn"))
+
+    def drop_take(self, *counts: int) -> "Route":
+        return self.take_drop(0, *counts)
+
+    def pluck(self, cond) -> "Route":
+        """First element matching pred (reference: pluck,
+        src/fermor/core.clj:1417-1418)."""
+        return self._with(self.df.where(cond).orderBy(self._origin_key()).limit(1))
+
+    def subseq_route(self, col: str, lo=None, hi=None) -> "Route":
+        """Range scan over a sorted route (reference: subseq-route,
+        src/fermor/core.clj:716-732)."""
+        c = F.col(col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= lo)
+        if hi is not None:
+            cond = cond & (c <= hi)
+        return self._with(self.df.where(cond).orderBy(c))
+
+    # ------------------------------------------------------------- cycles
+
+    def is_cycle(self, labels=None, max_len: int = 10) -> "Route":
+        """Keep vertices that start a cycle (reference: is-cycle,
+        src/fermor/core.clj:1235-1243) — semi-join against the cycle finder."""
+        from fermor_spark import iterate
+
+        cyc = iterate.all_cycles(self.g, max_len, labels, start=self)
+        origins = cyc.select(
+            F.expr("substring(path[0], 3)").alias("id")
+        ).distinct()
+        return self._with(self.df.join(origins, "id", "left_semi"))
+
+    def no_cycle(self, labels=None, max_len: int = 10) -> "Route":
+        from fermor_spark import iterate
+
+        cyc = iterate.all_cycles(self.g, max_len, labels, start=self)
+        origins = cyc.select(
+            F.expr("substring(path[0], 3)").alias("id")
+        ).distinct()
+        return self._with(self.df.join(origins, "id", "left_anti"))
+
+    # ------------------------------------------------------------- subgraph
+
+    def subgraph(self) -> "PropertyGraph":
+        """Build a new graph from exactly the edges appearing in this route's
+        paths (reference: subgraph, src/fermor/core.clj:1559-1579)."""
+        assert self.has_path, "subgraph requires with_path()"
+        edges = (
+            self.df.select(F.explode("path").alias("el"))
+            .where(F.col("el").startswith("e:"))
+            .select(F.split("el", ":").alias("p"))
+            .select(
+                F.col("p").getItem(1).alias("label"),
+                F.col("p").getItem(2).alias("src"),
+                F.col("p").getItem(3).alias("dst"),
+            )
+            .distinct()
+        )
+        full = edges.join(self.g._edges_df(), ["label", "src", "dst"], "left")
+        return PropertyGraph.from_dataframes(self.g.spark, full, self.g.V)
+
     # ------------------------------------------------------------ collection
 
     def ids(self) -> list[str]:

@@ -1,0 +1,113 @@
+"""Tests for the extended Route surface, subgraph, triangles, layout,
+NetworkX interop."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fermor_spark import iterate, layout
+from tests.fixtures import edges_graph, job_graph
+
+
+def test_section_and_make_pairs(spark):
+    g = job_graph(spark)
+    people = g.vertices().has_property("type", "person")
+    pairs = people.make_pairs(lambda r: r.out("completes"))
+    got = {(r["left"], r["right"]) for r in pairs.collect()}
+    assert got == {
+        ("bob", "appBob1"), ("bob", "appBob2"),
+        ("stephen", "appStephen1"), ("stephen", "appStephen2"),
+    }
+
+
+def test_sorted_section(spark):
+    g = job_graph(spark)
+    people = g.vertices().has_property("type", "person")
+    rows = {r["_section"]: r["items"] for r in
+            people.sorted_section(lambda r: r.out("completes")).collect()}
+    assert rows == {
+        "bob": ["appBob1", "appBob2"],
+        "stephen": ["appStephen1", "appStephen2"],
+    }
+
+
+def test_gather_spread(spark):
+    from fermor_spark.route import Route
+
+    g = job_graph(spark)
+    gathered = g.vertices().has_property("type", "person").gather()
+    row = gathered.collect()[0]
+    assert sorted(row["items"]) == ["bob", "stephen"]
+    back = Route.spread(gathered)
+    assert {r["id"] for r in back.collect()} == {"bob", "stephen"}
+
+
+def test_take_drop(spark):
+    g = edges_graph(spark, "l", [(f"v{i:02d}", "x") for i in range(10)])
+    r = g.vertices().where(F.col("id") != "x").take_drop(2, 3, 2)
+    # sorted ids v00..v09; take 2 (v00,v01), drop 3, take 2 (v05,v06)
+    assert r.id_set() == {"v00", "v01", "v05", "v06"}
+    r2 = g.vertices().where(F.col("id") != "x").drop_take(3, 2)
+    assert r2.id_set() == {"v03", "v04"}
+
+
+def test_pluck_and_subseq(spark):
+    g = edges_graph(spark, "l", [("a", "b"), ("b", "c"), ("c", "d")])
+    assert g.vertices().pluck(F.col("id") > "a").id_set() == {"b"}
+    r = g.vertices().subseq_route("id", lo="b", hi="c")
+    assert r.ids() == ["b", "c"]
+
+
+def test_sorted_traversals(spark):
+    g = edges_graph(spark, "l", [("p", "c"), ("p", "a"), ("p", "b")])
+    out = g.get_vertex("p").out_sorted("l")
+    assert out.ids() == ["a", "b", "c"]
+
+
+def test_is_cycle_no_cycle(spark):
+    g = edges_graph(spark, "k", [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("c", "d")])
+    cyc = g.vertices().is_cycle("k", max_len=3)
+    assert cyc.id_set() == {"a", "b", "c"}
+    assert g.vertices().no_cycle("k", max_len=3).id_set() == {"d"}
+
+
+def test_subgraph_from_paths(spark):
+    g = job_graph(spark)
+    r = g.get_vertex("bob").with_path().out_e("completes").in_v().out_e("appliesTo").in_v()
+    sub = r.subgraph()
+    assert set(sub.edges().edge_tuples()) == {
+        ("completes", "bob", "appBob1"), ("completes", "bob", "appBob2"),
+        ("appliesTo", "appBob1", "blueprintsJob1"), ("appliesTo", "appBob2", "blueprintsJob2"),
+    }
+
+
+def test_triangle_count(spark):
+    g = edges_graph(spark, "t", [
+        ("a", "b"), ("b", "c"), ("c", "a"),       # triangle abc
+        ("c", "d"), ("d", "e"), ("e", "c"),       # triangle cde
+        ("e", "f"),                                # tail
+    ])
+    t = {r["id"]: r["triangles"] for r in iterate.triangle_count(g).collect()}
+    assert t == {"a": 1, "b": 1, "c": 2, "d": 1, "e": 1, "f": 0}
+
+
+def test_force_atlas_runs_and_contracts(spark):
+    g = edges_graph(spark, "l", [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")])
+    pos0 = layout.init_positions(g)
+    pos = layout.force_atlas(g, iterations=5)
+    rows = pos.collect()
+    assert len(rows) == 4
+    assert all(r["x"] is not None and r["y"] is not None for r in rows)
+    # gravity pulls the layout toward the origin on average
+    import math
+    def spread(df):
+        return sum(math.hypot(r["x"], r["y"]) for r in df.collect())
+    assert spread(pos) < spread(pos0) * 1.5
+
+
+def test_to_networkx(spark):
+    pytest.importorskip("networkx")
+    g = job_graph(spark)
+    G = g.to_networkx()
+    assert G.number_of_edges() == 12
+    assert G.nodes["bob"]["doc"]["name"] == "Bob"
+    assert G["blueprints"]["blueprintsJob1"][0]["label"] == "created"
