@@ -18,27 +18,26 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
-def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingle array for a text column."""
-    toks = F.split(F.trim(text_col), r"\s+")
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-
-
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, sh) exploded distinct shingles."""
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-    ).distinct()
+    """(id, sh) exploded distinct word-n-gram shingles.
+
+    Row-linear formulation (explode tokens once, n-grams via lead() windows):
+    array-transform formulations re-inline the tokenization per position
+    after Catalyst's projection collapse — quadratic per document (see the
+    same fix in pipeline.text.fingerprint)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    wl = Window.partitionBy("id").orderBy("pos")
+    gram_cols = [F.col("tok")] + [F.lead("tok", j).over(wl) for j in range(1, n)]
+    return (
+        toks.withColumn("sh", F.concat_ws(" ", *gram_cols))
+        .withColumn("_complete", F.lead("tok", n - 1).over(wl).isNotNull() | (F.col("pos") == 0))
+        .where(F.col("_complete"))
+        .select("id", "sh")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

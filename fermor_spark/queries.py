@@ -486,7 +486,7 @@ def g_reachable_from_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iterate.all_reachable(
         g, g.get_vertex("r:0"),
         labels=["in_region", "in_nation", "supp_nation", "placed_by"],
-        direction="in", include_start=True,
+        direction="in", include_start=True, max_depth=3,
     )
 
 
@@ -558,25 +558,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document."""
+    """Distinct word-3-gram shingles per document (row-linear builder from
+    the dedup pipeline module)."""
+    from fermor_spark.pipeline.dedup import shingle_table
+
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
-        .distinct()
-    )
+    return shingle_table(d, "doc_id", "text", 3).withColumnRenamed("id", "doc_id")
 
 
 _SHINGLE_SQL = r"""
