@@ -29,11 +29,15 @@ def _duck():
 
 
 def _norm(v):
+    # (tag, value): tag 0 = normal, 1 = NULL, 2 = NaN — values only compare
+    # within the same tag, keeping rows sortable despite NULL/NaN
+    if v is None:
+        return (1, 0)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    return v
+            return (2, 0)
+        return (0, round(v, 9))
+    return (0, v)
 
 
 def _rows_to_multiset(cols, rows):
