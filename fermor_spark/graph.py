@@ -357,6 +357,11 @@ class PropertyGraph:
 
         return Route(self, self.spark.createDataFrame([(str(vid),)], "id string"), "v")
 
+    def lookup(self, kind: str, raw_id) -> "Route":
+        """KindId lookup — ids follow the 'kind:id' convention
+        (reference: lookup, src/fermor/protocols.clj:356-359)."""
+        return self.get_vertex(f"{kind}:{raw_id}")
+
     def get_vertices(self, vids: Sequence) -> "Route":
         from fermor_spark.route import Route
 
@@ -487,6 +492,40 @@ class PropertyGraph:
             .join(counts, "id", "left")
             .select("id", F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
         )
+
+    # -------------------------------------------------------- sources/sinks
+
+    def save(self, path: str, mode: str = "overwrite",
+             bucket_by_src: int | None = None) -> None:
+        """Persist the graph as Parquet: edges partitioned by label (per-label
+        traversal → partition pruning at read), vertices alongside.
+
+        The reference has no persistence (SURVEY §2.1); Parquet/Delta tables
+        of V/E are this engine's source/sink story. With `bucket_by_src`,
+        edges are additionally written as a bucketed TABLE (spark_catalog)
+        so repeated src-keyed traversal joins co-locate without a shuffle.
+        """
+        e = self.E.select(*E_FIELDS)
+        if bucket_by_src:
+            name = "fermor_edges_" + path.strip("/").replace("/", "_").replace("-", "_").replace(".", "_")
+            (
+                e.write.mode(mode)
+                .partitionBy("label")
+                .bucketBy(bucket_by_src, "src")
+                .sortBy("src")
+                .option("path", f"{path}/edges")
+                .saveAsTable(name)
+            )
+        else:
+            e.write.mode(mode).partitionBy("label").parquet(f"{path}/edges")
+        self.V.select(*V_FIELDS).write.mode(mode).parquet(f"{path}/vertices")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, cache: bool = False) -> "PropertyGraph":
+        """Load a graph persisted by save(): forked, vertices materialized."""
+        e = spark.read.parquet(f"{path}/edges").select(*E_FIELDS)
+        v = spark.read.parquet(f"{path}/vertices")
+        return cls.from_dataframes(spark, e, v, cache=cache)
 
     # --------------------------------------------------------------- interop
 

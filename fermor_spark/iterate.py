@@ -384,6 +384,90 @@ def shortest_path_weighted(
     return dist
 
 
+def descend(
+    g: PropertyGraph,
+    start: Route,
+    children: Callable[[Route], Route],
+    emit_pred=None,
+    descend_pred=None,
+    max_depth: int = 100,
+) -> DataFrame:
+    """Generic control-driven recursive expansion — the distributed shape of
+    the reference's `descend` engine (src/fermor/core.clj:978-1039,
+    src/fermor/descend.clj).
+
+    `children`: Route → Route producing the next frontier (any traversal
+    composition). `emit_pred` / `descend_pred`: optional Column booleans
+    evaluated per element — emit-and-continue / emit / continue / cut are
+    their four combinations; the reference's chain/siblings signals govern
+    lazy sequencing order, which has no distributed meaning (documented
+    delta). The DFS-ordered emission becomes breadth-first levels; the
+    NoResult starvation failsafe becomes the max_depth guard.
+    """
+    frontier = start
+    emitted = []
+    for depth in range(max_depth):
+        df = frontier.df
+        emit_rows = df.where(emit_pred) if emit_pred is not None else df
+        emitted.append(emit_rows.withColumn("_depth", F.lit(depth)))
+        to_descend = frontier._with(df.where(descend_pred)) if descend_pred is not None else frontier
+        nxt = children(to_descend)
+        nxt_df = _maybe_checkpoint(nxt.df, depth).cache()
+        if nxt_df.limit(1).count() == 0:
+            break
+        frontier = nxt._with(nxt_df)
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.unionByName(e, allowMissingColumns=True)
+    return out
+
+
+def shortest_path_with_routes(
+    g: PropertyGraph,
+    sources: Route | DataFrame,
+    labels=None,
+    direction: str = "out",
+    default_weight: float = 1.0,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Weighted shortest distances WITH the realized path → (id, dist, path).
+
+    The reference's shortest-path returns the path via Dijkstra with a user
+    cost fn (src/fermor/graph/algo.clj:92-125); here relaxation carries the
+    path array and keeps the (dist, path)-lexicographic minimum per vertex —
+    deterministic under ties.
+    """
+    src_df = sources.df if isinstance(sources, Route) else sources
+    adj = _step_edges(g, labels, direction).select(
+        "u", "v", F.coalesce(F.col("w"), F.lit(default_weight)).alias("w")
+    )
+    dist = src_df.select("id").distinct().select(
+        "id", F.lit(0.0).alias("dist"), F.array(F.col("id")).alias("path")
+    )
+    for i in range(max_iter):
+        relaxed = dist.join(adj, dist["id"] == adj["u"], "inner").select(
+            F.col("v").alias("id"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            F.concat(F.col("path"), F.array(F.col("v"))).alias("path"),
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "path")).alias("best"))
+            .select("id", F.col("best.dist").alias("dist"), F.col("best.path").alias("path"))
+        )
+        new = _maybe_checkpoint(new, i).cache()
+        improved = (
+            new.alias("n").join(dist.alias("o"), "id", "left")
+            .where(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
+            .limit(1).count()
+        )
+        dist = new
+        if improved == 0:
+            break
+    return dist
+
+
 def breadth_first_nodes(g: PropertyGraph, start, labels=None, direction: str = "out") -> DataFrame:
     """BFS order as (id, depth) — the canonical frontier loop
     (reference: breadth-first-nodes, src/fermor/graph/algo.clj:433-452)."""

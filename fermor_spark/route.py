@@ -207,6 +207,13 @@ class Route:
             self.df.where(F.get_json_object(F.col("doc"), f"$.{key}") == F.lit(value))
         )
 
+    def with_values(self, f: Callable[["Route"], "Route"], values) -> "Route":
+        """Keep elements whose sub-route yields a value in `values`
+        (reference: with, src/fermor/core.clj:1251-1260) — a lookahead whose
+        sub-route is filtered to the wanted values first."""
+        vals = [str(v) for v in (values if isinstance(values, (list, set, tuple)) else [values])]
+        return self.lookahead(lambda r: f(r).one_of(vals))
+
     # ------------------------------------------------------- lookahead family
 
     def _sub_route(self) -> "Route":
@@ -256,6 +263,13 @@ class Route:
     def branch(self, *fns: Callable[["Route"], "Route"]) -> list["Route"]:
         """(reference: branch, src/fermor/core.clj:895-904)."""
         return [f(self) for f in fns]
+
+    @staticmethod
+    def merge_round_robin(routes: Sequence["Route"]) -> "Route":
+        """Fair interleave has no distributed meaning (documented delta,
+        SURVEY §2.5) — identical to merge_exhaustive: union + branch index
+        (reference: merge-round-robin, src/fermor/core.clj:924-951)."""
+        return Route.merge_exhaustive(routes)
 
     @staticmethod
     def merge_exhaustive(routes: Sequence["Route"]) -> "Route":
@@ -529,6 +543,11 @@ class Route:
         return PropertyGraph.from_dataframes(self.g.spark, full, self.g.V)
 
     # ------------------------------------------------------------ collection
+
+    def index_by(self, col: str = "id") -> dict:
+        """Driver-side {key → row} map for small results
+        (reference: index-by, src/fermor/core.clj:1420-1456)."""
+        return {r[col]: r.asDict() for r in self.df.collect()}
 
     def ids(self) -> list[str]:
         assert self.etype == "v"
