@@ -422,6 +422,26 @@ def simple_cycles(succ: dict) -> list[list[str]]:
     return cycles
 
 
+def breadth_first_reduce(succ: dict, start, state, f):
+    """BFS-order reduction with early exit via StopIteration
+    (reference: breadth-first-reduce, src/fermor/graph/algo.clj:454-472)."""
+    from collections import deque
+
+    seen = {start}
+    q = deque([start])
+    while q:
+        v = q.popleft()
+        try:
+            state = f(state, v)
+        except StopIteration:
+            return state
+        for w in succ.get(v, []):
+            if w not in seen:
+                seen.add(w)
+                q.append(w)
+    return state
+
+
 # --------------------------------------------- undirected structure analysis
 
 

@@ -30,6 +30,8 @@ from __future__ import annotations
 import json
 from typing import Iterable, Sequence
 
+import pandas  # noqa: F401  (resolves stringified pandas_udf type hints)
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -411,6 +413,84 @@ class PropertyGraph:
         return PropertyGraph(self.spark, new_v, new_e, self.edge_builders,
                              forked=self.is_forked,
                              materialized_vertices=self.materialized_vertices)
+
+    def remove_documents(self, vids: Sequence) -> "PropertyGraph":
+        """Null out vertex documents (reference: remove-documents,
+        src/fermor/graph.clj:75-112)."""
+        rm = self.spark.createDataFrame([(str(v),) for v in vids], "rid string")
+        new_v = self.V.join(rm, self.V["id"] == rm["rid"], "left").select(
+            "id", "kind",
+            F.when(F.col("rid").isNotNull(), F.lit(None).cast("string"))
+            .otherwise(F.col("doc")).alias("doc"),
+        )
+        return PropertyGraph(self.spark, new_v, self.E, self.edge_builders,
+                             forked=self.is_forked,
+                             materialized_vertices=self.materialized_vertices)
+
+    def get_vertex_checked(self, vid) -> "Route":
+        """Point lookup that raises KeyError when absent — the engine analog
+        of the reference's :vertex-not-found condition
+        (reference: get-vertex!, src/fermor/core.clj:245-260)."""
+        if not self.has_vertex(vid):
+            raise KeyError(f"vertex not found: {vid}")
+        return self.get_vertex(vid)
+
+    def assert_acyclic(self, labels=None, max_iter: int = 200) -> "PropertyGraph":
+        """Validate that the (label-restricted) edges form a DAG — the
+        dag-edge type as a build-time constraint (SURVEY §1.4; reference:
+        dag-edge, src/fermor/graph.clj:19-42). Iterative leaf-stripping
+        (distributed topological peel); raises ValueError on a cycle."""
+        e = self._edges_df(labels).select("src", "dst")
+        remaining = e.cache()
+        for i in range(max_iter):
+            if remaining.limit(1).count() == 0:
+                return self
+            # strip edges pointing at sinks (dst with no outgoing edge)
+            srcs = remaining.select(F.col("src").alias("x")).distinct()
+            nxt = remaining.join(
+                srcs.withColumnRenamed("x", "dst"), "dst", "left_semi"
+            )
+            nxt = (nxt.localCheckpoint(eager=True) if i % 6 == 5 else nxt.cache())
+            if nxt.count() == remaining.count():
+                raise ValueError(f"cycle detected among labels {labels!r}")
+            remaining = nxt
+        raise ValueError("assert_acyclic: max iterations exceeded")
+
+    def merge_with(self, other: "PropertyGraph", doc_merge) -> "PropertyGraph":
+        """Merge graphs resolving edge-document conflicts with a user fn
+        (reference: merge-with, src/fermor/graph.clj:531-562). The user fn
+        (doc_a: str|None, doc_b: str|None) -> str|None runs as an
+        Arrow-batched pandas UDF over the conflicting pairs only."""
+        from pyspark.sql.functions import pandas_udf
+
+        def _merge(a: pandas.Series, b: pandas.Series) -> pandas.Series:
+            out = []
+            for x, y in zip(a, b):
+                x = x if pandas.notna(x) else None
+                y = y if pandas.notna(y) else None
+                if x is not None and y is not None:
+                    out.append(doc_merge(x, y))
+                else:
+                    out.append(y if y is not None else x)
+            return pandas.Series(out, dtype=object)
+
+        merge_docs = pandas_udf(_merge, "string")
+
+        e1 = self.E.select(*E_FIELDS)
+        e2 = other.E.select(*E_FIELDS)
+        key = ["label", "src", "dst"]
+        both = (
+            e1.alias("a").join(e2.alias("b"), key, "full")
+            .select(
+                *key,
+                F.coalesce(F.col("a.weight"), F.col("b.weight")).alias("weight"),
+                merge_docs(F.col("a.doc"), F.col("b.doc")).alias("doc"),
+            )
+        )
+        merged = self.merge(other)
+        return PropertyGraph(self.spark, merged.V, both, merged.edge_builders,
+                             forked=True,
+                             materialized_vertices=merged.materialized_vertices)
 
     def remove_edges(self, triples: Iterable[Sequence]) -> "PropertyGraph":
         rm = self.spark.createDataFrame(

@@ -179,6 +179,75 @@ def all_paths(
     return out
 
 
+def all_paths_with_cycles(
+    g: PropertyGraph,
+    start: Route | DataFrame,
+    labels=None,
+    direction: str = "out",
+    max_depth: int = 10,
+    include_start: bool = True,
+) -> DataFrame:
+    """Path expansion WITHOUT cycle cutting — requires a depth bound
+    (reference: all-with-cycles / all-paths-with-cycles,
+    src/fermor/core.clj:1112-1122, 1180-1190)."""
+    start_df = start.df if isinstance(start, Route) else start
+    adj = _step_edges(g, labels, direction).select("u", "v")
+    frontier = start_df.select("id").distinct().withColumn(
+        "path", F.array(F.concat(F.lit("v:"), F.col("id")))
+    )
+    levels = [frontier] if include_start else []
+    for depth in range(max_depth):
+        frontier = (
+            frontier.join(adj, frontier["id"] == adj["u"], "inner")
+            .select(
+                F.col("v").alias("id"),
+                F.concat(F.col("path"), F.array(F.concat(F.lit("v:"), F.col("v")))).alias("path"),
+            )
+        )
+        frontier = _maybe_checkpoint(frontier, depth).cache()
+        if frontier.limit(1).count() == 0:
+            break
+        levels.append(frontier)
+    out = levels[0]
+    for l in levels[1:]:
+        out = out.unionByName(l)
+    return out
+
+
+def square_count(g: PropertyGraph, labels=None) -> DataFrame:
+    """Per-vertex 4-cycle (quadrilateral) counts → (id, squares), undirected.
+
+    Wedge aggregation: for each endpoint pair (a, z) with m distinct 2-path
+    middles, every middle pair closes a square → C(m, 2) squares through a
+    and z (the distributed shape of the reference's `squares` counter,
+    src/fermor/force_atlas/graph.clj:15-42). Middle vertices are credited
+    via the per-(middle, endpoint-pair) wedge rows."""
+    e = g.undirected_view(labels).select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("z"))
+    wedges = e1.join(e2, "b").where(F.col("a") < F.col("z"))  # 2-paths a-b-z, a<z
+    mcount = wedges.groupBy("a", "z").agg(F.count("*").alias("m")).where(F.col("m") >= 2)
+    # endpoints a and z are each on C(m,2) squares for this pair
+    endpoint_counts = (
+        mcount.select(F.col("a").alias("id"), (F.col("m") * (F.col("m") - 1) / 2).alias("sq"))
+        .unionByName(mcount.select(F.col("z").alias("id"),
+                                   (F.col("m") * (F.col("m") - 1) / 2).alias("sq")))
+    )
+    # each middle b of pair (a,z) is on (m-1) squares for this pair
+    middle_counts = (
+        wedges.join(mcount, ["a", "z"])
+        .select(F.col("b").alias("id"), (F.col("m") - 1).cast("double").alias("sq"))
+    )
+    # every 4-cycle is discovered via BOTH of its diagonal pairs → halve
+    counts = endpoint_counts.unionByName(middle_counts).groupBy("id").agg(
+        (F.sum("sq") / 2).cast("long").alias("squares")
+    )
+    return (
+        g.vertex_ids().join(counts, "id", "left")
+        .select("id", F.coalesce("squares", F.lit(0)).alias("squares"))
+    )
+
+
 def all_cycles(
     g: PropertyGraph,
     max_len: int,

@@ -264,6 +264,10 @@ class Route:
         """(reference: branch, src/fermor/core.clj:895-904)."""
         return [f(self) for f in fns]
 
+    def keyed_branch(self, **fns: Callable[["Route"], "Route"]) -> dict[str, "Route"]:
+        """(reference: keyed-branch, src/fermor/core.clj:906-915)."""
+        return {k: f(self) for k, f in fns.items()}
+
     @staticmethod
     def merge_round_robin(routes: Sequence["Route"]) -> "Route":
         """Fair interleave has no distributed meaning (documented delta,
@@ -548,6 +552,19 @@ class Route:
         """Driver-side {key → row} map for small results
         (reference: index-by, src/fermor/core.clj:1420-1456)."""
         return {r[col]: r.asDict() for r in self.df.collect()}
+
+    def index_by_multi(self, col: str = "id") -> dict:
+        """{key → [rows]} multi-map (reference: index-by-multi)."""
+        out: dict = {}
+        for r in self.df.collect():
+            out.setdefault(r[col], []).append(r.asDict())
+        return out
+
+    def subpath(self, start: int = 1, length: int | None = None) -> "Route":
+        """Slice the path column (reference: subpath, src/fermor/path.clj:240-254)."""
+        assert self.has_path
+        ln = length if length is not None else 1_000_000
+        return self._with(self.df.withColumn("path", F.slice(F.col("path"), start, ln)))
 
     def ids(self) -> list[str]:
         assert self.etype == "v"
