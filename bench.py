@@ -36,10 +36,16 @@ BENCH_QUERIES = [
     "g_lookahead_big_buyers",
     "g_recommender",
     "g_reachable_from_region",
+    "g_connected_components",
     "text_quality",
+    "text_lang_id",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "text_fingerprint_overlap",
     "ann_topk_cosine",
+    "ann_nearest_neighbor_all",
+    "rollup_order_totals",
+    "median_price_by_status",
 ]
 
 

@@ -20,8 +20,13 @@ Cycle handling follows the reference's split (reference: `all` vs
 vs global-visited (fast, valid for reachability).
 
 Scale notes:
-- `localCheckpoint(eager=True)` every `checkpoint_every` iterations truncates
-  lineage — correctness-critical for deep iteration, not a tuning detail.
+- EVERY iteration `localCheckpoint(eager=True)`s its frontier/state and
+  unpersists the superseded frame. Cache-chained iterations look cheaper but
+  Catalyst re-analyzes the ever-deeper plan each round (superlinear driver
+  time: measured 15-40x slowdown by iteration ~6 at sf0.1) and leaked caches
+  degrade the whole session. Flat lineage keeps analysis O(1) per round;
+  unpersisting a superseded checkpoint is safe because its successor is
+  already materialized.
 - each hop is one shuffle join; frontiers are usually small → AQE broadcasts.
 - per-path expansion is exponential on dense graphs by nature; prefer the
   global-visited reachability entry points where paths aren't needed.
@@ -37,7 +42,10 @@ from pyspark.sql import functions as F
 from fermor_spark.graph import PropertyGraph
 from fermor_spark.route import Route
 
-_CHECKPOINT_EVERY = 6
+def _persist(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint: materialize + truncate lineage (see module
+    docstring — per-iteration, not periodic)."""
+    return df.localCheckpoint(eager=True)
 
 
 def _step_edges(g: PropertyGraph, labels, direction: str) -> DataFrame:
@@ -50,12 +58,6 @@ def _step_edges(g: PropertyGraph, labels, direction: str) -> DataFrame:
     if direction == "in":
         return in_pairs
     return out_pairs.unionByName(in_pairs)
-
-
-def _maybe_checkpoint(df: DataFrame, i: int) -> DataFrame:
-    if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-        return df.localCheckpoint(eager=True)
-    return df
 
 
 # --------------------------------------------------------------- reachability
@@ -90,11 +92,11 @@ def all_reachable(
             .join(seen.select("id"), "id", "left_anti")
             .withColumn("depth", F.lit(depth + 1))
         )
-        nxt = _maybe_checkpoint(nxt, depth).cache()
+        nxt = _persist(nxt)
         if nxt.limit(1).count() == 0:
             break
         results.append(nxt)
-        seen = _maybe_checkpoint(seen.unionByName(nxt), depth)
+        seen = seen.unionByName(nxt)  # union of checkpointed levels
         frontier = nxt
         depth += 1
     if not results:
@@ -148,7 +150,7 @@ def all_paths(
             joined.where(~F.array_contains(F.col("path"), F.concat(F.lit("v:"), F.col("v"))))
             .select(F.col("v").alias("id"), newpath.alias("path"))
         )
-        nxt = _maybe_checkpoint(nxt, depth).cache()
+        nxt = _persist(nxt)
         if leaves_only:
             # rows in frontier with no surviving child are leaves
             has_child = nxt.select(F.col("path").alias("_p")).withColumn(
@@ -163,7 +165,7 @@ def all_paths(
         if to_pred is not None:
             matched = nxt.where(to_pred(F.col("id")))
             results.append(matched)
-            nxt = nxt.where(~to_pred(F.col("id"))).cache()
+            nxt = _persist(nxt.where(~to_pred(F.col("id"))))
             if nxt.limit(1).count() == 0:
                 break
         if not leaves_only and to_pred is None:
@@ -204,7 +206,7 @@ def all_paths_with_cycles(
                 F.concat(F.col("path"), F.array(F.concat(F.lit("v:"), F.col("v")))).alias("path"),
             )
         )
-        frontier = _maybe_checkpoint(frontier, depth).cache()
+        frontier = _persist(frontier)
         if frontier.limit(1).count() == 0:
             break
         levels.append(frontier)
@@ -290,7 +292,8 @@ def all_cycles(
         frontier = expanded.where(
             (F.col("id") != F.col("origin")) & ~F.col("_seen")
         ).select("id", "path", "origin")
-        frontier = _maybe_checkpoint(frontier, depth).cache()
+        cycles[-1] = _persist(cycles[-1])
+        frontier = _persist(frontier)
         if frontier.limit(1).count() == 0:
             break
     out = cycles[0]
@@ -302,14 +305,19 @@ def all_cycles(
 # ------------------------------------------------------------- components
 
 
-def connected_components(g: PropertyGraph, labels=None) -> DataFrame:
+def connected_components(g: PropertyGraph, labels=None,
+                         incident_only: bool = False) -> DataFrame:
     """Undirected CCs via min-id label propagation → (id, component).
 
     Converges in O(diameter) joins; AQE + localCheckpoint keep plans flat.
     (SURVEY §2.9: GraphFrames' Pregel equivalent, expressed as plain joins.)
+    `incident_only=True` scopes the universe to vertices touching the chosen
+    labels — isolated vertices are trivially their own singleton components
+    and dragging them through every iteration join is pure overhead.
     """
     adj = _step_edges(g, labels, "both").select("u", "v")
-    comp = g.vertex_ids().withColumn("comp", F.col("id"))
+    universe = g.vertices_with_edge(labels) if incident_only else g.vertex_ids()
+    comp = universe.withColumn("comp", F.col("id"))
     i = 0
     while True:
         neigh = (
@@ -321,13 +329,15 @@ def connected_components(g: PropertyGraph, labels=None) -> DataFrame:
             comp.join(neigh, "id", "left")
             .select("id", F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"))
         )
-        new = _maybe_checkpoint(new, i).cache()
+        new = _persist(new)
         changed = (
             new.alias("n").join(comp.alias("o"), "id")
             .where(F.col("n.comp") != F.col("o.comp"))
             .limit(1)
             .count()
         )
+        if i > 0:
+            comp.unpersist()
         comp = new
         i += 1
         if changed == 0 or i > 200:
@@ -364,10 +374,10 @@ def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int 
                 .join(nodes.select("id", "part"), ["id", "part"], "left_semi")
                 .join(reached, ["id", "part"], "left_anti")
             )
-            nxt = _maybe_checkpoint(nxt, i).cache()
-            if nxt.limit(1).count() == 0:
+            nxt = _persist(nxt)
+            if nxt.count() == 0:
                 return reached
-            reached = _maybe_checkpoint(reached.unionByName(nxt), i)
+            reached = reached.unionByName(nxt)
             frontier = nxt
             i += 1
 
@@ -439,7 +449,7 @@ def shortest_path_weighted(
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-        new = _maybe_checkpoint(new, i).cache()
+        new = _persist(new)
         improved = (
             new.alias("n")
             .join(dist.alias("o"), "id", "left")
@@ -447,6 +457,8 @@ def shortest_path_weighted(
             .limit(1)
             .count()
         )
+        if i > 0:
+            dist.unpersist()
         dist = new
         if improved == 0:
             break
@@ -481,7 +493,7 @@ def descend(
         emitted.append(emit_rows.withColumn("_depth", F.lit(depth)))
         to_descend = frontier._with(df.where(descend_pred)) if descend_pred is not None else frontier
         nxt = children(to_descend)
-        nxt_df = _maybe_checkpoint(nxt.df, depth).cache()
+        nxt_df = _persist(nxt.df)
         if nxt_df.limit(1).count() == 0:
             break
         frontier = nxt._with(nxt_df)
@@ -525,12 +537,14 @@ def shortest_path_with_routes(
             .agg(F.min(F.struct("dist", "path")).alias("best"))
             .select("id", F.col("best.dist").alias("dist"), F.col("best.path").alias("path"))
         )
-        new = _maybe_checkpoint(new, i).cache()
+        new = _persist(new)
         improved = (
             new.alias("n").join(dist.alias("o"), "id", "left")
             .where(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
             .limit(1).count()
         )
+        if i > 0:
+            dist.unpersist()
         dist = new
         if improved == 0:
             break

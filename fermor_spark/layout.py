@@ -126,6 +126,9 @@ def force_atlas(g: PropertyGraph, iterations: int = 50, labels=None,
     what makes 800-iteration runs (the reference's UI workload) feasible.
     """
     pos = init_positions(g, seed)
-    for _ in range(iterations):
-        pos = force_atlas_step(g, pos, labels=labels, **params).localCheckpoint(eager=True)
+    for i in range(iterations):
+        new = force_atlas_step(g, pos, labels=labels, **params).localCheckpoint(eager=True)
+        if i > 0:
+            pos.unpersist()
+        pos = new
     return pos

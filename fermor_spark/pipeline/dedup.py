@@ -259,14 +259,13 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
         new = comp.join(neigh, "id", "left").select(
             "id", F.least(F.col("cluster"), F.coalesce(F.col("nc"), F.col("cluster"))).alias("cluster")
         )
-        if i % 6 == 5:
-            new = new.localCheckpoint(eager=True)
-        else:
-            new = new.cache()
+        new = new.localCheckpoint(eager=True)
         changed = (
             new.alias("n").join(comp.alias("o"), "id")
             .where(F.col("n.cluster") != F.col("o.cluster")).limit(1).count()
         )
+        if i > 0:
+            comp.unpersist()
         comp = new
         if changed == 0:
             break

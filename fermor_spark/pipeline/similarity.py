@@ -74,6 +74,59 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    df: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul → same schema as
+    brute_force_topk.
+
+    The corpus is collected and broadcast as a normalized float64 matrix
+    (scale bound: fits in executor memory — ~1 GB per 2M×64-dim vectors;
+    beyond that, block the corpus and merge per-block top-k). Queries stream
+    through mapInPandas; each Arrow batch is one BLAS matmul — the
+    expression-tree form (zip_with + aggregate) evaluates interpreted
+    per-pair and is ~50× slower on quadratic workloads.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    corpus_pdf = df.select(id_col, vec_col).toPandas()
+    ids = corpus_pdf[id_col].to_numpy()
+    C = np.array(corpus_pdf[vec_col].tolist(), dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((ids, C))
+
+    def fn(batches):
+        bids, bC = bc.value
+        for pdf in batches:
+            Q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            qids = pdf[id_col].to_numpy()
+            S = Q @ bC.T
+            out_q, out_n, out_r, out_c = [], [], [], []
+            for row, qid in enumerate(qids):
+                sims = S[row]
+                mask = bids != qid
+                cand_ids = bids[mask]
+                cand_sims = sims[mask]
+                # order by cosine desc, neighbor id asc (deterministic)
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                for rank, j in enumerate(order, start=1):
+                    out_q.append(qid)
+                    out_n.append(cand_ids[j])
+                    out_r.append(rank)
+                    out_c.append(round(float(cand_sims[j]), 6))
+            yield pd.DataFrame({
+                "query_id": out_q, "neighbor_id": out_n,
+                "rank": out_r, "cosine": out_c,
+            })
+
+    schema = "query_id long, neighbor_id long, rank long, cosine double"
+    return queries.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def lsh_topk(
     df: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

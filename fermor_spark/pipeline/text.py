@@ -44,24 +44,35 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     score is a simple bounded combination: length sanity × stopword presence
     × alphabetic density — the standard cheap pre-filter shape for web-scale
     corpus cleaning.
+
+    Explode-then-aggregate formulation: doc-level expressions evaluate once
+    per document (Generate replicates them), token statistics come from one
+    groupBy — array-lambda forms re-inline the tokenization per use after
+    projection collapse (quadratic per document).
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    tot_len = F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0),
-                          lambda acc, x: acc + x)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
-    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) * 1.0 / F.greatest(
-        F.length(F.col(text_col)), F.lit(1)
-    )
-    stop_ratio = n_stop * 1.0 / F.greatest(n, F.lit(1))
-    length_ok = F.when((n >= 5) & (n <= 100000), 1.0).otherwise(0.2)
-    return df.select(
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        n.cast("long").alias("n_tokens"),
-        F.round(tot_len * 1.0 / F.greatest(n, F.lit(1)), 4).alias("avg_token_len"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) * 1.0
+            / F.greatest(F.length(F.col(text_col)), F.lit(1))
+        ).alias("_alpha"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    agg = exploded.groupBy("id", "_alpha").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("tok")).alias("tot_len"),
+        F.sum(F.when(F.col("tok").isin(STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    n = F.greatest(F.col("n"), F.lit(1))
+    stop_ratio = F.col("n_stop") * 1.0 / n
+    length_ok = F.when((F.col("n") >= 5) & (F.col("n") <= 100000), 1.0).otherwise(0.2)
+    return agg.select(
+        "id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(F.col("tot_len") * 1.0 / n, 4).alias("avg_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(alpha, 4).alias("alpha_ratio"),
-        F.round(length_ok * (F.lit(0.5) + F.least(stop_ratio * 2, F.lit(0.5))) * alpha, 4)
+        F.round(F.col("_alpha"), 4).alias("alpha_ratio"),
+        F.round(length_ok * (F.lit(0.5) + F.least(stop_ratio * 2, F.lit(0.5))) * F.col("_alpha"), 4)
         .alias("score"),
     )
 
@@ -73,14 +84,22 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     code. A pure column expression — at 100 TB this runs entirely inside
     whole-stage codegen.
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.greatest(F.size(toks), F.lit(1))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    profile_aggs = [
+        F.sum(F.when(F.col("tok").isin(words), 1).otherwise(0)).alias(f"_hit_{lang}")
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    agg = exploded.groupBy("id").agg(F.count("*").alias("_n"), *profile_aggs)
+    n = F.greatest(F.col("_n"), F.lit(1))
     scored = F.array(*[
         F.struct(
-            F.round(F.size(F.filter(toks, lambda x: x.isin(words))) * 1.0 / n, 6).alias("s"),
+            F.round(F.col(f"_hit_{lang}") * 1.0 / n, 6).alias("s"),
             F.lit(lang).alias("lang"),
         )
-        for lang, words in sorted(LANG_PROFILES.items())
+        for lang in sorted(LANG_PROFILES)
     ])
     best = F.array_sort(
         scored,
@@ -88,8 +107,8 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.when(a["lang"] < b["lang"], -1).otherwise(1)
         ),
     ).getItem(0)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return agg.select(
+        "id",
         best["lang"].alias("lang"),
         best["s"].alias("lang_score"),
     )

@@ -803,6 +803,29 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_nearest_neighbor_all",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id
+             ) AS rank
+      FROM e q JOIN e n ON q.vec_id <> n.vec_id
+    ) WHERE rank = 1
+    """,
+)
+def ann_nearest_neighbor_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup primitive: the exact nearest neighbor of EVERY
+    vector (Arrow/numpy brute force; the LSH variant is ann_lsh_topk)."""
+    from fermor_spark.pipeline.similarity import brute_force_topk_arrow
+
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk_arrow(emb, emb, k=1).select("query_id", "neighbor_id")
+
+
 # --------------------------------------------------------------------------
 # pipeline-module operators surfaced as queries
 
@@ -879,7 +902,9 @@ def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component sizes of the star graph restricted to locality edges
     (each region forms one component)."""
     g = star_graph(spark, sf_dir)
-    cc = iterate.connected_components(g, labels=["in_nation", "in_region", "supp_nation"])
+    cc = iterate.connected_components(
+        g, labels=["in_nation", "in_region", "supp_nation"], incident_only=True
+    )
     return cc.groupBy("comp").agg(F.count("*").alias("n_members"))
 
 
