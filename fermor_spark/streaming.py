@@ -128,6 +128,36 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dimension(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (broadcastable)
+    dimension table — each micro-batch joins against the static side."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def self_join_within(events: DataFrame, minutes: int = 10,
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream self-join: pair events of the same user within a time
+    window (watermarks bound both sides' state). Returns
+    (user_id, first_event_id, second_event_id, gap_seconds)."""
+    from pyspark.sql import functions as F
+
+    a = events.withWatermark("ts", watermark).alias("a")
+    b = events.withWatermark("ts", watermark).alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {minutes} MINUTES"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("first_event_id"),
+        F.col("b.event_id").alias("second_event_id"),
+        (F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")).alias("gap_seconds"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
                   timeout_sec: int = 120):
     """Test/backfill helper: drain all available input into an in-memory
