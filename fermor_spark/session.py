@@ -37,6 +37,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("FERMOR_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep metastore/warehouse artifacts out of the repo working dir
+        .config("spark.sql.warehouse.dir", "/tmp/fermor-warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/fermor-derby")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

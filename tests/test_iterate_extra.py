@@ -75,3 +75,23 @@ def test_merge_round_robin(spark):
     g = job_graph(spark)
     r = Route.merge_round_robin([g.get_vertex("bob"), g.get_vertex("stephen")])
     assert r.count() == 2
+
+
+def test_bucketed_save_colocated_join(spark):
+    """src-bucketed persisted edges join on src WITHOUT a shuffle exchange —
+    the co-located traversal-join story at scale."""
+    import tempfile
+
+    g = job_graph(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/bg"
+        g.save(path, bucket_by_src=4)
+        name = "fermor_edges_" + path.strip("/").replace("/", "_").replace("-", "_").replace(".", "_")
+        t = spark.table(name)
+        j = t.alias("a").join(t.alias("b"), "src").select("src")
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() > 0
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

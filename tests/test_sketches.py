@@ -1,0 +1,53 @@
+"""Sketch operators: error-bounded against exact answers on real testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fermor_spark import sketches
+from fermor_spark.datasets import table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct(spark):
+    li = table(spark, SF, "lineitem")
+    est = sketches.approx_distinct(li, ["l_orderkey", "l_partkey"]).collect()[0]
+    exact_o = li.select("l_orderkey").distinct().count()
+    exact_p = li.select("l_partkey").distinct().count()
+    assert abs(est["l_orderkey_distinct"] - exact_o) / exact_o < 0.1
+    assert abs(est["l_partkey_distinct"] - exact_p) / exact_p < 0.1
+
+
+def test_approx_distinct_by_key(spark):
+    ev = table(spark, SF, "events")
+    est = {r["event_type"]: r["approx_user_id_distinct"] for r in
+           sketches.approx_distinct_by_key(ev, "event_type", "user_id").collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, v in exact.items():
+        assert abs(est[k] - v) / max(v, 1) < 0.15, k
+
+
+def test_approx_quantiles(spark):
+    o = table(spark, SF, "orders")
+    qs = sketches.approx_quantiles(o, "o_totalprice", [0.5, 0.9])
+    exact = o.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m"),
+                  F.percentile("o_totalprice", F.lit(0.9)).alias("p")).collect()[0]
+    assert abs(qs[0] - exact["m"]) / exact["m"] < 0.05
+    assert abs(qs[1] - exact["p"]) / exact["p"] < 0.05
+
+
+def test_heavy_hitters(spark):
+    ev = table(spark, SF, "events")
+    hh = {r["item"]: r["approx_count"] for r in
+          sketches.heavy_hitters(ev, "event_type", min_share=0.05).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    total = sum(exact.values())
+    for item, n in exact.items():
+        if n >= 0.06 * total:
+            assert item in hh, item
+    for item, est in hh.items():
+        # CMS never underestimates; overestimate bounded by eps*N
+        assert est >= exact.get(item, 0)
+        assert est <= exact.get(item, 0) + 0.002 * total
