@@ -35,7 +35,9 @@ _graph_cache: dict[str, PropertyGraph] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (sf_dir, name)
+    # keyed by application id: a cached DataFrame from a stopped/previous
+    # SparkSession must never leak into a new one
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _table_cache:
         if name == "events":
             # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
@@ -59,8 +61,9 @@ def _id(prefix: str, col) -> F.Column:
 def star_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     """PropertyGraph over the star schema; cached per sf_dir (the `forked`
     boundary — built once, amortized over all queries)."""
-    if sf_dir in _graph_cache:
-        return _graph_cache[sf_dir]
+    gkey = (spark.sparkContext.applicationId, sf_dir)
+    if gkey in _graph_cache:
+        return _graph_cache[gkey]
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
@@ -110,5 +113,5 @@ def star_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         .unionByName(vtx(orders, "o", "o_orderkey", "order"))
     )
     g = PropertyGraph.from_dataframes(spark, edges, vertices, cache=True)
-    _graph_cache[sf_dir] = g
+    _graph_cache[gkey] = g
     return g
