@@ -401,6 +401,27 @@ class PropertyGraph:
                              forked=self.is_forked,
                              materialized_vertices=self.materialized_vertices)
 
+    def update_documents(self, fn, vids: Sequence | None = None) -> "PropertyGraph":
+        """Update vertex documents with a user fn (doc: str|None) -> str|None,
+        optionally restricted to `vids` (reference: update-document,
+        src/fermor/core.clj:268-291). Runs as an Arrow-batched pandas UDF."""
+        from pyspark.sql.functions import pandas_udf
+
+        def _upd(docs: pandas.Series) -> pandas.Series:
+            return pandas.Series(
+                [fn(d if pandas.notna(d) else None) for d in docs], dtype=object
+            )
+
+        upd = pandas_udf(_upd, "string")
+        scope = F.lit(True) if vids is None else F.col("id").isin([str(v) for v in vids])
+        new_v = self.V.select(
+            "id", "kind",
+            F.when(scope, upd(F.col("doc"))).otherwise(F.col("doc")).alias("doc"),
+        )
+        return PropertyGraph(self.spark, new_v, self.E, self.edge_builders,
+                             forked=self.is_forked,
+                             materialized_vertices=self.materialized_vertices)
+
     def remove_vertices(self, vids: Sequence) -> "PropertyGraph":
         """Remove vertices and their incident edges (left_anti joins)."""
         rm = self.spark.createDataFrame([(str(v),) for v in vids], "id string")

@@ -95,3 +95,23 @@ def test_breadth_first_reduce(spark):
 
     partial = algo.breadth_first_reduce(succ, "a", [], until_c)
     assert "d" not in partial
+
+
+def test_update_documents(spark):
+    import json as _json
+
+    g = job_graph(spark)
+
+    def upcase_name(doc):
+        if doc is None:
+            return None
+        d = _json.loads(doc)
+        if "name" in d:
+            d["name"] = d["name"].upper()
+        return _json.dumps(d, sort_keys=True)
+
+    g2 = g.update_documents(upcase_name, vids=["bob"])
+    assert g2.document("bob")["name"] == "BOB"
+    assert g2.document("stephen")["name"] == "Stephen"
+    g3 = g.update_documents(upcase_name)
+    assert g3.document("stephen")["name"] == "STEPHEN"
