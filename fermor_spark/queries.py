@@ -183,6 +183,74 @@ def orders_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "monthly_revenue",
+    """
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+
+
+@query(
+    "events_by_dow",
+    """
+    SELECT dayofweek(ts) + 1 AS dow, event_type, count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY dayofweek(ts) + 1, event_type
+    """,
+)
+def events_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week aggregation (Spark dayofweek is 1=Sunday; DuckDB dow is
+    0=Sunday — oracle shifts by one)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(F.dayofweek("ts").cast("long").alias("dow"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+@query(
+    "part_name_prefixes",
+    """
+    SELECT upper(substr(p_name, 1, 6)) AS prefix, count(*) AS n,
+           round(avg(p_retailprice), 4) AS avg_price,
+           max(length(p_name)) AS max_len
+    FROM part GROUP BY upper(substr(p_name, 1, 6))
+    """,
+)
+def part_name_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: substring/upper/length."""
+    p = table(spark, sf_dir, "part")
+    return p.groupBy(F.upper(F.substring("p_name", 1, 6)).alias("prefix")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.max(F.length("p_name")).cast("long").alias("max_len"),
+    )
+
+
+@query(
+    "g_both_neighbors_nation",
+    """
+    SELECT 'c:' || c_custkey AS id FROM customer WHERE c_nationkey = 0
+    UNION ALL
+    SELECT 's:' || s_suppkey FROM supplier WHERE s_nationkey = 0
+    UNION ALL
+    SELECT 'r:' || n_regionkey FROM nation WHERE n_nationkey = 0
+    """,
+)
+def g_both_neighbors_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """both(): union of in- and out-neighbors of nation n:0."""
+    g = star_graph(spark, sf_dir)
+    return g.get_vertex("n:0").both(["in_nation", "supp_nation", "in_region"]).df
+
+
+@query(
     "q6_revenue_forecast",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
