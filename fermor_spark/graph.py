@@ -37,10 +37,18 @@ from pyspark.sql import functions as F
 
 V_FIELDS = ["id", "kind", "doc"]
 E_FIELDS = ["label", "src", "dst", "weight", "doc"]
-_E_BUILD_FIELDS = E_FIELDS + ["_seq"]
+# conflict resolution orders by (_batch, _seq): _batch is the driver-side
+# add_edges call counter, _seq orders within a batch. A single combined
+# counter can't work distributed: monotonically_increasing_id contributes
+# partition_id * 2^33 per row, which would outrank any fixed per-batch base.
+_E_BUILD_FIELDS = E_FIELDS + ["_batch", "_seq"]
 
 V_SCHEMA = "id string, kind string, doc string"
-E_BUILD_SCHEMA = "label string, src string, dst string, weight double, doc string, _seq bigint"
+V_BUILD_SCHEMA = "id string, kind string, doc string, _batch bigint, _seq bigint"
+E_BUILD_SCHEMA = (
+    "label string, src string, dst string, weight double, doc string, "
+    "_batch bigint, _seq bigint"
+)
 
 UNIQUE = "unique"
 WEIGHTED = "weighted"
@@ -91,6 +99,39 @@ class PropertyGraph:
         self._seq_counter += 1
         return self._seq_counter
 
+    def _lift_edges_for_build(self) -> DataFrame:
+        """Edge rows with (_batch, _seq) arrival-order columns; pre-existing
+        (already-resolved / loaded) edges get batch 0, ranking below any new
+        batch in last-wins resolution."""
+        e = self.E
+        if "_batch" not in e.columns:
+            e = e.withColumn("_batch", F.lit(0))
+        if "_seq" not in e.columns:
+            e = e.withColumn("_seq", F.monotonically_increasing_id())
+        return e.select(*_E_BUILD_FIELDS)
+
+    @staticmethod
+    def _resolve_vertices(v: DataFrame) -> DataFrame:
+        """Collapse duplicate vertex ids: the LATEST non-nil document (and
+        kind) wins, matching the reference's -add-vertices put semantics
+        (reference: src/fermor/graph.clj:377-384 — later additions overwrite,
+        nil documents don't clobber an existing one)."""
+        if "_batch" not in v.columns:
+            v = v.withColumn("_batch", F.lit(0))
+        if "_seq" not in v.columns:
+            v = v.withColumn("_seq", F.monotonically_increasing_id())
+        w = (
+            Window.partitionBy("id")
+            .orderBy("_batch", "_seq")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        return (
+            v.withColumn("doc", F.last("doc", ignorenulls=True).over(w))
+            .withColumn("kind", F.last("kind", ignorenulls=True).over(w))
+            .select(*V_FIELDS)
+            .dropDuplicates(["id"])
+        )
+
     def add_edges(
         self,
         label: str,
@@ -107,7 +148,7 @@ class PropertyGraph:
         if builder is not None:
             self.edge_builders.setdefault(label, builder)
         b = self.edge_builders.get(label, UNIQUE)
-        base_seq = self._next_seq() * 1_000_000_000
+        batch = self._next_seq()
 
         if isinstance(triples, DataFrame):
             cols = triples.columns
@@ -117,7 +158,8 @@ class PropertyGraph:
                 F.col("dst").cast("string"),
                 (F.col("weight").cast("double") if "weight" in cols else F.lit(None).cast("double")).alias("weight"),
                 (F.col("doc").cast("string") if "doc" in cols else F.lit(None).cast("string")).alias("doc"),
-                (F.lit(base_seq) + F.monotonically_increasing_id()).alias("_seq"),
+                F.lit(batch).alias("_batch"),
+                F.monotonically_increasing_id().alias("_seq"),
             )
         else:
             rows = []
@@ -129,10 +171,10 @@ class PropertyGraph:
                         weight = float(t[2])
                     else:
                         doc = _doc_json(t[2])
-                rows.append((label, src, dst, weight, doc, base_seq + i))
+                rows.append((label, src, dst, weight, doc, batch, i))
             df = self.spark.createDataFrame(rows, E_BUILD_SCHEMA)
 
-        new_e = self.E.select(*_E_BUILD_FIELDS).unionByName(df) if "_seq" in self.E.columns else df
+        new_e = self._lift_edges_for_build().unionByName(df)
         g = PropertyGraph(
             self.spark, self.V, new_e, self.edge_builders, forked=False,
             materialized_vertices=self.materialized_vertices,
@@ -145,25 +187,38 @@ class PropertyGraph:
 
         Reference: add-vertices, src/fermor/graph.clj:377-384.
         """
+        batch = self._next_seq()
         if isinstance(pairs, DataFrame):
             cols = pairs.columns
             df = pairs.select(
                 F.col("id").cast("string"),
                 (F.col("kind").cast("string") if "kind" in cols else F.lit(None).cast("string")).alias("kind"),
                 (F.col("doc").cast("string") if "doc" in cols else F.lit(None).cast("string")).alias("doc"),
+                F.lit(batch).alias("_batch"),
+                F.monotonically_increasing_id().alias("_seq"),
             )
         else:
             rows = []
-            for p in pairs:
+            for i, p in enumerate(pairs):
                 if isinstance(p, (list, tuple)):
                     vid = str(p[0])
                     doc = _doc_json(p[1]) if len(p) > 1 else None
                     kind = str(p[2]) if len(p) > 2 and p[2] is not None else None
                 else:
                     vid, doc, kind = str(p), None, None
-                rows.append((vid, kind, doc))
-            df = self.spark.createDataFrame(rows, V_SCHEMA)
-        new_v = self.V.unionByName(df)
+                rows.append((vid, kind, doc, batch, i))
+            df = self.spark.createDataFrame(rows, V_BUILD_SCHEMA)
+        old_v = self.V
+        if "_batch" not in old_v.columns:
+            old_v = old_v.withColumn("_batch", F.lit(0)).withColumn(
+                "_seq", F.monotonically_increasing_id()
+            )
+        new_v = old_v.select(*V_FIELDS, "_batch", "_seq").unionByName(df)
+        if self.is_forked:
+            # forked graphs stay query-ready: resolve duplicates now
+            # (reference round-trips forked mutations through linear,
+            # src/fermor/graph.clj:392-395)
+            new_v = self._resolve_vertices(new_v)
         g = PropertyGraph(
             self.spark, new_v, self.E, self.edge_builders, forked=self.is_forked,
             materialized_vertices=self.materialized_vertices,
@@ -180,9 +235,7 @@ class PropertyGraph:
         cluster this is the natural checkpoint/cache boundary — builders are
         one shuffle per label-class, done once, amortized over all queries.
         """
-        e = self.E
-        if "_seq" not in e.columns:
-            e = e.withColumn("_seq", F.monotonically_increasing_id())
+        e = self._lift_edges_for_build()
 
         by_builder: dict[str, list[str]] = {}
         for lbl, b in self.edge_builders.items():
@@ -192,7 +245,9 @@ class PropertyGraph:
         parts = []
         default_part = e.where(~F.col("label").isin(list(special)) if special else F.lit(True))
         # unique (last wins) — the default for unconfigured labels too
-        w = Window.partitionBy("label", "src", "dst").orderBy(F.col("_seq").desc())
+        w = Window.partitionBy("label", "src", "dst").orderBy(
+            F.col("_batch").desc(), F.col("_seq").desc()
+        )
         parts.append(
             default_part.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -212,7 +267,7 @@ class PropertyGraph:
             collected = (
                 e.where(F.col("label").isin(parallel))
                 .groupBy("label", "src", "dst")
-                .agg(F.array_sort(F.collect_list(F.struct("_seq", "doc"))).alias("_docs"))
+                .agg(F.array_sort(F.collect_list(F.struct("_batch", "_seq", "doc"))).alias("_docs"))
             )
             # merged doc: {"parallel/count": n, "0": doc0, ...} (reference:
             # add-parallel-edge, src/fermor/graph.clj:333-346)
@@ -248,10 +303,8 @@ class PropertyGraph:
             resolved = resolved.unionByName(p)
 
         v = (
-            self.V.withColumn("_rn", F.row_number().over(
-                Window.partitionBy("id").orderBy(F.monotonically_increasing_id())))
-            .where(F.col("_rn") == 1).drop("_rn")
-            if self.V.count() > 0 else self.V
+            self._resolve_vertices(self.V)
+            if self.V.limit(1).count() > 0 else self.V.select(*V_FIELDS)
         )
         if cache:
             resolved = resolved.cache()

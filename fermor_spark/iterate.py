@@ -561,11 +561,25 @@ def breadth_first_nodes(g: PropertyGraph, start, labels=None, direction: str = "
 # ------------------------------------------------------------- betweenness
 
 
-def betweenness_counts(g: PropertyGraph, labels=None) -> DataFrame:
+def betweenness_counts(g: PropertyGraph, labels=None,
+                       max_vertices: int = 2000) -> DataFrame:
     """The reference's betweenness recipe (gremlin_examples_test.clj:163-179):
     all cycle-cut paths from every vertex via `both`, keep the shortest
     path-group per (first,last) pair, count vertex occurrences → (id, count).
+
+    All cycle-cut paths from EVERY vertex is exponential in graph size — the
+    recipe is meant for fixture-scale graphs, so it carries the same size
+    guard as the driver-side algo family (fermor_spark.algo).
     """
+    from fermor_spark.algo import SizeGuardError
+
+    n = g.vertex_ids().limit(max_vertices + 1).count()
+    if n > max_vertices:
+        raise SizeGuardError(
+            f"betweenness_counts enumerates all paths from every vertex; "
+            f"vertex count exceeds guard ({max_vertices}). Pass a larger "
+            f"max_vertices only if the graph is known to be path-sparse."
+        )
     paths = all_paths(g, g.vertices(), labels=labels, direction="both", include_start=True)
     keyed = paths.select(
         F.col("path"),

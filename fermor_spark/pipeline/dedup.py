@@ -31,9 +31,12 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
     wl = Window.partitionBy("id").orderBy("pos")
     gram_cols = [F.col("tok")] + [F.lead("tok", j).over(wl) for j in range(1, n)]
+    # complete n-grams only: a doc with fewer than n tokens yields none
+    # (mirrors the SQL-oracle formulation; a partial-shingle escape would
+    # silently diverge from it on short documents)
     return (
         toks.withColumn("sh", F.concat_ws(" ", *gram_cols))
-        .withColumn("_complete", F.lead("tok", n - 1).over(wl).isNotNull() | (F.col("pos") == 0))
+        .withColumn("_complete", F.lead("tok", n - 1).over(wl).isNotNull())
         .where(F.col("_complete"))
         .select("id", "sh")
         .distinct()
@@ -41,31 +44,63 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
+    max_shingle_df: int | None = None, round_digits: int = 6,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold → (id_a, id_b, jaccard).
 
     Shuffle profile: explode → distinct → self-join keyed on shingle (the
-    blocking key) → per-pair counts. Hot shingles fan out quadratically, so
-    at scale drop top-frequency shingles first (stopword shingles carry no
-    dedup signal); AQE skew-join handles the remainder.
+    blocking key) → per-pair counts. Hot shingles fan out quadratically
+    (a shingle in d docs contributes d² candidate rows), so with
+    `max_shingle_df` set, candidate GENERATION drops shingles whose document
+    frequency exceeds it (stopword shingles carry no dedup signal) and the
+    surviving candidate pairs are VERIFIED against the full shingle sets —
+    the returned jaccard is always exact. Results are identical as long as
+    every true pair shares ≥1 shingle below the cap; at threshold ≥ 0.5 a
+    near-dup pair shares most of its (overwhelmingly rare) shingles, so any
+    cap well above 2 is safe.
     """
     sh = shingle_table(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("c"))
-    )
+    if max_shingle_df is None:
+        # single-pass: the blocking join IS the intersection count
+        a = sh.select(F.col("id").alias("id_a"), "sh")
+        b = sh.select(F.col("id").alias("id_b"), "sh")
+        inter = (
+            a.join(b, "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("c"))
+        )
+    else:
+        rare = (
+            sh.groupBy("sh").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        block = sh.join(rare, "sh", "left_semi")
+        a = block.select(F.col("id").alias("id_a"), "sh")
+        b = block.select(F.col("id").alias("id_b"), "sh")
+        cands = (
+            a.join(b, "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # verification over FULL shingle sets (exact jaccard, independent of cap)
+        inter = (
+            cands.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            .where(F.col("sh") == F.col("sh_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("c"))
+        )
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
         .where(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round(jac, round_digits).alias("jaccard"))
     )
 
 

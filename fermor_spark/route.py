@@ -240,6 +240,14 @@ class Route:
             keep = sub.select(F.col("_origin")).distinct()
         else:
             counts = sub.groupBy("_origin").agg(F.count("*").alias("_n"))
+            if not min_count:
+                # no (or zero) lower bound: origins with an EMPTY sub-route
+                # count as 0 and must be kept (reference keeps count-0
+                # elements when min is nil, src/fermor/core.clj:826-846)
+                origins = self.df.select(self._origin_key().alias("_origin")).distinct()
+                counts = origins.join(counts, "_origin", "left").select(
+                    "_origin", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+                )
             cond = F.lit(True)
             if min_count is not None:
                 cond = cond & (F.col("_n") >= min_count)

@@ -46,10 +46,13 @@ def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01,
     counts → (item, approx_count).
 
     Two passes: a count-min-sketch pass builds the mergeable frequency
-    sketch; candidate items (distinct values seen in a capped sample of
-    distincts) are then probed against it. CMS guarantees
-    estimate ∈ [true, true + eps·N] at the given confidence; min_share ≫ eps
-    keeps false positives out.
+    sketch; candidate items from a single-pass frequent-items sketch
+    (freqItems, candidate count bounded by 1/min_share — NOT a full
+    distinct of the column, which on a high-cardinality column would
+    shuffle every distinct value) are then probed against it. freqItems
+    may return false positives; the CMS probe + min_share filter drops
+    them. CMS guarantees estimate ∈ [true, true + eps·N] at the given
+    confidence; min_share ≫ eps keeps false positives out.
     """
     total = df.count()
     sketch_row = df.agg(
@@ -58,7 +61,14 @@ def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01,
     ).collect()[0]
     sketch = bytes(sketch_row["cms"])
     spark = df.sparkSession
-    candidates = df.select(F.col(col).cast("string").alias("item")).distinct()
+    cand_vals = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .stat.freqItems(["item"], support=max(min_share, 1e-4))
+        .collect()[0][0]
+    )
+    candidates = spark.createDataFrame(
+        [(v,) for v in cand_vals if v is not None], "item string"
+    )
     sk = spark.createDataFrame([(sketch,)], "cms binary")
     probed = candidates.crossJoin(F.broadcast(sk)).select(
         "item",

@@ -64,7 +64,16 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     Use when the non-skewed side is too large to broadcast but small enough
     to replicate `salt`×; a hot key's rows then spread over `salt` tasks.
     Output columns = skewed's + other's (key deduplicated).
+
+    Only skewed-side-preserving join types are valid: `other` is replicated
+    `salt`×, so right/full joins would emit `salt` null-extended duplicates
+    per unmatched other-side row.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r} "
+            "(the replicated side would duplicate unmatched rows)"
+        )
     s = skewed.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     salts = skewed.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
     o = other.crossJoin(salts)

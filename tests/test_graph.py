@@ -120,3 +120,51 @@ def test_from_dataframes(spark):
     e = spark.createDataFrame([("l", "a", "b")], "label string, src string, dst string")
     g = PropertyGraph.from_dataframes(spark, e)
     assert g.vertices().id_set() == {"a", "b"}
+
+
+def test_re_add_vertex_last_wins(spark):
+    # reference put semantics (src/fermor/graph.clj:377-384): re-adding a
+    # vertex with a new doc replaces the old doc after forked()
+    g = (
+        PropertyGraph.build(spark)
+        .add_vertices([("a", {"v": 1}), ("b", {"v": 9})])
+        .add_vertices([("a", {"v": 2})])
+        .forked()
+    )
+    assert g.document("a") == {"v": 2}
+    assert g.document("b") == {"v": 9}
+
+
+def test_re_add_vertex_nil_doc_does_not_clobber(spark):
+    # a later nil-doc add records existence but keeps the earlier document
+    g = (
+        PropertyGraph.build(spark)
+        .add_vertices([("a", {"v": 1})])
+        .add_vertices(["a", "c"])
+        .forked()
+    )
+    assert g.document("a") == {"v": 1}
+    assert g.vertices().id_set() == {"a", "c"}
+
+
+def test_add_vertices_on_forked_resolves(spark):
+    g = PropertyGraph.build(spark).add_vertices([("a", {"v": 1})]).forked()
+    g2 = g.add_vertices([("a", {"v": 2})])
+    assert g2.document("a") == {"v": 2}
+    assert g2.V.where(F.col("id") == "a").count() == 1
+
+
+def test_add_edges_multibatch_dataframe_last_wins(spark):
+    # batch ordering must dominate within-batch ids: a multi-partition first
+    # batch once outranked later batches via monotonically_increasing_id's
+    # partition component (ADVICE r1)
+    b1 = spark.createDataFrame(
+        [("a", "b", '{"v":1}'), ("c", "d", '{"v":1}')],
+        "src string, dst string, doc string",
+    ).repartition(8)
+    b2 = spark.createDataFrame(
+        [("a", "b", '{"v":2}')], "src string, dst string, doc string"
+    )
+    g = PropertyGraph.build(spark).add_edges("l", b1).add_edges("l", b2).forked()
+    docs = {(r["src"], r["dst"]): r["doc"] for r in g._edges_df("l").collect()}
+    assert json.loads(docs[("a", "b")]) == {"v": 2}

@@ -95,3 +95,14 @@ def test_bucketed_save_colocated_join(spark):
         assert "Exchange hashpartitioning" not in plan, plan
         assert j.count() > 0
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_betweenness_size_guard(spark):
+    import pytest
+
+    from fermor_spark.algo import SizeGuardError
+    from tests.fixtures import betweenness_graph
+
+    g = betweenness_graph(spark)
+    with pytest.raises(SizeGuardError):
+        iterate.betweenness_counts(g, max_vertices=2)

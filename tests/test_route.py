@@ -169,3 +169,14 @@ def test_distinct_and_limit(spark):
     assert r.count() == 12
     assert r.distinct().count() == 8
     assert g.vertices().limit(3).count() == 3
+
+
+def test_lookahead_max_only_keeps_zero(spark):
+    # max-only lookahead: elements with an EMPTY sub-route count as 0 and are
+    # kept (reference keeps count-0 elements when min is nil, core.clj:826-846)
+    g = job_graph(spark)
+    r = g.vertices().lookahead(lambda x: x.out("created"), max_count=1)
+    ids = r.id_set()
+    # every vertex with 0 or 1 created-edges: i.e. everything except blueprints
+    assert "rexster" in ids and "blueprints" not in ids
+    assert "bob" in ids  # has no created edges at all → count 0 → kept

@@ -36,3 +36,12 @@ def test_salted_join_matches(spark):
     got = skew.salted_join(li, part, "k").count()
     exp = li.join(part, "k").count()
     assert got == exp
+
+
+def test_salted_join_rejects_other_preserving(spark):
+    import pytest
+
+    li = table(spark, SF, "lineitem").select(F.col("l_partkey").alias("k"))
+    part = table(spark, SF, "part").select(F.col("p_partkey").alias("k"))
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(li, part, "k", how="full")
