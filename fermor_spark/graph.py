@@ -438,19 +438,60 @@ class PropertyGraph:
     # ------------------------------------------------------------- mutation
 
     def set_documents(self, pairs: Iterable[Sequence]) -> "PropertyGraph":
-        """Upsert vertex documents (reference: set-documents, src/fermor/graph.clj:90-102)."""
-        rows = [(str(i), None, _doc_json(d)) for i, d in pairs]
-        updates = self.spark.createDataFrame(rows, V_SCHEMA)
+        """Upsert element documents, routed by element type like the
+        reference (set-documents dispatches per element,
+        src/fermor/graph.clj:90-102): a key that is a (label, src, dst)
+        triple addresses an edge; anything else addresses a vertex by id.
+        One call may mix both."""
+        v_pairs, e_pairs = [], []
+        for key, d in pairs:
+            if isinstance(key, (tuple, list)) and len(key) == 3:
+                e_pairs.append((key, d))
+            else:
+                v_pairs.append((key, d))
+        g = self
+        if v_pairs:
+            rows = [(str(i), None, _doc_json(d)) for i, d in v_pairs]
+            updates = g.spark.createDataFrame(rows, V_SCHEMA)
+            merged = (
+                g.V.select(*V_FIELDS).alias("old")
+                .join(updates.alias("new"), "id", "full")
+                .select(
+                    "id",
+                    F.coalesce(F.col("old.kind"), F.col("new.kind")).alias("kind"),
+                    F.coalesce(F.col("new.doc"), F.col("old.doc")).alias("doc"),
+                )
+            )
+            g = PropertyGraph(g.spark, merged, g.E, g.edge_builders,
+                              forked=g.is_forked,
+                              materialized_vertices=g.materialized_vertices)
+        if e_pairs:
+            g = g.set_edge_documents(
+                [(l, s, d, doc) for (l, s, d), doc in e_pairs]
+            )
+        return g
+
+    def set_edge_documents(self, quads: Iterable[Sequence]) -> "PropertyGraph":
+        """Upsert edge documents by (label, src, dst, doc) — the edge leg of
+        the reference's set-documents routing (src/fermor/graph.clj:90-102).
+        Existing edges keep their weight; absent edges are created."""
+        rows = [
+            (str(l), str(s), str(d), _doc_json(doc)) for l, s, d, doc in quads
+        ]
+        updates = self.spark.createDataFrame(
+            rows, "label string, src string, dst string, _newdoc string"
+        )
+        key = ["label", "src", "dst"]
         merged = (
-            self.V.alias("old")
-            .join(updates.alias("new"), "id", "full")
+            self.E.select(*E_FIELDS).alias("old")
+            .join(updates.alias("new"), key, "full")
             .select(
-                "id",
-                F.coalesce(F.col("old.kind"), F.col("new.kind")).alias("kind"),
-                F.coalesce(F.col("new.doc"), F.col("old.doc")).alias("doc"),
+                *key,
+                F.col("old.weight").alias("weight"),
+                F.coalesce(F.col("new._newdoc"), F.col("old.doc")).alias("doc"),
             )
         )
-        return PropertyGraph(self.spark, merged, self.E, self.edge_builders,
+        return PropertyGraph(self.spark, self.V, merged, self.edge_builders,
                              forked=self.is_forked,
                              materialized_vertices=self.materialized_vertices)
 
@@ -472,6 +513,34 @@ class PropertyGraph:
             F.when(scope, upd(F.col("doc"))).otherwise(F.col("doc")).alias("doc"),
         )
         return PropertyGraph(self.spark, new_v, self.E, self.edge_builders,
+                             forked=self.is_forked,
+                             materialized_vertices=self.materialized_vertices)
+
+    def update_edge_documents(self, fn, labels=None) -> "PropertyGraph":
+        """Update edge documents with a user fn (doc: str|None) -> str|None,
+        optionally restricted to `labels` — the edge leg of the reference's
+        document routing (src/fermor/graph.clj:90-102; exercised by
+        update-edge-documents, src/fermor/force_atlas/graph.clj:131-158).
+        Arrow-batched pandas UDF, like the vertex side."""
+        from pyspark.sql.functions import pandas_udf
+
+        def _upd(docs: pandas.Series) -> pandas.Series:
+            return pandas.Series(
+                [fn(d if pandas.notna(d) else None) for d in docs], dtype=object
+            )
+
+        upd = pandas_udf(_upd, "string")
+        if labels is None:
+            scope = F.lit(True)
+        else:
+            lbls = [labels] if isinstance(labels, str) else list(labels)
+            scope = F.col("label").isin(lbls)
+        new_e = self.E.select(
+            "label", "src", "dst", "weight",
+            F.when(scope, upd(F.col("doc"))).otherwise(F.col("doc")).alias("doc"),
+            *[c for c in self.E.columns if c not in E_FIELDS],
+        )
+        return PropertyGraph(self.spark, self.V, new_e, self.edge_builders,
                              forked=self.is_forked,
                              materialized_vertices=self.materialized_vertices)
 

@@ -168,3 +168,46 @@ def test_add_edges_multibatch_dataframe_last_wins(spark):
     g = PropertyGraph.build(spark).add_edges("l", b1).add_edges("l", b2).forked()
     docs = {(r["src"], r["dst"]): r["doc"] for r in g._edges_df("l").collect()}
     assert json.loads(docs[("a", "b")]) == {"v": 2}
+
+
+def test_set_documents_routes_edges(spark):
+    # reference set-documents routes per element type (graph.clj:90-102):
+    # one call can update a vertex doc and an edge doc
+    g = (
+        PropertyGraph.build(spark)
+        .add_vertices([("a", {"v": 1})])
+        .add_edges("l", [("a", "b", {"w": 1})])
+        .forked()
+    )
+    g2 = g.set_documents([("a", {"v": 9}), (("l", "a", "b"), {"w": 9})])
+    assert g2.document("a") == {"v": 9}
+    edoc = g2.get_edge("l", "a", "b").collect()[0]["doc"]
+    assert json.loads(edoc) == {"w": 9}
+
+
+def test_set_edge_documents_upserts(spark):
+    g = PropertyGraph.build(spark).add_edges("l", [("a", "b", {"w": 1})]).forked()
+    g2 = g.set_edge_documents([("l", "a", "b", {"w": 2}), ("l", "b", "c", {"w": 3})])
+    docs = {(r["src"], r["dst"]): r["doc"] for r in g2._edges_df("l").collect()}
+    assert json.loads(docs[("a", "b")]) == {"w": 2}
+    assert json.loads(docs[("b", "c")]) == {"w": 3}  # created
+    assert g2.vertices().id_set() == {"a", "b", "c"}  # implicit existence
+
+
+def test_update_edge_documents(spark):
+    g = (
+        PropertyGraph.build(spark)
+        .add_edges("l", [("a", "b", {"n": 1})])
+        .add_edges("m", [("b", "c", {"n": 5})])
+        .forked()
+    )
+
+    def bump(doc):
+        d = json.loads(doc) if doc else {}
+        d["n"] = d.get("n", 0) + 1
+        return json.dumps(d)
+
+    g2 = g.update_edge_documents(bump, labels="l")
+    docs = {(r["label"], r["src"], r["dst"]): r["doc"] for r in g2.E.collect()}
+    assert json.loads(docs[("l", "a", "b")]) == {"n": 2}
+    assert json.loads(docs[("m", "b", "c")]) == {"n": 5}  # untouched
