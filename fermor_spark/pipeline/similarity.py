@@ -77,54 +77,86 @@ def brute_force_topk(
 def brute_force_topk_arrow(
     df: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    block_rows: int = 4096,
 ) -> DataFrame:
-    """Exact cosine top-k via Arrow-batched numpy matmul → same schema as
-    brute_force_topk.
+    """Exact cosine top-k via DISTRIBUTED blocked numpy matmul → same schema
+    as brute_force_topk (query_id, neighbor_id, rank, cosine).
 
-    The corpus is collected and broadcast as a normalized float64 matrix
-    (scale bound: fits in executor memory — ~1 GB per 2M×64-dim vectors;
-    beyond that, block the corpus and merge per-block top-k). Queries stream
-    through mapInPandas; each Arrow batch is one BLAS matmul — the
-    expression-tree form (zip_with + aggregate) evaluates interpreted
-    per-pair and is ~50× slower on quadratic workloads.
+    Scale shape: both sides are packed into blocks of ≤ `block_rows` vectors
+    (one row per block: id array + vector matrix), the QB×CB block-pair grid
+    is a crossJoin of two SMALL DataFrames, and each pair computes one BLAS
+    matmul + per-query partial top-k inside mapInPandas. Global top-k is the
+    window-merge of per-block top-ks (each block's true top-k is a subset of
+    its local top-k, so the merge is exact). Nothing is collected to the
+    driver; executor memory is bounded by one block pair
+    (2 × block_rows × dim × 8 B). Total shuffle = corpus×QB + queries×CB —
+    the unavoidable cost of exact all-pairs, minimized by bigger blocks.
+
+    The expression-tree form (zip_with + aggregate) evaluates interpreted
+    per-pair and is ~50× slower on quadratic workloads; one matmul per block
+    pair keeps the arithmetic in BLAS.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    corpus_pdf = df.select(id_col, vec_col).toPandas()
-    ids = corpus_pdf[id_col].to_numpy()
-    C = np.array(corpus_pdf[vec_col].tolist(), dtype=np.float64)
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    bc = spark.sparkContext.broadcast((ids, C))
+    n_c = df.count()
+    n_q = queries.count()
+    cb = max(1, math.ceil(n_c / block_rows))
+    qb = max(1, math.ceil(n_q / block_rows))
+
+    packed_c = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("_b", F.abs(F.hash("id")) % cb)
+        .groupBy("_b")
+        .agg(F.collect_list(F.struct("id", "v")).alias("c_items"))
+        .drop("_b")
+    )
+    packed_q = (
+        queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("_b", F.abs(F.hash("id")) % qb)
+        .groupBy("_b")
+        .agg(F.collect_list(F.struct("id", "v")).alias("q_items"))
+        .drop("_b")
+    )
+    pairs = packed_q.crossJoin(packed_c)
+    # one block pair per task: pair rows are heavy (two matrices), so don't
+    # let Arrow batch several of them into one python worker call
+    pairs = pairs.repartition(max(qb * cb, 1))
 
     def fn(batches):
-        bids, bC = bc.value
         for pdf in batches:
-            Q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-            qids = pdf[id_col].to_numpy()
-            S = Q @ bC.T
-            out_q, out_n, out_r, out_c = [], [], [], []
-            for row, qid in enumerate(qids):
-                sims = S[row]
-                mask = bids != qid
-                cand_ids = bids[mask]
-                cand_sims = sims[mask]
-                # order by cosine desc, neighbor id asc (deterministic)
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                for rank, j in enumerate(order, start=1):
-                    out_q.append(qid)
-                    out_n.append(cand_ids[j])
-                    out_r.append(rank)
-                    out_c.append(round(float(cand_sims[j]), 6))
-            yield pd.DataFrame({
-                "query_id": out_q, "neighbor_id": out_n,
-                "rank": out_r, "cosine": out_c,
-            })
+            for qi, ci in zip(pdf["q_items"], pdf["c_items"]):
+                qids = np.array([x["id"] for x in qi])
+                Q = np.array([x["v"] for x in qi], dtype=np.float64)
+                cids = np.array([x["id"] for x in ci])
+                C = np.array([x["v"] for x in ci], dtype=np.float64)
+                Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+                C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+                S = Q @ C.T
+                out_q, out_n, out_c = [], [], []
+                for row, qid in enumerate(qids):
+                    sims = S[row]
+                    mask = cids != qid
+                    cand_ids = cids[mask]
+                    cand_sims = sims[mask]
+                    # block-local top-k by (cosine desc, neighbor id asc)
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    out_q.extend([qid] * len(order))
+                    out_n.extend(cand_ids[j] for j in order)
+                    out_c.extend(float(cand_sims[j]) for j in order)
+                yield pd.DataFrame({
+                    "query_id": out_q, "neighbor_id": out_n, "cosine": out_c,
+                })
 
-    schema = "query_id long, neighbor_id long, rank long, cosine double"
-    return queries.select(id_col, vec_col).mapInPandas(fn, schema)
+    partial = pairs.mapInPandas(fn, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 def lsh_topk(

@@ -186,3 +186,20 @@ def test_multimodal_meta_features(spark):
     df = multimodal.media_table(spark, rows)
     out = multimodal.extract_meta_features(df).collect()[0]
     assert out["n_bytes"] == 3 and out["mime"] == "image/png"
+
+
+def test_brute_force_topk_arrow_blocked_matches_exact(spark):
+    # multi-block path (block_rows < corpus size) must merge to the same
+    # exact top-k as the single-join formulation — and never collect the
+    # corpus to the driver
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, q, k=3).collect()
+    }
+    blocked = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk_arrow(emb, q, k=3, block_rows=100).collect()
+    }
+    assert blocked == exact
