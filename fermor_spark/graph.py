@@ -226,6 +226,23 @@ class PropertyGraph:
         g._seq_counter = self._seq_counter
         return g
 
+    def add_edge_returning(self, label: str, src, dst, doc=None,
+                           weight=None) -> tuple["PropertyGraph", DataFrame]:
+        """Add one edge and return (graph', created-edge rows) — the
+        reference's add-edge! build-then-return idiom as a named API
+        (src/fermor/core.clj:146-230). Linear-graph building only, like the
+        reference; conflict resolution still happens at forked()."""
+        payload = doc if doc is not None else weight
+        g = self.add_edges(label, [(src, dst, payload)] if payload is not None
+                           else [(src, dst)])
+        return g, g.get_edge(label, src, dst)
+
+    def add_vertex_returning(self, vid, doc=None) -> tuple["PropertyGraph", "Route"]:
+        """Add one vertex and return (graph', vertex route) — the reference's
+        add-vertex! idiom as a named API (src/fermor/core.clj:146-230)."""
+        g = self.add_vertices([(vid, doc)] if doc is not None else [vid])
+        return g, g.get_vertex(vid)
+
     # ------------------------------------------------------- forked lifecycle
 
     def forked(self, cache: bool = True) -> "PropertyGraph":

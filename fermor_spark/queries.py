@@ -960,15 +960,506 @@ def text_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g_connected_components")  # rows-only: iterative fixpoint
+@query(
+    "g_connected_components",
+    """
+    WITH mem AS (
+      SELECT r_regionkey AS rk, 'r:' || r_regionkey AS id FROM region
+      UNION ALL SELECT n_regionkey, 'n:' || n_nationkey FROM nation
+      UNION ALL
+      SELECT n_regionkey, 'c:' || c_custkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT n_regionkey, 's:' || s_suppkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT comp, count(*) AS n_members FROM (
+      SELECT id, min(id) OVER (PARTITION BY rk) AS comp FROM mem
+    ) GROUP BY comp
+    """,
+)
 def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Component sizes of the star graph restricted to locality edges
-    (each region forms one component)."""
+    """Component sizes of the star graph restricted to locality edges —
+    each region forms one component whose min-id label the oracle derives
+    relationally (min over the region's membership)."""
     g = star_graph(spark, sf_dir)
     cc = iterate.connected_components(
         g, labels=["in_nation", "in_region", "supp_nation"], incident_only=True
     )
     return cc.groupBy("comp").agg(F.count("*").alias("n_members"))
+
+
+# --------------------------------------------------------------------------
+# recursive / algorithmic graph surface (SURVEY §2.7-§2.9) with oracles
+#
+# The star schema is acyclic, so the cyclic family (all_cycles, SCC) runs on
+# a deterministic data-derived ring: within each region, nations ordered by
+# key form one directed ring (n_i -> n_{i+1}, last wraps to first).
+
+def _nation_ring_graph(spark: SparkSession, sf_dir: str):
+    from fermor_spark.datasets import _id
+    from fermor_spark.graph import PropertyGraph
+
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    wall = Window.partitionBy("n_regionkey")
+    ring = n.select(
+        F.lit("next_nation").alias("label"),
+        _id("n", F.col("n_nationkey")).alias("src"),
+        _id("n", F.coalesce(
+            F.lead("n_nationkey").over(w), F.min("n_nationkey").over(wall)
+        )).alias("dst"),
+    )
+    return PropertyGraph.from_dataframes(spark, ring)
+
+
+@query(
+    "g_all_cycles_ring",
+    """
+    SELECT 'n:' || n_nationkey AS id, cnt AS cycle_len
+    FROM nation JOIN (
+      SELECT n_regionkey AS rk, count(*) AS cnt FROM nation GROUP BY n_regionkey
+    ) ON n_regionkey = rk
+    """,
+)
+def g_all_cycles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """all-cycles (reference: src/fermor/core.clj:1204-1233) on the nation
+    ring: every nation starts exactly one cycle whose length is its region's
+    ring size."""
+    rg = _nation_ring_graph(spark, sf_dir)
+    cyc = iterate.all_cycles(rg, max_len=30, labels="next_nation")
+    return cyc.select(
+        F.expr("substring(path[0], 3)").alias("id"),
+        ((F.size("path") - 1) / 2).cast("long").alias("cycle_len"),
+    )
+
+
+@query(
+    "g_scc_nation_ring",
+    """
+    SELECT 'n:' || n_nationkey AS id, m AS component
+    FROM nation JOIN (
+      SELECT n_regionkey AS rk, min('n:' || n_nationkey) AS m
+      FROM nation GROUP BY n_regionkey
+    ) ON n_regionkey = rk
+    """,
+)
+def g_scc_nation_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed FW-BW SCC (iterate.strongly_connected_components) on the
+    region rings: each ring is one SCC labeled by its lexicographic min id."""
+    rg = _nation_ring_graph(spark, sf_dir)
+    return iterate.strongly_connected_components(rg, labels="next_nation")
+
+
+@query(
+    "g_shortest_path_weighted",
+    """
+    SELECT 'c:1' AS id, 0.0 AS dist
+    UNION ALL
+    SELECT 'o:' || o_orderkey, 1.0 FROM orders WHERE o_custkey = 1
+    UNION ALL
+    SELECT 'p:' || l_partkey, round(1 + min(l_quantity), 2)
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_custkey = 1 GROUP BY l_partkey
+    """,
+)
+def g_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest distances (Bellman-Ford relaxation,
+    iterate.shortest_path_weighted) from customer 1 through its orders to
+    parts: placed_by is transposed so both hops point outward (also
+    exercising transpose in the driver gate); contains edges carry
+    l_quantity weights, placed_by defaults to 1."""
+    g = star_graph(spark, sf_dir).transpose(labels=["placed_by"])
+    d = iterate.shortest_path_weighted(
+        g, g.get_vertex("c:1"), labels=["placed_by", "contains"], direction="out"
+    )
+    return d.select("id", F.round("dist", 2).alias("dist"))
+
+
+@query(
+    "g_triangle_count_copurchase",
+    """
+    WITH t AS (
+      SELECT DISTINCT o_custkey AS c, o_orderkey AS o, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_custkey <= 100
+    )
+    SELECT id, count(*) AS triangles FROM (
+      SELECT 'c:' || c AS id FROM t
+      UNION ALL SELECT 'o:' || o FROM t
+      UNION ALL SELECT 'p:' || p FROM t
+    ) GROUP BY id
+    """,
+)
+def g_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (iterate.triangle_count) on the
+    customer-order-part subgraph: every distinct (customer, order, part)
+    purchase triple closes exactly one undirected triangle."""
+    from fermor_spark.datasets import _id
+    from fermor_spark.graph import PropertyGraph
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    li = table(spark, sf_dir, "lineitem")
+    op = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "o_orderkey", "l_partkey")
+        .distinct()
+    )
+    def e(df, label, s, d):
+        return df.select(
+            F.lit(label).alias("label"), s.alias("src"), d.alias("dst")
+        )
+    edges = (
+        e(o, "placed_by", _id("o", F.col("o_orderkey")), _id("c", F.col("o_custkey")))
+        .unionByName(e(op.select("o_orderkey", "l_partkey").distinct(), "contains",
+                       _id("o", F.col("o_orderkey")), _id("p", F.col("l_partkey"))))
+        .unionByName(e(op.select("o_custkey", "l_partkey").distinct(), "bought",
+                       _id("c", F.col("o_custkey")), _id("p", F.col("l_partkey"))))
+    )
+    g = PropertyGraph.from_dataframes(spark, edges)
+    return iterate.triangle_count(g).where(F.col("triangles") > 0)
+
+
+@query(
+    "g_square_count_bipartite",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_custkey <= 40
+    ), quad AS (
+      SELECT e1.c AS c1, e2.c AS c2, e1.p AS p1, e3.p AS p2
+      FROM e e1
+      JOIN e e2 ON e1.p = e2.p AND e1.c < e2.c
+      JOIN e e3 ON e3.c = e1.c AND e3.p > e1.p
+      JOIN e e4 ON e4.c = e2.c AND e4.p = e3.p
+    )
+    SELECT id, count(*) AS squares FROM (
+      SELECT 'c:' || c1 AS id FROM quad UNION ALL SELECT 'c:' || c2 FROM quad
+      UNION ALL SELECT 'p:' || p1 FROM quad UNION ALL SELECT 'p:' || p2 FROM quad
+    ) GROUP BY id
+    """,
+)
+def g_square_count_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 4-cycle counts (iterate.square_count, the reference
+    `squares` counter) on the bipartite customer-part graph; the oracle
+    enumerates 4-cycles directly — an independent check of the wedge-pair
+    aggregation."""
+    from fermor_spark.datasets import _id
+    from fermor_spark.graph import PropertyGraph
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 40)
+    li = table(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey").distinct()
+    )
+    edges = cp.select(
+        F.lit("bought").alias("label"),
+        _id("c", F.col("o_custkey")).alias("src"),
+        _id("p", F.col("l_partkey")).alias("dst"),
+    )
+    g = PropertyGraph.from_dataframes(spark, edges)
+    return iterate.square_count(g).where(F.col("squares") > 0)
+
+
+@query(
+    "g_all_paths_region",
+    """
+    SELECT 'v:r:0' AS path_str
+    UNION ALL
+    SELECT 'v:r:0->v:n:' || n_nationkey FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT 'v:r:0->v:n:' || n_nationkey || '->v:c:' || c_custkey
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 0
+    """,
+)
+def g_all_paths_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-emitting recursion (iterate.all_paths): every per-path provenance
+    chain from region 0 down to its customers, depth ≤ 2."""
+    g = star_graph(spark, sf_dir)
+    paths = iterate.all_paths(
+        g, g.get_vertex("r:0"), labels=["in_region", "in_nation"],
+        direction="in", max_depth=2,
+    )
+    return paths.select(F.concat_ws("->", "path").alias("path_str"))
+
+
+@query(
+    "g_transpose_nation",
+    "SELECT 'n:' || c_nationkey AS n_id, 'c:' || c_custkey AS c_id FROM customer",
+)
+def g_transpose_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transpose (reference: src/fermor/graph.clj:156-167): flipping
+    in_nation turns customer->nation into nation->customer, so `out` from
+    nations yields their customers."""
+    g = star_graph(spark, sf_dir).transpose(labels=["in_nation"])
+    nat = g.vertices("nation")
+    tagged = nat._with(nat.df.withColumn("_n", F.col("id")))
+    return tagged.out("in_nation").df.select(
+        F.col("_n").alias("n_id"), F.col("id").alias("c_id")
+    )
+
+
+@query(
+    "g_merge_graphs",
+    "SELECT 'c:' || c_custkey AS c_id, 'n:' || c_nationkey AS n_id FROM customer",
+)
+def g_merge_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge (reference: src/fermor/graph.clj:531-562): the in_nation edges
+    split by customer-key parity into two graphs, merged back, must traverse
+    identically to the unsplit graph."""
+    from fermor_spark.datasets import _id
+    from fermor_spark.graph import PropertyGraph
+
+    cust = table(spark, sf_dir, "customer")
+
+    def half(pred):
+        return PropertyGraph.from_dataframes(spark, cust.where(pred).select(
+            F.lit("in_nation").alias("label"),
+            _id("c", F.col("c_custkey")).alias("src"),
+            _id("n", F.col("c_nationkey")).alias("dst"),
+        ))
+
+    gm = half(F.col("c_custkey") % 2 == 0).merge(half(F.col("c_custkey") % 2 == 1))
+    cr = gm.vertices()
+    tagged = cr._with(cr.df.withColumn("_c", F.col("id")))
+    return (
+        tagged.out("in_nation").df
+        .select(F.col("_c").alias("c_id"), F.col("id").alias("n_id"))
+    )
+
+
+@query(
+    "g_set_documents_nation",
+    "SELECT 'n:' || n_nationkey AS id, n_name AS name FROM nation",
+)
+def g_set_documents_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set-documents routing vertices (reference: src/fermor/graph.clj:90-102)
+    + document projection (`values`): attach nation names as documents, read
+    them back through the route API."""
+    g = star_graph(spark, sf_dir)
+    pairs = [
+        (f"n:{r['n_nationkey']}", {"name": r["n_name"]})
+        for r in table(spark, sf_dir, "nation").collect()
+    ]
+    return g.set_documents(pairs).vertices("nation").values("name")
+
+
+@query(
+    "g_edge_documents",
+    """
+    SELECT 'n:' || n_nationkey AS n_id, r_name AS rname
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def g_edge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set-documents routing edges (reference: src/fermor/graph.clj:90-102):
+    attach the region name to each in_region edge document, read back off
+    the edge scan."""
+    g = star_graph(spark, sf_dir)
+    quads = [
+        ("in_region", f"n:{r['n_nationkey']}", f"r:{r['n_regionkey']}",
+         {"rname": r["r_name"]})
+        for r in table(spark, sf_dir, "nation")
+        .join(table(spark, sf_dir, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey")).collect()
+    ]
+    g2 = g.set_edge_documents(quads)
+    return g2._edges_df("in_region").select(
+        F.col("src").alias("n_id"),
+        F.get_json_object("doc", "$.rname").alias("rname"),
+    )
+
+
+@query(
+    "g_branch_merge",
+    """
+    SELECT 0 AS branch, count(*) AS n FROM orders WHERE o_custkey <= 50
+    UNION ALL
+    SELECT 1, count(*) FROM (
+      SELECT DISTINCT o_custkey, l_partkey
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_custkey <= 50
+    )
+    """,
+)
+def g_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """branch + merge-exhaustive (reference: src/fermor/core.clj:895-922):
+    fan a customer route into orders and bought-parts branches, merge with
+    the branch-index column, count per branch."""
+    g = star_graph(spark, sf_dir)
+    from fermor_spark.route import Route
+
+    cust = g.vertices("customer").where(
+        F.split(F.col("id"), ":").getItem(1).cast("long") <= 50
+    )
+    branches = cust.branch(
+        lambda r: r.in_("placed_by"),
+        lambda r: r.out("bought"),
+    )
+    merged = Route.merge_exhaustive(branches)
+    return merged.df.groupBy(F.col("_branch").cast("long").alias("branch")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "g_sorted_section_orders",
+    """
+    SELECT 'c:' || o_custkey AS section,
+           string_agg('o:' || o_orderkey, ',' ORDER BY 'o:' || o_orderkey) AS items
+    FROM orders WHERE o_custkey <= 10 GROUP BY o_custkey
+    """,
+)
+def g_sorted_section_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sorted-section (reference: src/fermor/core.clj:811-814): per-customer
+    sorted collection of their order ids."""
+    g = star_graph(spark, sf_dir)
+    cust = g.vertices("customer").where(
+        F.split(F.col("id"), ":").getItem(1).cast("long") <= 10
+    )
+    sec = cust.sorted_section(lambda r: r.in_("placed_by"))
+    return sec.select(
+        F.col("_section").alias("section"),
+        F.concat_ws(",", "items").alias("items"),
+    )
+
+
+@query(
+    "g_vertices_with_edge_supp",
+    """
+    SELECT DISTINCT 's:' || s_suppkey AS id FROM supplier
+    UNION SELECT DISTINCT 'n:' || s_nationkey FROM supplier
+    """,
+)
+def g_vertices_with_edge_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vertices-with-edge (reference: src/fermor/graph.clj:772-778)."""
+    return star_graph(spark, sf_dir).vertices_with_edge("supp_nation")
+
+
+@query(
+    "g_other_v_both",
+    """
+    SELECT 'n:' || c_nationkey AS n_id, 'c:' || c_custkey AS o_id FROM customer
+    UNION ALL
+    SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+    """,
+)
+def g_other_v_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """both-e + other-v (reference: src/fermor/core.clj:402-412, 610-618):
+    from each nation, step onto incident edges both ways and land on the
+    endpoint AWAY from the nation — customers (reverse edges) and regions
+    (forward edges)."""
+    g = star_graph(spark, sf_dir)
+    nat = g.vertices("nation")
+    tagged = nat._with(nat.df.withColumn("_n", F.col("id")))
+    return tagged.both_e(["in_nation", "in_region"]).other_v().df.select(
+        F.col("_n").alias("n_id"), F.col("id").alias("o_id")
+    )
+
+
+@query(
+    "g_filter_one_of",
+    """
+    SELECT 'n:' || n_nationkey AS n_id, 'r:' || n_regionkey AS r_id
+    FROM nation WHERE n_nationkey IN (1, 5, 7)
+    """,
+)
+def g_filter_one_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one-of membership filter (reference: src/fermor/core.clj:1274-1282)."""
+    g = star_graph(spark, sf_dir)
+    nat = g.vertices("nation").one_of(["n:1", "n:5", "n:7"])
+    tagged = nat._with(nat.df.withColumn("_n", F.col("id")))
+    return tagged.out("in_region").df.select(
+        F.col("_n").alias("n_id"), F.col("id").alias("r_id")
+    )
+
+
+@query(
+    "g_subseq_degree",
+    """
+    SELECT id, degree FROM (
+      SELECT id, count(*) AS degree FROM (
+        SELECT 'n:' || c_nationkey AS id FROM customer
+        UNION ALL SELECT 'n:' || s_nationkey FROM supplier
+        UNION ALL SELECT 'n:' || n_nationkey FROM nation
+      ) GROUP BY id
+    ) WHERE degree BETWEEN 50 AND 80
+    """,
+)
+def g_subseq_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subseq-route range scan (reference: src/fermor/core.clj:716-732) over
+    the per-nation degree."""
+    from fermor_spark.route import Route
+
+    g = star_graph(spark, sf_dir)
+    nat = g.vertices("nation")
+    r = Route(g, nat.degree(), "v")
+    return r.subseq_route("degree", 50, 80).df
+
+
+@query(
+    "g_take_drop_parts",
+    """
+    SELECT id FROM (
+      SELECT 'p:' || p_partkey AS id,
+             row_number() OVER (ORDER BY 'p:' || p_partkey) - 1 AS rn
+      FROM part
+    ) WHERE rn < 5 OR (rn >= 15 AND rn < 20)
+    """,
+)
+def g_take_drop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take-drop pagination (reference: src/fermor/core.clj:1381-1402) over
+    the id-ordered part scan: take 5, drop 10, take 5."""
+    g = star_graph(spark, sf_dir)
+    return g.vertices("part").take_drop(5, 10, 5).df
+
+
+@query(
+    "g_group_count_kind",
+    """
+    SELECT kind, n FROM (
+      SELECT 'customer' AS kind, count(*) AS n FROM customer
+      UNION ALL SELECT 'nation', count(*) FROM nation
+      UNION ALL SELECT 'region', count(*) FROM region
+      UNION ALL SELECT 'supplier', count(*) FROM supplier
+      UNION ALL SELECT 'part', count(*) FROM part
+      UNION ALL SELECT 'order', count(*) FROM orders
+    )
+    """,
+)
+def g_group_count_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-count (reference: src/fermor/core.clj:1458-1475) keyed by
+    vertex kind."""
+    g = star_graph(spark, sf_dir)
+    return g.V.groupBy("kind").agg(F.count("*").alias("n"))
+
+
+@query(
+    "algo_dominators_flow",
+    """
+    SELECT * FROM (VALUES
+      ('S','S'), ('A','S'), ('B','S'), ('C','S'), ('D','A'), ('E','B'),
+      ('F','C'), ('G','C'), ('H','E'), ('I','S'), ('J','G'), ('K','S')
+    ) AS t(id, idom)
+    """,
+)
+def algo_dominators_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side Cooper-Harvey-Kennedy immediate dominators on the
+    reference's literature flow graph (algo_test.clj:177-240); the oracle is
+    the published expected dominator tree."""
+    from fermor_spark import algo
+    from fermor_spark.graph import PropertyGraph
+
+    g = PropertyGraph.build(spark).add_edges("to", [
+        ("S", "C"), ("S", "B"), ("S", "A"), ("C", "F"), ("C", "G"), ("F", "I"),
+        ("G", "I"), ("G", "J"), ("I", "K"), ("K", "I"), ("K", "S"), ("B", "E"),
+        ("B", "A"), ("E", "H"), ("H", "E"), ("H", "K"), ("A", "D")]).forked()
+    succ, pred = algo.collect_adjacency(g, "to")
+    doms = algo.immediate_dominators(succ, pred, "S")
+    return spark.createDataFrame(sorted(doms.items()), "id string, idom string")
 
 
 # --------------------------------------------------------------------------

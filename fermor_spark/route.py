@@ -413,7 +413,50 @@ class Route:
         )
 
     def no_path(self) -> "Route":
+        """Fully unwrap provenance — the reference's no-path!
+        (src/fermor/path.clj:287-323)."""
         return self._with(self.df.drop("path"))
+
+    def no_path_one(self) -> "Route":
+        """Unwrap ONE provenance level: drop the most recent path entry
+        (reference: no-path's single-level unwrap vs no-path!'s full unwrap,
+        src/fermor/path.clj:287-323)."""
+        assert self.has_path
+        return self._with(self.df.withColumn(
+            "path", F.slice(F.col("path"), 1, F.size(F.col("path")) - 1)
+        ))
+
+    def reset_path(self) -> "Route":
+        """Restart provenance tracking at the current element
+        (reference: reset-path, src/fermor/path.clj:287-323)."""
+        return self._with(
+            self.df.withColumn("path", F.array(self._elem_repr()))
+        )
+
+    def prevent_cycles(self) -> "Route":
+        """Keep only elements whose path never revisits a vertex — the
+        distributed shape of the reference's prevent-cycles truncation for
+        to-one chains (src/fermor/core.clj:1351-1377): in a frontier model
+        the 'truncate at first repeat' happens per path, by dropping the
+        offending continuation rather than cutting a lazy seq."""
+        assert self.has_path
+        verts = F.filter(F.col("path"), lambda x: x.startswith("v:"))
+        return self._with(
+            self.df.where(F.size(verts) == F.size(F.array_distinct(verts)))
+        )
+
+    def no_cycles(self) -> "Route":
+        """Like prevent_cycles but SIGNALS on a revisit instead of dropping —
+        the reference's no-cycles! error variant
+        (src/fermor/core.clj:1351-1377). Raises ValueError."""
+        assert self.has_path
+        verts = F.filter(F.col("path"), lambda x: x.startswith("v:"))
+        bad = self.df.where(
+            F.size(verts) != F.size(F.array_distinct(verts))
+        ).limit(1).count()
+        if bad:
+            raise ValueError("no_cycles: cycle encountered in route path")
+        return self
 
     # -------------------------------------------------- section / pair forms
 
@@ -512,6 +555,17 @@ class Route:
             cond = cond & (c <= hi)
         return self._with(self.df.where(cond).orderBy(c))
 
+    def rsubseq_route(self, col: str, lo=None, hi=None) -> "Route":
+        """Reverse range scan — same bounds, descending order
+        (reference: rsubseq-route, src/fermor/core.clj:725)."""
+        c = F.col(col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= lo)
+        if hi is not None:
+            cond = cond & (c <= hi)
+        return self._with(self.df.where(cond).orderBy(c.desc()))
+
     # ------------------------------------------------------------- cycles
 
     def is_cycle(self, labels=None, max_len: int = 10) -> "Route":
@@ -573,6 +627,14 @@ class Route:
         assert self.has_path
         ln = length if length is not None else 1_000_000
         return self._with(self.df.withColumn("path", F.slice(F.col("path"), start, ln)))
+
+    def reload(self, other: "PropertyGraph") -> "Route":
+        """Re-resolve this route's vertices against another graph version
+        (reference: reload, src/fermor/core.clj:262-266): keep the ids, swap
+        the backing graph, drop ids that no longer exist there."""
+        assert self.etype == "v"
+        out = self.df.join(other.vertex_ids(), "id", "left_semi")
+        return Route(other, out, "v")
 
     def ids(self) -> list[str]:
         assert self.etype == "v"

@@ -111,3 +111,67 @@ def test_to_networkx(spark):
     assert G.number_of_edges() == 12
     assert G.nodes["bob"]["doc"]["name"] == "Bob"
     assert G["blueprints"]["blueprintsJob1"][0]["label"] == "created"
+
+
+def test_rsubseq_route(spark):
+    from fermor_spark.route import Route
+
+    g = job_graph(spark)
+    nat = g.vertices()
+    r = Route(g, nat.degree(), "v").rsubseq_route("degree", 2, 3)
+    rows = [x["degree"] for x in r.df.collect()]
+    assert rows == sorted(rows, reverse=True)
+    assert all(2 <= d <= 3 for d in rows)
+
+
+def test_reset_path_and_no_path_one(spark):
+    g = job_graph(spark)
+    r = g.get_vertex("blueprints").with_path().out("created")
+    full = {x["id"]: x["path"] for x in r.df.select("id", "path").collect()}
+    assert all(len(p) == 3 for p in full.values())  # v, e, v
+    one = {x["id"]: x["path"] for x in r.no_path_one().df.select("id", "path").collect()}
+    assert one == {k: p[:-1] for k, p in full.items()}
+    for x in r.reset_path().df.select("id", "path").collect():
+        assert x["path"] == [f"v:{x['id']}"]
+
+
+def test_prevent_and_no_cycles(spark):
+    import pytest
+
+    from tests.fixtures import cycles_graph
+
+    g = cycles_graph(spark)
+    # expand 3 hops with cycles allowed; prevent_cycles keeps acyclic paths
+    r = g.vertices().with_path().out().out().out()
+    kept = r.prevent_cycles()
+    assert kept.count() < r.count()
+    for row in kept.df.select("path").collect():
+        vs = [p for p in row["path"] if p.startswith("v:")]
+        assert len(vs) == len(set(vs))
+    with pytest.raises(ValueError, match="no_cycles"):
+        r.no_cycles()
+    # an acyclic route passes through unchanged
+    ac = g.vertices().with_path().out()
+    assert ac.no_cycles().count() == ac.count()
+
+
+def test_reload(spark):
+    from fermor_spark import PropertyGraph
+
+    g1 = PropertyGraph.build(spark).add_edges("l", [("a", "b"), ("b", "c")]).forked()
+    g2 = PropertyGraph.build(spark).add_edges("l", [("a", "b")]).forked()
+    r = g1.vertices().reload(g2)
+    assert r.g is g2
+    assert r.id_set() == {"a", "b"}  # 'c' gone in the new version
+
+
+def test_add_edge_vertex_returning(spark):
+    from fermor_spark import PropertyGraph
+
+    g = PropertyGraph.build(spark)
+    g, e = g.add_edge_returning("l", "a", "b", doc={"x": 1})
+    row = e.collect()[0]
+    assert (row["src"], row["dst"]) == ("a", "b")
+    g, v = g.add_vertex_returning("z", {"k": 2})
+    assert v.ids() == ["z"]
+    assert g.forked().document("z") == {"k": 2}
