@@ -175,3 +175,25 @@ def test_add_edge_vertex_returning(spark):
     g, v = g.add_vertex_returning("z", {"k": 2})
     assert v.ids() == ["z"]
     assert g.forked().document("z") == {"k": 2}
+
+
+def test_force_atlas_adaptive_damps_overshoot(spark):
+    # the reference's swinging/traction speed adaptation (force_atlas.clj:
+    # 37-42, 104-119): where a large fixed speed oscillates and diverges,
+    # the adaptive controller detects the swinging and throttles — the run
+    # contracts toward the origin instead of exploding
+    import math
+
+    g = edges_graph(spark, "l", [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("d", "e"), ("e", "f")])
+
+    def spread(df):
+        rows = df.collect()
+        return sum(math.hypot(r["x"], r["y"]) for r in rows) / len(rows)
+
+    s0 = spread(layout.init_positions(g))
+    runaway = spread(layout.force_atlas(g, iterations=12, adaptive=False, speed=5.0))
+    adaptive = spread(layout.force_atlas(g, iterations=12, adaptive=True,
+                                         jitter_tolerance=0.5))
+    assert runaway > s0 * 10      # fixed speed 5.0 diverges on this fixture
+    assert adaptive < s0          # adaptive contracts instead
