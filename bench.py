@@ -46,11 +46,53 @@ BENCH_QUERIES = [
     "ann_nearest_neighbor_all",
     "rollup_order_totals",
     "median_price_by_status",
+    # r2 additions (keys above stay stable for round-over-round comparison)
+    "q6_revenue_forecast",
+    "window_lag_user_delta",
 ]
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _bench_bucketed_traversal(spark, timings: dict[str, float]) -> None:
+    """End-to-end persisted-bucketed path: save the star graph with
+    src-bucketed edges (one-time ETL, untimed — it is the amortized cost a
+    production deployment pays once), load it back as a table, and time a
+    2-hop traversal. The bucketed side of each src-keyed hop join reads
+    pre-shuffled, so only the (small) frontier exchanges."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fermor_spark.graph import PropertyGraph
+
+    tmp = tempfile.mkdtemp(prefix="fermor_bench_bucketed_")
+    path = f"{tmp}/bg"
+    name = "fermor_edges_" + path.strip("/").replace("/", "_").replace("-", "_").replace(".", "_")
+    try:
+        g = star_graph(spark, SF_DIR)
+        g.save(path, bucket_by_src=16)
+        e = spark.table(name)
+        v = spark.read.parquet(f"{path}/vertices")
+        gb = PropertyGraph.from_dataframes(spark, e, v)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cust = gb.vertices("customer")
+            tagged = cust._with(cust.df.withColumn("_c", F.col("id")))
+            out = tagged.out("in_nation").out("in_region").df.select(
+                F.col("_c").alias("c_id"), F.col("id").alias("r_id")
+            )
+            _force(out)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings["g_2hop_bucketed"] = round(best, 3)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -74,6 +116,8 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+
+    _bench_bucketed_traversal(spark, timings)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)

@@ -62,7 +62,16 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_table(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    if max_shingle_df is None:
+    hot = None
+    if max_shingle_df is not None:
+        # adaptive plan choice (runtime stats, like AQE): the blocked+verify
+        # shape only pays for itself when hot shingles actually exist —
+        # probe the frequency table first
+        freq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        hot = freq.where(F.col("_df") > max_shingle_df).select("sh").cache()
+        if hot.limit(1).count() == 0:
+            hot = None
+    if hot is None:
         # single-pass: the blocking join IS the intersection count
         a = sh.select(F.col("id").alias("id_a"), "sh")
         b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -73,12 +82,7 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("c"))
         )
     else:
-        rare = (
-            sh.groupBy("sh").agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_shingle_df)
-            .select("sh")
-        )
-        block = sh.join(rare, "sh", "left_semi")
+        block = sh.join(F.broadcast(hot), "sh", "left_anti")
         a = block.select(F.col("id").alias("id_a"), "sh")
         b = block.select(F.col("id").alias("id_b"), "sh")
         cands = (
@@ -87,9 +91,11 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        # verification over FULL shingle sets (exact jaccard, independent of cap)
+        # verification over FULL shingle sets (exact jaccard, independent of
+        # cap); candidates are few — broadcast them onto the shingle table
         inter = (
-            cands.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+            F.broadcast(cands)
+            .join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
             .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
             .where(F.col("sh") == F.col("sh_b"))
             .groupBy("id_a", "id_b")

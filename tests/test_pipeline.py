@@ -203,3 +203,20 @@ def test_brute_force_topk_arrow_blocked_matches_exact(spark):
         for r in similarity.brute_force_topk_arrow(emb, q, k=3, block_rows=100).collect()
     }
     assert blocked == exact
+
+
+def test_ngram_jaccard_hot_shingle_cap_exact(spark):
+    # force the blocked+verify path (cap=2 makes the common preamble hot):
+    # the planted near-dup pair must still be found with EXACT jaccard
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{common} unique{i} filler{i} words{i} here{i}") for i in range(8)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                                       max_shingle_df=2)
+    full = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    exp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
+    assert (100, 101) in got
+    assert got[(100, 101)] == exp[(100, 101)]  # jaccard exact despite cap
