@@ -479,11 +479,24 @@ def descend(
 
     `children`: Route → Route producing the next frontier (any traversal
     composition). `emit_pred` / `descend_pred`: optional Column booleans
-    evaluated per element — emit-and-continue / emit / continue / cut are
-    their four combinations; the reference's chain/siblings signals govern
-    lazy sequencing order, which has no distributed meaning (documented
-    delta). The DFS-ordered emission becomes breadth-first levels; the
-    NoResult starvation failsafe becomes the max_depth guard.
+    evaluated per element. The reference's 8 control signals
+    (src/fermor/core.clj:954-976) map as:
+
+      emit-and-continue   emit_pred true,  descend_pred true   (default)
+      emit                emit_pred true,  descend_pred false
+      continue            emit_pred false, descend_pred true
+      ignore              emit_pred false  (element not emitted)
+      cut                 both false for the element — nothing below it runs
+      emit-and-cut        emit_pred true,  descend_pred false for the element
+
+    i.e. emit-and-cut IS expressible: the two predicates are evaluated
+    independently on the same frontier row. What is NOT reproduced is the
+    `cut` family's truncation of the remaining lazy-seq SIBLINGS and the
+    chain/siblings sequencing bits — order-dependent semantics with no
+    distributed meaning (documented delta, SURVEY §4.3; subtree semantics
+    are exact — see tests/test_iterate_extra.py control-signal cases).
+    The DFS-ordered emission becomes breadth-first levels; the NoResult
+    starvation failsafe becomes the max_depth guard.
     """
     frontier = start
     emitted = []

@@ -106,3 +106,37 @@ def test_betweenness_size_guard(spark):
     g = betweenness_graph(spark)
     with pytest.raises(SizeGuardError):
         iterate.betweenness_counts(g, max_vertices=2)
+
+
+def test_descend_control_signals(spark):
+    """The reference's 8 control signals (core_test.clj:18-164) mapped to
+    emit_pred/descend_pred combinations. The siblings/chain bits govern
+    lazy-seq sequencing and the `cut` family's truncate-remaining-SIBLINGS
+    effect — both order-dependent, with no distributed meaning (SURVEY
+    §4.3); subtree semantics (what is emitted / what descends) are
+    reproduced exactly. Fixture: 0 -> [1,2,3], 2 -> [9], starts {0,-1,-2}.
+    """
+    g = edges_graph(spark, "c", [("0", "1"), ("0", "2"), ("0", "3"), ("2", "9")])
+    start = g.get_vertices(["0", "-1", "-2"])
+
+    def run(emit_pred=None, descend_pred=None):
+        out = iterate.descend(
+            g, start, lambda r: r.out("c"),
+            emit_pred=emit_pred, descend_pred=descend_pred, max_depth=5,
+        )
+        return {r["id"] for r in out.select("id").collect()}
+
+    # continue (never emit) -> []
+    assert run(emit_pred=F.lit(False)) == set()
+    # emit unless v == 0, descend everywhere (emit vs continue per element)
+    assert run(emit_pred=F.col("id") != "0") == {"1", "2", "3", "9", "-1", "-2"}
+    # emit, never descend (the bare `emit` signal)
+    assert run(descend_pred=F.lit(False)) == {"0", "-1", "-2"}
+    # cut at 2: no emit, no descent below -> 9 unreachable
+    assert run(emit_pred=F.col("id") != "2",
+               descend_pred=F.col("id") != "2") == {"0", "1", "3", "-1", "-2"}
+    # emit-and-cut at 2: emitted but its subtree pruned -> 9 unreachable
+    assert run(descend_pred=F.col("id") != "2") == {"0", "1", "2", "3", "-1", "-2"}
+    # ignore negatives, cut at 2 (emit-and-continue elsewhere)
+    assert run(emit_pred=~F.col("id").startswith("-") & (F.col("id") != "2"),
+               descend_pred=F.col("id") != "2") == {"0", "1", "3"}
