@@ -951,6 +951,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     num_planes=4, num_tables=8)
 
 
+@query("ann_ivf_topk")  # rows-only: approximate by design; recall vs exact in tests
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (inverted lists + nprobe exact re-rank) —
+    the 100 TB scale path alongside the LSH variant."""
+    from fermor_spark.pipeline.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
+                    n_centroids=16, nprobe=6)
+
+
 @query("text_fingerprint_overlap")  # rows-only: xxhash64 winnowing
 def text_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fermor_spark.pipeline.text import fingerprint_overlap_pairs

@@ -220,3 +220,19 @@ def test_ngram_jaccard_hot_shingle_cap_exact(spark):
     exp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
     assert (100, 101) in got
     assert got[(100, 101)] == exp[(100, 101)]  # jaccard exact despite cap
+
+
+def test_ivf_topk_recall(spark):
+    # IVF coarse quantizer: recall@5 vs exact must be high with a good
+    # probe budget, and perfect when probing every cell
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.6, recall
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()}
+    assert full == exact  # probing all cells == exact search
