@@ -1,13 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The Spark-side machinery (schemas, batching, partition sizing, UDF
-signatures) is real and tested; the actual codec work is STUBBED because
-image/audio libraries are not available in this environment:
+Three tiers of codec support, honestly delineated:
 
-* ``decode_image`` — raises NotImplementedError unless ``fake=True``, in
-  which case it produces a deterministic fake decode (dimensions derived
-  from the byte content) so downstream plumbing can be exercised.
+* REAL, no external deps: ``parse_image_header`` (PNG/GIF/BMP/JPEG
+  dimensions from container bytes), ``decode_wav`` (RIFF/WAVE PCM header +
+  numpy sample statistics), ``resize_image_raw`` (nearest-neighbor resize
+  of raw interleaved arrays via numpy indexing).
+* STUBBED behind ``fake=True`` where the env lacks the codec library:
+  ``decode_image`` (full compressed-pixel decode needs PIL/opencv),
+  ``frame_sample`` (video needs ffmpeg). The Spark-side machinery —
+  schemas, batching, partition sizing, UDF signatures, row explosion —
+  is real and tested either way.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning skips them unless projected; ``repartition_for_payload`` right-sizes
@@ -61,6 +65,172 @@ def repartition_for_payload(df: DataFrame, target_bytes: int = 128 * 1024 * 1024
     total = df.select(F.sum(sizer).alias("b")).collect()[0]["b"] or 0
     parts = max(1, int(total // target_bytes) + 1)
     return df.repartition(parts)
+
+
+IMAGE_HEADER_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def parse_image_header(df: DataFrame) -> DataFrame:
+    """REAL image metadata extraction → (media_id, format, width, height).
+
+    Container-header parsing only (no pixel decode), so it needs no codec
+    library and reads a handful of bytes per row — the shape of a metadata
+    pass over 100 TB of images where full decode is deferred to the rows
+    that survive filtering. Unrecognized payloads yield nulls.
+
+    The sniffer is a NESTED function deliberately: cloudpickle ships nested
+    defs by value, so executors don't need fermor_spark on PYTHONPATH."""
+
+    def sniff(b: bytes):
+        """(format, width, height) from container bytes: PNG (IHDR), GIF
+        (logical screen descriptor), BMP (BITMAPINFOHEADER), JPEG (SOFn)."""
+        import struct
+
+        if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h
+        if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return "gif", w, h
+        if len(b) >= 26 and b[:2] == b"BM":
+            w, h = struct.unpack("<ii", b[18:26])
+            return "bmp", w, abs(h)
+        if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG: walk segment markers
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return "jpeg", w, h
+                i += 2 + seg_len
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for c in pdf["content"]:
+                got = sniff(bytes(c)) if c is not None else None
+                fmts.append(got[0] if got else None)
+                ws.append(got[1] if got else None)
+                hs.append(got[2] if got else None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "format": fmts,
+                "width": ws, "height": hs,
+            })
+
+    return df.mapInPandas(run, IMAGE_HEADER_SCHEMA)
+
+
+WAV_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bits_per_sample", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_sec", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode for PCM WAV → header fields + RMS energy.
+
+    RIFF/WAVE is an uncompressed container: the fmt chunk is struct
+    parsing and the data chunk is one numpy frombuffer — a genuine decode
+    + feature-extract path with zero external dependencies. Non-WAV or
+    compressed payloads yield nulls (route those to a codec-equipped
+    cluster profile)."""
+    import struct
+
+    import numpy as np
+
+    def parse(b: bytes):
+        if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i, rate, ch, bits, data = 12, None, None, None, None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            clen = struct.unpack("<I", b[i + 4:i + 8])[0]
+            body = b[i + 8:i + 8 + clen]
+            if cid == b"fmt ":
+                ch, rate = struct.unpack("<HI", body[2:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+            elif cid == b"data":
+                data = body
+            i += 8 + clen + (clen & 1)
+        if rate is None or data is None or bits not in (8, 16, 32):
+            return None
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+        samples = np.frombuffer(data, dtype=dtype).astype(np.float64)
+        if bits == 8:
+            samples = samples - 128.0
+        n = len(samples) // max(ch, 1)
+        rms = float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0
+        return rate, ch, bits, n, n / rate if rate else 0.0, rms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("sample_rate", "channels", "bits_per_sample",
+                     "n_samples", "duration_sec", "rms")}
+            for c in pdf["content"]:
+                got = parse(bytes(c)) if c is not None else None
+                vals = got if got else (None,) * 6
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.mapInPandas(run, WAV_SCHEMA)
+
+
+def resize_image_raw(df: DataFrame, out_w: int, out_h: int,
+                     channels: int = 3) -> DataFrame:
+    """REAL nearest-neighbor resize over RAW interleaved pixel arrays →
+    (media_id, width, height, content). Rows carry raw HxWxC bytes with
+    dimensions in meta['width']/meta['height'] (the post-decode layout a
+    training pipeline materializes); resizing is one numpy fancy-index per
+    image — no codec involved."""
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, c, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                arr = np.frombuffer(bytes(c), dtype=np.uint8)
+                if len(arr) != w * h * channels:
+                    continue
+                img = arr.reshape(h, w, channels)
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                resized = img[yi][:, xi]
+                ids.append(mid)
+                outs.append(resized.tobytes())
+            yield pd.DataFrame({
+                "media_id": ids, "width": [out_w] * len(ids),
+                "height": [out_h] * len(ids), "content": outs,
+            })
+
+    return df.mapInPandas(run, schema)
 
 
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:

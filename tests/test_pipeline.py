@@ -236,3 +236,70 @@ def test_ivf_topk_recall(spark):
     full = {(r["query_id"], r["neighbor_id"])
             for r in similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()}
     assert full == exact  # probing all cells == exact search
+
+
+def _png_bytes(w, h):
+    import struct, zlib
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * (w * 3) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _wav_bytes(rate, n, freq=440.0):
+    import io, math, struct, wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(rate)
+        w.writeframes(b"".join(
+            struct.pack("<h", int(10000 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)))
+    return buf.getvalue()
+
+
+def test_parse_image_header_real_formats(spark):
+    import struct
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 20
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 240, 360) + b"\x03" + b"\x00" * 6 + b"\xff\xd9")
+    rows = [(1, "image", _png_bytes(5, 7), {}), (2, "image", gif, {}),
+            (3, "image", bmp, {}), (4, "image", jpeg, {}),
+            (5, "image", b"not an image", {})]
+    out = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in multimodal.parse_image_header(multimodal.media_table(spark, rows)).collect()}
+    assert out[1] == ("png", 5, 7)
+    assert out[2] == ("gif", 320, 200)
+    assert out[3] == ("bmp", 640, 480)
+    assert out[4] == ("jpeg", 360, 240)
+    assert out[5] == (None, None, None)
+
+
+def test_decode_wav_real(spark):
+    rows = [(1, "audio", _wav_bytes(8000, 8000), {}),
+            (2, "audio", b"garbage", {})]
+    out = {r["media_id"]: r for r in
+           multimodal.decode_wav(multimodal.media_table(spark, rows)).collect()}
+    r1 = out[1]
+    assert (r1["sample_rate"], r1["channels"], r1["bits_per_sample"]) == (8000, 1, 16)
+    assert r1["n_samples"] == 8000
+    assert abs(r1["duration_sec"] - 1.0) < 1e-9
+    # RMS of a 10000-amplitude sine ~= 10000/sqrt(2)
+    assert abs(r1["rms"] - 10000 / 2 ** 0.5) < 100
+    assert out[2]["sample_rate"] is None
+
+
+def test_resize_image_raw(spark):
+    import numpy as np
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    rows = [(1, "image", img.tobytes(), {"width": "6", "height": "4"})]
+    out = multimodal.resize_image_raw(
+        multimodal.media_table(spark, rows), out_w=3, out_h=2).collect()
+    assert len(out) == 1 and out[0]["width"] == 3 and out[0]["height"] == 2
+    got = np.frombuffer(out[0]["content"], dtype=np.uint8).reshape(2, 3, 3)
+    exp = img[[0, 2]][:, [0, 2, 4]]
+    assert (got == exp).all()
