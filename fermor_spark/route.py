@@ -341,6 +341,13 @@ class Route:
         preservation is not meaningful distributed — documented delta)."""
         return self._with(self.df.dropDuplicates([col]))
 
+    def distinct_in(self, seen: "Route") -> "Route":
+        """Dedup against an externally accumulated `seen` route — the
+        reference's deprecated distinct-in shared-seen-atom idiom
+        (src/fermor/core.clj:1327-1349) as a distributed anti-join; compose
+        with `union` to thread the accumulated set between route positions."""
+        return self.minus(seen)
+
     def limit(self, n: int) -> "Route":
         return self._with(self.df.limit(n))
 

@@ -197,3 +197,10 @@ def test_force_atlas_adaptive_damps_overshoot(spark):
                                          jitter_tolerance=0.5))
     assert runaway > s0 * 10      # fixed speed 5.0 diverges on this fixture
     assert adaptive < s0          # adaptive contracts instead
+
+
+def test_distinct_in(spark):
+    g = edges_graph(spark, "l", [("a", "b"), ("a", "c"), ("b", "c")])
+    seen = g.get_vertices(["c"])
+    out = g.get_vertex("a").out("l").distinct_in(seen)
+    assert out.id_set() == {"b"}
