@@ -441,6 +441,57 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_self_join_10m",
+    """
+    SELECT a.user_id, a.event_id AS first_event_id, b.event_id AS second_event_id,
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.user_id <= 50
+    """,
+)
+def events_self_join_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join — the batch semantics of the stream-stream join
+    (streaming.self_join_within): same-user event pairs within 10 minutes.
+    Restricted to user_id <= 50 to bound the pair count at sf0.01."""
+    from fermor_spark.streaming import self_join_within
+
+    e = table(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    out = self_join_within(e, minutes=10)
+    return out.select("user_id", "first_event_id", "second_event_id",
+                      F.col("gap_seconds").cast("long").alias("gap_seconds"))
+
+
+@query(
+    "events_enriched_by_type",
+    """
+    SELECT e.event_type, t.rank AS type_rank, count(*) AS n
+    FROM events e JOIN (
+      SELECT event_type, row_number() OVER (ORDER BY event_type) AS rank
+      FROM (SELECT DISTINCT event_type FROM events)
+    ) t ON e.event_type = t.event_type
+    GROUP BY e.event_type, t.rank
+    """,
+)
+def events_enriched_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming.enrich_with_dimension) in batch
+    form: join events against a derived dimension (broadcast), aggregate."""
+    from fermor_spark.streaming import enrich_with_dimension
+
+    e = table(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type").distinct()
+        .withColumn("type_rank",
+                    F.row_number().over(Window.orderBy("event_type")).cast("long"))
+    )
+    return (
+        enrich_with_dimension(e.select("event_type"), dim, "event_type")
+        .groupBy("event_type", "type_rank").agg(F.count("*").alias("n"))
+    )
+
+
 # --------------------------------------------------------------------------
 # graph traversal queries (Route engine over the star graph; SQL oracles)
 
