@@ -211,3 +211,16 @@ def test_update_edge_documents(spark):
     docs = {(r["label"], r["src"], r["dst"]): r["doc"] for r in g2.E.collect()}
     assert json.loads(docs[("l", "a", "b")]) == {"n": 2}
     assert json.loads(docs[("m", "b", "c")]) == {"n": 5}  # untouched
+
+
+def test_add_edges_on_loaded_graph_keeps_existing(spark):
+    # a graph wrapped via from_dataframes has no build columns; add_edges
+    # must lift it (batch 0) and keep the pre-existing edges through forked()
+    e = spark.createDataFrame([("l", "a", "b")], "label string, src string, dst string")
+    g = PropertyGraph.from_dataframes(spark, e)
+    g2 = g.add_edges("l", [("b", "c")]).forked()
+    assert set(g2.edges().edge_tuples()) == {("l", "a", "b"), ("l", "b", "c")}
+    # and a re-add of the SAME edge in a new batch wins over the loaded row
+    g3 = g.add_edges("l", [("a", "b", {"v": 2})]).forked()
+    docs = {(r["src"], r["dst"]): r["doc"] for r in g3._edges_df("l").collect()}
+    assert json.loads(docs[("a", "b")]) == {"v": 2}
