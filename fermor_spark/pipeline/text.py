@@ -119,9 +119,15 @@ def fingerprint(
 ) -> DataFrame:
     """(id, fingerprints ARRAY<BIGINT>): winnowing document fingerprint.
 
-    k-gram xxhash64 sequence → sliding min per `window` positions →
-    distinct sorted mins (Schleimer/Wilkerson/Aiken winnowing). Robust to
-    local edits; used for copy detection at corpus scale.
+    k-gram hash sequence → sliding min per `window` positions → distinct
+    sorted mins (Schleimer/Wilkerson/Aiken winnowing). Robust to local
+    edits; used for copy detection at corpus scale.
+
+    The gram hash is the first 60 bits of md5 as a BIGINT — engine-portable
+    (DuckDB: ('0x' || substr(md5(g),1,15))::BIGINT yields the identical
+    value), which is what lets the driver oracle-check the overlap query.
+    Complete k-grams only: documents shorter than k tokens fingerprint to
+    the empty set, mirroring the SQL formulation.
     """
     # Fully row-linear formulation: explode tokens once, build k-grams with
     # lead() windows, sliding-min with a rows-window, re-aggregate. Nested
@@ -134,11 +140,14 @@ def fingerprint(
     )
     wl = Window.partitionBy("id").orderBy("pos")
     gram_cols = [F.col("tok")] + [F.lead("tok", j).over(wl) for j in range(1, k)]
+    h60 = F.conv(
+        F.substring(F.md5(F.col("_gram").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
     grams = (
         toks.withColumn("_gram", F.concat_ws(" ", *gram_cols))
-        .withColumn("_complete", F.lead("tok", k - 1).over(wl).isNotNull() | (F.col("pos") == 0))
+        .withColumn("_complete", F.lead("tok", k - 1).over(wl).isNotNull())
         .where(F.col("_complete"))
-        .select("id", "pos", F.xxhash64("_gram").alias("h"))
+        .select("id", "pos", h60.alias("h"))
     )
     wmin = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     wcnt = Window.partitionBy("id")

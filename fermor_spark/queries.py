@@ -1013,8 +1013,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_centroids=16, nprobe=6)
 
 
-@query("text_fingerprint_overlap")  # rows-only: xxhash64 winnowing
+@query(
+    "text_fingerprint_overlap",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                              || t[i+3] || ' ' || t[i+4]), 1, 15))::BIGINT AS h
+      FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+    ), mins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f,
+             i, count(*) OVER (PARTITION BY doc_id) AS n
+      FROM grams
+    ), fp AS (
+      SELECT DISTINCT doc_id, f FROM mins WHERE i - 1 <= greatest(n - 4, 0)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 5
+    """,
+)
 def text_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (k=5 grams, window=4) — oracle-checked
+    now that the gram hash is the engine-portable md5-60bit value."""
     from fermor_spark.pipeline.text import fingerprint_overlap_pairs
 
     return fingerprint_overlap_pairs(
