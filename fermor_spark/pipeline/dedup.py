@@ -177,26 +177,38 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash BIGINT): 64-bit SimHash over whitespace tokens.
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            portable: bool = False) -> DataFrame:
+    """(id, simhash BIGINT): SimHash over whitespace tokens.
 
-    Token hash = xxhash64 (JVM-side, vectorizable); each bit of the digest
-    is the sign of the per-bit vote sum. One explode + one groupBy.
+    Default token hash = xxhash64 (JVM-side, vectorizable), 64 bits. With
+    ``portable=True`` the token hash is the first 60 bits of md5 as BIGINT
+    — reproducible in other engines (DuckDB:
+    ('0x' || substr(md5(tok),1,15))::BIGINT), which is what lets the
+    driver oracle-check the candidate query. Each bit of the digest is the
+    sign of the per-bit vote sum. One explode + one groupBy.
     """
+    bits = 60 if portable else 64
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
-    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    hashed = toks.select("id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     agg = hashed.groupBy("id").agg(*votes)
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         sim = sim + F.when(
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -204,22 +216,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming → (id_a, id_b, hamming).
 
-    Blocking: split the 64-bit hash into 4 16-bit bands; any pair within
-    Hamming ≤ 3 shares ≥1 exact band (pigeonhole), so the candidate join is
-    an equi-join on (band, band_value), then verify with bit_count(xor).
+    Blocking: split the hash into 4 bands (16 bits each, 15 when
+    ``portable``); any pair within Hamming ≤ 3 shares ≥1 exact band
+    (pigeonhole), so the candidate join is an equi-join on
+    (band, band_value), then verify with bit_count(xor).
     """
-    s = simhash(df, id_col, text_col)
+    width = 15 if portable else 16
+    s = simhash(df, id_col, text_col, portable=portable)
     parts = []
     for band in range(4):
         parts.append(
             s.select(
                 "id", "simhash", F.lit(band).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), band * 16)
-                .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftrightunsigned(F.col("simhash"), band * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
             )
         )
     banded = parts[0]

@@ -984,13 +984,57 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["text_lang_id"] = _lang_sql()
 
 
-@query("dedup_simhash_candidates")  # rows-only: xxhash64 has no DuckDB analog
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """Generated DuckDB oracle replicating the portable 60-bit SimHash:
+    per-bit vote sums over md5-60 token hashes, sign → bit, 4×15-bit band
+    blocking, bit-exact hamming verification."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * 15}) & 32767 AS key FROM s"
+        for b in range(4)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 15))::BIGINT AS h
+      FROM documents
+    ), v AS (
+      SELECT id, {votes}
+      FROM toks GROUP BY id
+    ), s AS (
+      SELECT id, {simexpr} AS simhash FROM v
+    ), banded AS (
+      {bands}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                              AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_candidates", None)
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates with the engine-portable md5-60 hash —
+    oracle = the generated per-bit-vote SQL above."""
     from fermor_spark.pipeline.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+    out = simhash_near_dup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8,
+        portable=True,
     )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+ORACLES["dedup_simhash_candidates"] = _simhash_sql(8)
 
 
 @query("ann_lsh_topk")  # rows-only: approximate by design; recall vs exact in tests
