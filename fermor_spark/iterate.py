@@ -60,6 +60,19 @@ def _step_edges(g: PropertyGraph, labels, direction: str) -> DataFrame:
     return out_pairs.unionByName(in_pairs)
 
 
+def _loop_adjacency(g: PropertyGraph, labels, direction: str,
+                    cols=("u", "v")) -> DataFrame:
+    """Adjacency frame materialized ONCE for an iterative loop.
+
+    Every loop iteration joins the frontier against the adjacency; leaving
+    it as a lazy derivation re-runs the label filter + direction union per
+    round, and at cluster scale an unpersisted big side re-shuffles every
+    round. Checkpointing it keyed-side once means each iteration pays only
+    the (small) frontier's work. Callers MUST unpersist it when the loop
+    ends."""
+    return _persist(_step_edges(g, labels, direction).select(*cols))
+
+
 # --------------------------------------------------------------- reachability
 
 
@@ -77,7 +90,7 @@ def all_reachable(
     (reference: `all` used for reachability, src/fermor/core.clj:1095-1110).
     """
     start_df = start.df if isinstance(start, Route) else start
-    adj = _step_edges(g, labels, direction).select("u", "v")
+    adj = _loop_adjacency(g, labels, direction)
     frontier = start_df.select("id").distinct().withColumn("depth", F.lit(0))
     seen = frontier
     results = [frontier] if include_start else []
@@ -99,6 +112,7 @@ def all_reachable(
         seen = seen.unionByName(nxt)  # union of checkpointed levels
         frontier = nxt
         depth += 1
+    adj.unpersist()
     if not results:
         return start_df.select("id").withColumn("depth", F.lit(0)).limit(0)
     out = results[0]
@@ -126,7 +140,7 @@ def all_paths(
     expansion is empty (reference: deepest).
     """
     start_df = start.df if isinstance(start, Route) else start
-    adj = _step_edges(g, labels, direction).select("u", "v")
+    adj = _loop_adjacency(g, labels, direction)
     frontier = start_df.select("id").distinct().withColumn(
         "path", F.array(F.concat(F.lit("v:"), F.col("id")))
     )
@@ -172,6 +186,7 @@ def all_paths(
             emitted_frontiers.append(nxt)
         frontier = nxt
         depth += 1
+    adj.unpersist()
     all_parts = results + emitted_frontiers
     if not all_parts:
         return frontier.limit(0)
@@ -193,7 +208,7 @@ def all_paths_with_cycles(
     (reference: all-with-cycles / all-paths-with-cycles,
     src/fermor/core.clj:1112-1122, 1180-1190)."""
     start_df = start.df if isinstance(start, Route) else start
-    adj = _step_edges(g, labels, direction).select("u", "v")
+    adj = _loop_adjacency(g, labels, direction)
     frontier = start_df.select("id").distinct().withColumn(
         "path", F.array(F.concat(F.lit("v:"), F.col("id")))
     )
@@ -210,6 +225,7 @@ def all_paths_with_cycles(
         if frontier.limit(1).count() == 0:
             break
         levels.append(frontier)
+    adj.unpersist()
     out = levels[0]
     for l in levels[1:]:
         out = out.unionByName(l)
@@ -264,7 +280,9 @@ def all_cycles(
     orientation, like the reference (each 3-cycle appears once per member).
     """
     e = g._edges_df(labels)
-    adj = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("label").alias("l"))
+    adj = _persist(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("label").alias("l"))
+    )
     start_df = (start.df if isinstance(start, Route) else start) if start is not None else g.vertex_ids()
     frontier = start_df.select("id").distinct().withColumn(
         "path", F.array(F.concat(F.lit("v:"), F.col("id")))
@@ -296,6 +314,7 @@ def all_cycles(
         frontier = _persist(frontier)
         if frontier.limit(1).count() == 0:
             break
+    adj.unpersist()
     out = cycles[0]
     for c in cycles[1:]:
         out = out.unionByName(c)
@@ -315,7 +334,7 @@ def connected_components(g: PropertyGraph, labels=None,
     labels — isolated vertices are trivially their own singleton components
     and dragging them through every iteration join is pure overhead.
     """
-    adj = _step_edges(g, labels, "both").select("u", "v")
+    adj = _loop_adjacency(g, labels, "both")
     universe = g.vertices_with_edge(labels) if incident_only else g.vertex_ids()
     comp = universe.withColumn("comp", F.col("id"))
     i = 0
@@ -342,6 +361,7 @@ def connected_components(g: PropertyGraph, labels=None,
         i += 1
         if changed == 0 or i > 200:
             break
+    adj.unpersist()
     return comp
 
 
@@ -357,8 +377,8 @@ def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int 
     (src/fermor/graph/algo.clj:24-32); a driver-side Tarjan for CFG-sized
     graphs lives in fermor_spark.algo.
     """
-    fwd = _step_edges(g, labels, "out").select("u", "v")
-    bwd = _step_edges(g, labels, "in").select("u", "v")
+    fwd = _loop_adjacency(g, labels, "out")
+    bwd = _loop_adjacency(g, labels, "in")
 
     def flood(adj: DataFrame, nodes: DataFrame) -> DataFrame:
         """nodes: (id, part, pivot). Returns (id, part) of vertices reachable
@@ -410,6 +430,8 @@ def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int 
         if remaining.limit(1).count() == 0:
             break
         open_nodes = remaining
+    fwd.unpersist()
+    bwd.unpersist()
     out = settled[0]
     for s in settled[1:]:
         out = out.unionByName(s)
@@ -435,9 +457,9 @@ def shortest_path_weighted(
     distributed-native equivalent.
     """
     src_df = sources.df if isinstance(sources, Route) else sources
-    adj = _step_edges(g, labels, direction).select(
+    adj = _persist(_step_edges(g, labels, direction).select(
         "u", "v", F.coalesce(F.col("w"), F.lit(default_weight)).alias("w")
-    )
+    ))
     dist = src_df.select("id").distinct().withColumn("dist", F.lit(0.0))
     for i in range(max_iter):
         relaxed = (
@@ -462,6 +484,7 @@ def shortest_path_weighted(
         dist = new
         if improved == 0:
             break
+    adj.unpersist()
     return dist
 
 
@@ -532,9 +555,9 @@ def shortest_path_with_routes(
     deterministic under ties.
     """
     src_df = sources.df if isinstance(sources, Route) else sources
-    adj = _step_edges(g, labels, direction).select(
+    adj = _persist(_step_edges(g, labels, direction).select(
         "u", "v", F.coalesce(F.col("w"), F.lit(default_weight)).alias("w")
-    )
+    ))
     dist = src_df.select("id").distinct().select(
         "id", F.lit(0.0).alias("dist"), F.array(F.col("id")).alias("path")
     )
@@ -561,6 +584,7 @@ def shortest_path_with_routes(
         dist = new
         if improved == 0:
             break
+    adj.unpersist()
     return dist
 
 
