@@ -366,9 +366,13 @@ def connected_components(g: PropertyGraph, labels=None,
 
 
 def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int = 64) -> DataFrame:
-    """SCC via distributed FW-BW pivot decomposition → (id, component).
+    """SCC via distributed FW-BW-Trim pivot decomposition → (id, component).
 
-    Each round: pick the min id of every open partition as its pivot,
+    Before the first round and after every partition split, iterated Trim
+    peels vertices with no in- or out-edge inside the open set as singleton
+    SCCs — acyclic regions (the bulk of real graphs) settle in cheap
+    semi-join passes and never pay a flood. Each remaining round: pick the
+    min id of every open partition as its pivot,
     flood-fill forward and backward reachability *within the partition*;
     fwd∩bwd = the pivot's SCC (settled); the remainder splits into
     fwd-only / bwd-only / untouched sub-partitions. Converges in
@@ -379,6 +383,40 @@ def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int 
     """
     fwd = _loop_adjacency(g, labels, "out")
     bwd = _loop_adjacency(g, labels, "in")
+    # Trim adjacency: self-loops excluded — a vertex whose only cycle is a
+    # self-loop is a singleton SCC and should be peeled, not flooded.
+    trim_adj = _persist(fwd.where(F.col("u") != F.col("v")))
+
+    def trim(open_nodes: DataFrame, settled: list) -> DataFrame:
+        """Iteratively peel vertices with no in- or no out-edge *within the
+        open set*: each is a singleton SCC (component = own id). On acyclic
+        regions — most of a real graph — this settles everything with cheap
+        semi-joins, reserving pivot floods for the cyclic core (the Trim
+        step of the FW-BW-Trim family)."""
+        while True:
+            ids = open_nodes.select("id")
+            e_open = (
+                trim_adj
+                .join(ids.withColumnRenamed("id", "u"), "u", "left_semi")
+                .join(ids.withColumnRenamed("id", "v"), "v", "left_semi")
+            )
+            e_open = _persist(e_open)
+            srcs = e_open.select(F.col("u").alias("id")).distinct()
+            dsts = e_open.select(F.col("v").alias("id")).distinct()
+            keep = (
+                open_nodes.join(srcs, "id", "left_semi")
+                .join(dsts, "id", "left_semi")
+            )
+            keep = keep.localCheckpoint(eager=True)
+            n_keep = keep.count()
+            peeled = open_nodes.join(keep.select("id"), "id", "left_anti").select(
+                "id", F.col("id").alias("component")
+            )
+            settled.append(peeled.localCheckpoint(eager=True))
+            e_open.unpersist()
+            if n_keep == 0 or peeled.limit(1).count() == 0:
+                return keep
+            open_nodes = keep
 
     def flood(adj: DataFrame, nodes: DataFrame) -> DataFrame:
         """nodes: (id, part, pivot). Returns (id, part) of vertices reachable
@@ -401,9 +439,11 @@ def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int 
             frontier = nxt
             i += 1
 
-    open_nodes = g.vertex_ids().withColumn("part", F.lit("0"))
     settled = []
+    open_nodes = trim(g.vertex_ids().withColumn("part", F.lit("0")), settled)
     for rnd in range(max_outer):
+        if open_nodes.limit(1).count() == 0:
+            break
         pivots = open_nodes.groupBy("part").agg(F.min("id").alias("pivot"))
         nodes = open_nodes.join(pivots, "part")
         fr = flood(fwd, nodes).withColumn("_f", F.lit(1))
@@ -429,9 +469,12 @@ def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int 
         remaining = remaining.localCheckpoint(eager=True)
         if remaining.limit(1).count() == 0:
             break
-        open_nodes = remaining
+        # splitting a partition exposes new acyclic fringes — re-trim so the
+        # next round's floods only touch what is still possibly cyclic
+        open_nodes = trim(remaining, settled)
     fwd.unpersist()
     bwd.unpersist()
+    trim_adj.unpersist()
     out = settled[0]
     for s in settled[1:]:
         out = out.unionByName(s)
