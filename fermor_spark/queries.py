@@ -1595,6 +1595,134 @@ def algo_dominators_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# deterministic sampling / splitting / mixing (pipeline.sample)
+
+@query(
+    "sample_split_counts",
+    """
+    WITH b AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS bkt
+      FROM documents
+    )
+    SELECT CASE WHEN bkt < 800000 THEN 'train'
+                WHEN bkt < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split (80/10/10) by md5 hash lattice —
+    a pure column expression, so membership survives repartitioning and
+    re-runs, unlike df.sample's per-partition RNG."""
+    from fermor_spark.pipeline.sample import hash_split
+
+    d = table(spark, sf_dir, "documents")
+    s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split")
+    return s.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "sample_stratified_source",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000
+          < CASE source WHEN 'src0' THEN 250000 WHEN 'src1' THEN 500000
+                        ELSE 1000000 END
+    """,
+)
+def sample_stratified_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (src0 → 25%, src1 → 50%,
+    everything else kept) — the curation move for rebalancing
+    over-represented sources, executed as a scan-stage filter."""
+    from fermor_spark.pipeline.sample import stratified_hash_sample
+
+    d = table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "source", {"src0": 0.25, "src1": 0.5}, default_fraction=1.0
+    ).select("doc_id", "source")
+
+
+@query(
+    "sample_weighted_mix",
+    """
+    SELECT doc_id, 'en' AS mix_source FROM documents
+    WHERE lang = 'en'
+      AND ('0x' || substr(md5('mixen' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 < 600000
+    UNION ALL
+    SELECT doc_id, 'rest' AS mix_source FROM documents
+    WHERE lang <> 'en'
+      AND ('0x' || substr(md5('mixrest' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 < 300000
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: 60% of English docs + 30% of the rest,
+    each thinned on its own hash lattice and tagged with its source."""
+    from fermor_spark.pipeline.sample import weighted_mix
+
+    d = table(spark, sf_dir, "documents")
+    out = weighted_mix(
+        {"en": (d.where(F.col("lang") == "en"), 0.6),
+         "rest": (d.where(F.col("lang") != "en"), 0.3)},
+        "doc_id", seed="mix",
+    )
+    return out.select("doc_id", "mix_source")
+
+
+@query(
+    "dedup_clusters_minhash",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    mh AS (
+      SELECT doc_id,
+             min(md5('0' || sh)) AS h0, min(md5('1' || sh)) AS h1,
+             min(md5('2' || sh)) AS h2, min(md5('3' || sh)) AS h3,
+             min(md5('4' || sh)) AS h4, min(md5('5' || sh)) AS h5,
+             min(md5('6' || sh)) AS h6, min(md5('7' || sh)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 || h1 AS key FROM mh
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM mh
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM mh
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach(ra, rb) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.ra, s.pb FROM reach r JOIN sym s ON r.rb = s.pa
+    )
+    SELECT ra AS doc_id, min(rb) AS cluster FROM reach GROUP BY ra
+    """,
+)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: MinHash-LSH candidate pairs → connected
+    components → canonical (min-id) cluster per document. The oracle
+    recomputes the same pairs and takes their transitive closure with a
+    recursive CTE — exact because the md5 hash family is engine-portable."""
+    from fermor_spark.pipeline.dedup import dedup_clusters
+
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return dedup_clusters(pairs, d).select(F.col("id").alias("doc_id"), "cluster")
+
+
+# --------------------------------------------------------------------------
 # entry points consumed by __spark_entry__.py
 
 def all_queries():
