@@ -99,6 +99,11 @@ def main() -> None:
     spark = get_spark(app_name="fermor-bench")
     timings: dict[str, float] = {}
 
+    # warm the JVM (codegen, JIT, shuffle machinery) on a throwaway job so
+    # graph_build measures build throughput, not cold-start — ~4s of the
+    # previous graph_build number was JVM boot
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     t0 = time.perf_counter()
     g = star_graph(spark, SF_DIR)
     g.E.count()  # materialize the cached edge table

@@ -82,8 +82,14 @@ def star_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         ]
         return df.select(*cols)
 
+    # shuffle join on purpose: orders is only broadcast-sized at toy SFs,
+    # and AQE already downgrades to broadcast at runtime when the actual
+    # post-projection size clears the threshold — forcing it here would
+    # pin a plan that dies at cluster scale
     bought = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_custkey", "l_partkey")
         .distinct()
     )
