@@ -159,6 +159,73 @@ def brute_force_topk_arrow(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_rows: int = 4096, round_digits: int = 4,
+) -> DataFrame:
+    """EXACT embedding near-dup pairs: every (id_a < id_b) with cosine ≥
+    threshold → (id_a, id_b, cosine). The exact counterpart of the LSH-blocked
+    `embedding near-dup` path — same blocked-matmul shape as
+    `brute_force_topk_arrow` (id-hash blocks, one BLAS matmul per block
+    pair, nothing on the driver), but emitting thresholded pairs instead of
+    per-query top-k. Block pairs with swapped order are skipped (each
+    unordered block pair is computed once); the diagonal block applies the
+    id_a < id_b filter inside the kernel.
+
+    At 100 TB this is still O(n²) work by construction — use it on a
+    blocking-survivor subset or as the verification stage behind an LSH
+    candidate generator; it scales out linearly with executors but the
+    total work is quadratic in rows.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = df.count()
+    nb = max(1, math.ceil(n / block_rows))
+    packed = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("_b", F.abs(F.hash("id")) % nb)
+        .groupBy("_b")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    )
+    a = packed.select(F.col("_b").alias("ba"), F.col("items").alias("a_items"))
+    b = packed.select(F.col("_b").alias("bb"), F.col("items").alias("b_items"))
+    grid = a.join(b, F.col("ba") <= F.col("bb"))
+    grid = grid.repartition(max(nb * (nb + 1) // 2, 1))
+
+    def fn(batches):
+        for pdf in batches:
+            for ba, bb, ai, bi in zip(pdf["ba"], pdf["bb"], pdf["a_items"], pdf["b_items"]):
+                aids = np.array([x["id"] for x in ai])
+                A = np.array([x["v"] for x in ai], dtype=np.float64)
+                bids = np.array([x["id"] for x in bi])
+                B = np.array([x["v"] for x in bi], dtype=np.float64)
+                A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+                B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+                S = A @ B.T
+                ia, ib = np.nonzero(S >= threshold)
+                if len(ia) == 0:
+                    continue
+                id_a, id_b = aids[ia], bids[ib]
+                cos = S[ia, ib]
+                if ba == bb:
+                    # diagonal block: each unordered pair appears as (x,y)
+                    # AND (y,x), plus the self-pair — keep strictly one
+                    keep = id_a < id_b
+                    id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
+                else:
+                    # off-diagonal: each cross pair appears exactly once,
+                    # but the smaller id may sit in either block — normalize
+                    id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+                yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+
+    out = grid.mapInPandas(fn, "id_a long, id_b long, cosine double")
+    return out.select("id_a", "id_b", F.round("cosine", round_digits).alias("cosine"))
+
+
 def ivf_fit_centroids(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_centroids: int = 16, iters: int = 3, seed: int = 42,

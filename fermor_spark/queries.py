@@ -1594,6 +1594,27 @@ def algo_dominators_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(sorted(doms.items()), "id string, idom string")
 
 
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.45) via distributed
+    blocked matmul — the exact-verification counterpart of the LSH-blocked
+    embedding dedup path. Nothing touches the driver; each block pair is
+    one BLAS matmul in mapInPandas."""
+    from fermor_spark.pipeline.similarity import cosine_pairs_exact
+
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(emb, threshold=0.45, block_rows=2048)
+
+
 # --------------------------------------------------------------------------
 # deterministic sampling / splitting / mixing (pipeline.sample)
 

@@ -205,6 +205,22 @@ def test_brute_force_topk_arrow_blocked_matches_exact(spark):
     assert blocked == exact
 
 
+def test_cosine_pairs_exact_blocked_matches_single_block(spark):
+    # multi-block grid (incl. off-diagonal block pairs, where the smaller id
+    # can sit in either block) must emit exactly the single-block pair set
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    one = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs_exact(emb, 0.40, block_rows=10_000).collect()
+    }
+    many = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs_exact(emb, 0.40, block_rows=64).collect()
+    }
+    assert many == one and len(one) > 0
+    assert all(a < b for a, b in one)
+
+
 def test_ngram_jaccard_hot_shingle_cap_exact(spark):
     # force the blocked+verify path (cap=2 makes the common preamble hot):
     # the planted near-dup pair must still be found with EXACT jaccard
