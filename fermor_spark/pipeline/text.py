@@ -179,3 +179,84 @@ def fingerprint_overlap_pairs(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, dup_token_frac, top_bigram_frac) — repetition-based
+    quality signals (the Gopher-rules family: heavily repetitive documents
+    are boilerplate/spam and poison training mixes).
+
+    dup_token_frac = 1 - distinct/total tokens; top_bigram_frac = share of
+    the most frequent bigram among all bigrams. Shuffle profile: one
+    explode → two per-doc aggregations keyed on id (map-side combinable) —
+    row-linear, no self-join, no window over the whole corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    tok_stats = toks.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("_d"),
+    )
+    wl = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        toks.withColumn("_nxt", F.lead("tok").over(wl))
+        .where(F.col("_nxt").isNotNull())
+        .select("id", F.concat_ws(" ", "tok", "_nxt").alias("bg"))
+    )
+    bg_stats = (
+        bg.groupBy("id", "bg").agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"))
+    )
+    return (
+        tok_stats.join(bg_stats, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.round(F.lit(1.0) - F.col("_d") * 1.0 / F.col("n_tokens"), 4)
+            .alias("dup_token_frac"),
+            F.round(F.col("_mx") * 1.0 / F.col("_tot"), 4).alias("top_bigram_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, text_col: str, capacity: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Deterministic sequence packing: lay documents end-to-end in id order
+    and slice fixed token windows → (id, n_tokens, bin_id, bin_offset).
+
+    The packed-pretraining layout: bin_id = floor(tokens_before / capacity),
+    bin_offset = tokens_before % capacity (a document may straddle bins; the
+    loader continues into bin_id+1). Pure window arithmetic — reproducible
+    across engines, no RNG.
+
+    Global total ordering is inherently sequential, so at scale pass
+    `shard_col`: packing runs per shard (one window partition each), which
+    is both the scalable plan AND what a sharded loader consumes. Without
+    it the window is a single partition — fine for toy SFs only.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    extra = [shard_col] if shard_col is not None else []
+    out = df.select(
+        F.col(id_col).alias("id"),
+        *extra,
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(*extra).orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    # integer DIV, not floating /: a float64 quotient silently loses token
+    # offsets past 2^53 cumulative tokens
+    return out.select(
+        "id",
+        *extra,
+        "n_tokens",
+        F.expr(f"_start DIV {int(capacity)}").alias("bin_id"),
+        (F.col("_start") % capacity).alias("bin_offset"),
+    )

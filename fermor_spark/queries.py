@@ -1595,6 +1595,74 @@ def algo_dominators_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, toks[i] AS tok
+      FROM base, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    tok_stats AS (
+      SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS d
+      FROM tok GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM base, UNNEST(range(1, len(toks))) AS u(i)
+    ),
+    bg_stats AS (
+      SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM (
+        SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id, t.n_tokens,
+           round(1.0 - t.d * 1.0 / t.n_tokens, 4) AS dup_token_frac,
+           round(b.mx * 1.0 / b.tot, 4) AS top_bigram_frac
+    FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-rules family): duplicate-token
+    fraction and most-frequent-bigram share per document. Row-linear —
+    explode + keyed aggregations, no corpus-wide window or self-join."""
+    from fermor_spark.pipeline.text import repetition_metrics
+
+    d = table(spark, sf_dir, "documents")
+    return repetition_metrics(d, "doc_id", "text")
+
+
+@query(
+    "text_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+      FROM t
+    )
+    SELECT doc_id AS id, source, n_tokens,
+           strt // 512 AS bin_id, strt % 512 AS bin_offset
+    FROM c
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing into 512-token bins, sharded by
+    source (each shard packs independently — the scalable layout a sharded
+    training loader consumes)."""
+    from fermor_spark.pipeline.text import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", capacity=512, shard_col="source")
+
+
+@query(
     "dedup_embedding_cosine",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -319,3 +319,37 @@ def test_resize_image_raw(spark):
     got = np.frombuffer(out[0]["content"], dtype=np.uint8).reshape(2, 3, 3)
     exp = img[[0, 2]][:, [0, 2, 4]]
     assert (got == exp).all()
+
+
+def test_repetition_metrics_values(spark):
+    rows = [
+        (1, "a a a a"),          # one distinct token; bigram 'a a' ×3
+        (2, "a b c d"),          # all distinct; 3 distinct bigrams
+        (3, "solo"),             # no bigram -> null fraction
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in text.repetition_metrics(df, "doc_id", "text").collect()}
+    assert out[1]["dup_token_frac"] == 0.75 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_token_frac"] == 0.0
+    assert abs(out[2]["top_bigram_frac"] - 0.3333) < 1e-9
+    assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] is None
+
+
+def test_pack_sequences_layout(spark):
+    # 3 docs of 4 tokens each, capacity 6: doc2 starts at 4 (straddles bin 0
+    # into bin 1), doc3 starts at 8 (bin 1, offset 2)
+    rows = [(1, "w w w w"), (2, "x x x x"), (3, "y y y y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["bin_id"], r["bin_offset"])
+           for r in text.pack_sequences(df, "doc_id", "text", capacity=6).collect()}
+    assert out == {1: (0, 0), 2: (0, 4), 3: (1, 2)}
+
+
+def test_pack_sequences_sharded_independent(spark):
+    rows = [(1, "w w w", "s1"), (2, "x x x", "s2"), (3, "y y y", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["id"]: (r["source"], r["bin_id"], r["bin_offset"])
+           for r in text.pack_sequences(df, "doc_id", "text", capacity=4,
+                                        shard_col="source").collect()}
+    # each shard packs from offset 0 independently
+    assert out == {1: ("s1", 0, 0), 2: ("s2", 0, 0), 3: ("s1", 0, 3)}
