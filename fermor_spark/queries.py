@@ -1663,6 +1663,78 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_curation_funnel",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, toks[i] AS tok
+      FROM base, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    rep AS (
+      SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+      FROM tok GROUP BY doc_id
+    ),
+    s1 AS (SELECT * FROM base WHERE lang = 'en'),
+    s2 AS (
+      SELECT s1.* FROM s1 JOIN rep USING (doc_id)
+      WHERE rep.n >= 20 AND 1.0 - rep.d * 1.0 / rep.n <= 0.65
+    ),
+    s3 AS (
+      SELECT * FROM s2 QUALIFY
+        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    s4 AS (
+      SELECT * FROM s3
+      WHERE ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < 800000
+    )
+    SELECT 'all' AS stage, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM base
+    UNION ALL SELECT 'lang_en', count(*), sum(n_chars) FROM s1
+    UNION ALL SELECT 'quality', count(*), sum(n_chars) FROM s2
+    UNION ALL SELECT 'dedup', count(*), sum(n_chars) FROM s3
+    UNION ALL SELECT 'train', count(*), sum(n_chars) FROM s4
+    """,
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel, each stage a pipeline operator:
+    language filter → repetition quality gate (≥20 tokens, dup-token
+    fraction ≤ 0.65) → exact dedup (min doc_id per content hash) →
+    deterministic 80% train split. Returns per-stage survivor counts —
+    the composability showcase: every stage is a column-expression or
+    keyed-aggregation operator, so the whole funnel is one lazy plan."""
+    from fermor_spark.pipeline.sample import hash_bucket
+    from fermor_spark.pipeline.text import repetition_metrics
+
+    d = table(spark, sf_dir, "documents")
+    s1 = d.where(F.col("lang") == "en")
+    rep = repetition_metrics(s1, "doc_id", "text")
+    keep = rep.where(
+        (F.col("n_tokens") >= 20) & (F.col("dup_token_frac") <= 0.65)
+    ).select(F.col("id").alias("doc_id"))
+    s2 = s1.join(keep, "doc_id", "left_semi")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    s3 = s2.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    s4 = s3.where(hash_bucket("doc_id", "split") < 800000)
+
+    def stage(df, name):
+        return df.agg(
+            F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+        ).select(F.lit(name).alias("stage"), "n_docs", "sum_chars")
+
+    return (
+        stage(d, "all")
+        .unionByName(stage(s1, "lang_en"))
+        .unionByName(stage(s2, "quality"))
+        .unionByName(stage(s3, "dedup"))
+        .unionByName(stage(s4, "train"))
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
