@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     # r2 additions (keys above stay stable for round-over-round comparison)
     "q6_revenue_forecast",
     "window_lag_user_delta",
+    "sample_split_counts",
+    "text_repetition",
+    "pipeline_curation_funnel",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -340,6 +340,233 @@ def window_lag_user_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join with a non-equi conjunct;
+    the commit/receipt columns aren't in this schema, so 'late' =
+    shipped after the order date)."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    sj = o.join(
+        l, (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT sn AS supp_nation, cn AS cust_nation, yr, round(sum(rev), 2) AS revenue
+    FROM (
+      SELECT ns.n_name AS sn, nc.n_name AS cn, year(l_shipdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation nc ON nc.n_nationkey = c_nationkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s_nationkey
+      WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+         OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year. Nation (25 rows) is
+    explicitly broadcast twice; the fact-side joins stay shuffle joins."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("_nck"), F.col("n_name").alias("cn")))
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("_nsk"), F.col("n_name").alias("sn")))
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nc, c["c_nationkey"] == F.col("_nck"))
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(ns, s["s_nationkey"] == F.col("_nsk"))
+        .where(
+            ((F.col("sn") == "NATION_1") & (F.col("cn") == "NATION_2"))
+            | ((F.col("sn") == "NATION_2") & (F.col("cn") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            F.col("sn").alias("supp_nation"), F.col("cn").alias("cust_nation"),
+            F.year("l_shipdate").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           ((sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) + 50) // 100) / 100.0
+             AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in a quarter
+    (deterministic tie-break on c_custkey).
+
+    The revenue sum runs in integer cents: price and discount are 2-dp
+    decimals, so the per-line revenue is exact in int64 and the grouped sum
+    is accumulation-order-independent — a double sum lands on .xx5 rounding
+    boundaries differently per engine (observed: 307843.595 rounding to
+    .60 on Spark and .59 on DuckDB)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+    )
+    cents = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(cents).alias("_c"))
+        # half-up to 2 dp entirely in int64, then ONE division: both engines
+        # divide the same integer, so the double is bit-identical (Spark's
+        # round() half-ups the shortest decimal repr while DuckDB rounds the
+        # binary value — they disagree on sums landing on .xx5)
+        .withColumn("revenue", F.expr("(_c + 50) DIV 100") / 100.0)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_lines",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column in this schema, so grouped by
+    line status): conditional dual counts via CASE aggregation."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month. The part join is left
+    a shuffle join on purpose — part grows with SF and AQE downgrades to
+    broadcast when the runtime size allows."""
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.join(p, l["l_partkey"] == p["p_partkey"]).agg(
+        F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev), 4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates. Catalyst
+    splits the OR-of-ANDs into per-side residuals so the single-table
+    conjuncts still prune the scans before the join."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+
+
 # --------------------------------------------------------------------------
 # event-time windows (batch-checkable analogs of the streaming operators)
 
