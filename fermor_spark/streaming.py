@@ -171,3 +171,50 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
     )
     q.awaitTermination(timeout_sec)
     return name
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the documents parquet (same symlink-dir
+    pattern as read_events_stream)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"fermor_docs_{key}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stream_dir)
+
+
+def streaming_curation(docs: DataFrame, lang: str = "en",
+                       min_tokens: int = 20, split_seed: str = "split") -> DataFrame:
+    """The curation front-end as an APPEND-MODE stream with ZERO state:
+    language filter, token-length quality gate, and hash-lattice split tag
+    are all pure column expressions (pipeline.text / pipeline.sample), so
+    the exact batch operators run unchanged on a readStream frame —
+    documents are curated as they land, no watermark, no state store.
+
+    Stateful stages (dedup, repetition metrics) stay downstream: exact
+    dedup within a time horizon is `dedup_within_watermark` on
+    md5(text); corpus-wide dedup remains a batch compaction job.
+    """
+    from fermor_spark.pipeline.sample import hash_split
+    from fermor_spark.pipeline.text import tokens
+
+    gated = docs.where(
+        (F.col("lang") == lang) & (F.size(tokens(F.col("text"))) >= min_tokens)
+    )
+    return hash_split(gated, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                      seed=split_seed)

@@ -90,3 +90,22 @@ def test_running_user_totals(spark, batch_events):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
     exp = {r["user_id"]: (r["n"], r["t"]) for r in exp_df.collect()}
     assert got == exp
+
+
+def test_streaming_curation_matches_batch(spark):
+    """The curation front-end (lang gate + token-length gate + hash split)
+    is stateless column logic, so streaming output must equal the batch
+    operators applied to the same table — row for row."""
+    s = streaming.read_documents_stream(spark, SF)
+    out = _drain(spark, streaming.streaming_curation(s), "t_curation")
+    got = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+
+    from fermor_spark.pipeline.sample import hash_split
+    from fermor_spark.pipeline.text import tokens
+    d = table(spark, SF, "documents")
+    batch = hash_split(
+        d.where((F.col("lang") == "en") & (F.size(tokens(F.col("text"))) >= 20)),
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    exp = {(r["doc_id"], r["split"]) for r in batch.select("doc_id", "split").collect()}
+    assert got == exp and len(exp) > 0
