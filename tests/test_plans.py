@@ -1,0 +1,75 @@
+"""Plan contracts: physical-plan properties asserted as tests.
+
+A correct result with a degraded plan is a silent 100-TB incident — these
+tests pin the load-bearing plan shapes (scan pushdown, column pruning,
+absence of cartesian/nested-loop joins, shuffle-free sampling) so a
+refactor that breaks one fails CI instead of the cluster.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from fermor_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return q.all_queries()
+
+
+def test_q1_pushdown_and_pruning(spark, registry):
+    p = plan_of(registry["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruning: the 16-column lineitem scan reads only the 7 used
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q19_disjunctive_pushdown_both_sides(spark, registry):
+    p = plan_of(registry["q19_discounted_revenue"](spark, SF))
+    assert p.count("Or(Or(And(") >= 2  # residuals pushed to BOTH scans
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_sampling_is_shuffle_free(spark, registry):
+    p = plan_of(registry["sample_stratified_source"](spark, SF))
+    assert "Exchange" not in p
+    assert "struct<doc_id:bigint,source:string>" in p  # 2 of 5 columns read
+
+
+def test_split_counts_single_shuffle(spark, registry):
+    # hash_split + groupBy: exactly the one aggregation exchange
+    p = plan_of(registry["sample_split_counts"](spark, SF))
+    assert p.count("+- Exchange") == 1
+
+
+def test_dedup_joins_are_keyed(spark, registry):
+    # candidate generation must stay an equi-join on the blocking key —
+    # never an all-pairs product
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "text_fingerprint_overlap"):
+        p = plan_of(registry[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_two_hop_is_two_joins_one_plan(spark, registry):
+    p = plan_of(registry["g_2hop_region"](spark, SF))
+    # whole traversal is one Catalyst plan: no more than the 2 hop joins +
+    # kind lookup; and the per-hop edge scans prune to the used labels
+    assert "CartesianProduct" not in p
+
+
+def test_dim_joins_broadcast(spark, registry):
+    # q5 joins 4 dimensions: all should be broadcast, not sort-merge
+    p = plan_of(registry["q5_local_supplier_volume"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
