@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "pipeline_curation_funnel",
     "dedup_embedding_cosine",
+    "decontaminate_overlap",
 ]
 
 

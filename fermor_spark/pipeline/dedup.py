@@ -326,3 +326,65 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
         if changed == 0:
             break
     return comp
+
+
+def contamination_pairs(
+    train: DataFrame, bench: DataFrame,
+    train_id: str = "doc_id", train_text: str = "text",
+    bench_id: str = "doc_id", bench_text: str = "text",
+    n: int = 3, min_overlap: int = 2, round_digits: int = 4,
+) -> DataFrame:
+    """Benchmark-decontamination overlap: (train_id, bench_id, overlap,
+    bench_frac) for every train doc sharing >= min_overlap word-n-gram
+    shingles with a benchmark doc. bench_frac = overlap / |bench shingles|
+    (the fraction of the benchmark doc's content present in the train doc —
+    the usual decision metric for dropping train docs before training).
+
+    Scale shape: the benchmark set is tiny next to a 100 TB corpus, so its
+    shingle table is BROADCAST — the train side is exploded map-side and
+    never shuffles for the join; the only exchange is the final per-pair
+    aggregation, whose input is already filtered to shingles that occur in
+    the benchmark at all.
+    """
+    tsh = shingle_table(train, train_id, train_text, n).select(
+        F.col("id").alias("t_id"), "sh"
+    )
+    bsh = shingle_table(bench, bench_id, bench_text, n).select(
+        F.col("id").alias("b_id"), "sh"
+    )
+    bsizes = bsh.groupBy("b_id").agg(F.count("*").alias("bn"))
+    overlap = (
+        tsh.join(F.broadcast(bsh), "sh")
+        .groupBy("t_id", "b_id")
+        .agg(F.count("*").alias("overlap"))
+        .where(F.col("overlap") >= min_overlap)
+    )
+    return (
+        overlap.join(F.broadcast(bsizes), "b_id")
+        .select(
+            F.col("t_id").alias("train_id"),
+            F.col("b_id").alias("bench_id"),
+            "overlap",
+            F.round(F.col("overlap") * 1.0 / F.col("bn"), round_digits).alias("bench_frac"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame, bench: DataFrame,
+    train_id: str = "doc_id", train_text: str = "text",
+    bench_id: str = "doc_id", bench_text: str = "text",
+    n: int = 3, min_overlap: int = 2, min_bench_frac: float = 0.5,
+) -> DataFrame:
+    """Drop train docs contaminated by the benchmark set: any doc whose
+    shingle overlap with some benchmark doc reaches BOTH min_overlap
+    (absolute) and min_bench_frac (fraction of that benchmark doc).
+    Implemented as a distributed left-anti join on the flagged id set."""
+    flagged = (
+        contamination_pairs(train, bench, train_id, train_text,
+                            bench_id, bench_text, n, min_overlap)
+        .where(F.col("bench_frac") >= min_bench_frac)
+        .select(F.col("train_id").alias(train_id))
+        .distinct()
+    )
+    return train.join(flagged, train_id, "left_anti")

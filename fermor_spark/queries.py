@@ -1982,6 +1982,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_exact(emb, threshold=0.45, block_rows=2048)
 
 
+@query(
+    "decontaminate_overlap",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    t AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+    b AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 = 0),
+    bs AS (SELECT doc_id, count(*) AS bn FROM b GROUP BY doc_id),
+    ov AS (
+      SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS overlap
+      FROM t JOIN b ON t.sh = b.sh
+      GROUP BY t.doc_id, b.doc_id
+      HAVING count(*) >= 2
+    )
+    SELECT train_id, bench_id, overlap,
+           round(overlap * 1.0 / bn, 4) AS bench_frac
+    FROM ov JOIN bs ON bs.doc_id = bench_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram shingle overlap between a train
+    split and a held-out pseudo-benchmark split (doc_id % 20 == 0) of the
+    documents table. The benchmark shingle table is broadcast, so the
+    100-TB train side joins map-side; planted near-dups in the corpus
+    surface as contamination hits (pipeline.dedup.contamination_pairs)."""
+    from fermor_spark.pipeline.dedup import contamination_pairs
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return contamination_pairs(train, bench, n=3, min_overlap=2)
+
+
 # --------------------------------------------------------------------------
 # deterministic sampling / splitting / mixing (pipeline.sample)
 

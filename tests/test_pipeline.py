@@ -353,3 +353,21 @@ def test_pack_sequences_sharded_independent(spark):
                                         shard_col="source").collect()}
     # each shard packs from offset 0 independently
     assert out == {1: ("s1", 0, 0), 2: ("s2", 0, 0), 3: ("s1", 0, 3)}
+
+
+def test_contamination_pairs_and_decontaminate(spark, planted):
+    # bench = docs 1 and 4; train = the rest. Doc 2 is an exact copy of 1,
+    # doc 3 a near copy; doc 5 extends 4; doc 6 shares nothing.
+    bench = planted.where(F.col("doc_id").isin(1, 4))
+    train = planted.where(~F.col("doc_id").isin(1, 4))
+    pairs = dedup.contamination_pairs(train, bench, n=3, min_overlap=2)
+    got = {(r["train_id"], r["bench_id"]): r for r in pairs.collect()}
+    assert (2, 1) in got and got[(2, 1)]["bench_frac"] == 1.0  # exact copy
+    assert (3, 1) in got and got[(3, 1)]["bench_frac"] < 1.0   # near copy
+    assert (5, 4) in got
+    assert all(t != 6 for (t, _) in got)  # unrelated doc never flagged
+
+    clean = dedup.decontaminate(train, bench, n=3, min_overlap=2,
+                                min_bench_frac=0.5)
+    ids = {r["doc_id"] for r in clean.collect()}
+    assert 2 not in ids and 3 not in ids and 5 not in ids and 6 in ids
