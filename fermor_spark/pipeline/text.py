@@ -260,3 +260,36 @@ def pack_sequences(
         F.expr(f"_start DIV {int(capacity)}").alias("bin_id"),
         (F.col("_start") % capacity).alias("bin_offset"),
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround. Order matters — emails before
+# the bare-domain URL pattern would double-redact, so URLs go first.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, kinds: list[str] | None = None,
+    token_fmt: str = "<{kind}>",
+) -> DataFrame:
+    """Replace PII-shaped spans in ``text_col`` with typed placeholder
+    tokens (``<url>``, ``<email>``, ...). A chained JVM-side
+    ``regexp_replace`` — whole-stage-codegen'd, no Python in the hot path,
+    row-linear at any corpus size. Adds ``{text_col}_redacted`` plus a
+    per-kind hit count column ``pii_{kind}`` (count BEFORE redaction, for
+    audit/quality gating)."""
+    pats = [(k, p) for k, p in PII_PATTERNS if kinds is None or k in kinds]
+    out = df
+    red = F.col(text_col)
+    for kind, pat in pats:
+        out = out.withColumn(
+            f"pii_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+        red = F.regexp_replace(red, pat, token_fmt.format(kind=kind))
+    return out.withColumn(f"{text_col}_redacted", red)

@@ -1861,6 +1861,42 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_redact_pii",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS pii_url,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email,
+           len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS pii_ipv4,
+           len(regexp_extract_all(text, '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b')) AS pii_phone,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://[^\s]+', '<url>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<ipv4>', 'g'),
+               '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b', '<phone>', 'g')
+           ) AS redacted_md5
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit: per-doc counts of URL/email/IPv4/phone spans
+    plus the md5 of the redacted text. Chained JVM-side regexp_replace —
+    whole-stage codegen, row-linear (pipeline.text.redact_pii); the
+    patterns are written to the Java-regex ∩ RE2 common subset so the
+    DuckDB oracle evaluates them identically."""
+    from fermor_spark.pipeline.text import redact_pii
+
+    d = table(spark, sf_dir, "documents")
+    out = redact_pii(d, "text")
+    return out.select(
+        "doc_id", "pii_url", "pii_email", "pii_ipv4", "pii_phone",
+        F.md5(F.col("text_redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
+@query(
     "text_pack_sequences",
     r"""
     WITH t AS (

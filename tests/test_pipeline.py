@@ -371,3 +371,44 @@ def test_contamination_pairs_and_decontaminate(spark, planted):
                                 min_bench_frac=0.5)
     ids = {r["doc_id"] for r in clean.collect()}
     assert 2 not in ids and 3 not in ids and 5 not in ids and 6 in ids
+
+
+def test_redact_pii_planted(spark):
+    rows = [
+        (1, "contact me at alice@example.com or +1-555-123-4567 today"),
+        (2, "see https://spark.apache.org/docs and 10.0.0.1 for details"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.redact_pii(df, "text").collect()}
+    assert out[1]["pii_email"] == 1 and out[1]["pii_phone"] == 1
+    assert "<email>" in out[1]["text_redacted"] and "<phone>" in out[1]["text_redacted"]
+    assert "alice" not in out[1]["text_redacted"]
+    assert out[2]["pii_url"] == 1 and out[2]["pii_ipv4"] == 1
+    assert "<url>" in out[2]["text_redacted"] and "<ipv4>" in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+
+    # Java-regex vs RE2 agreement on matching inputs: replay the oracle's
+    # DuckDB formulation over the same planted rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dk = {}
+    for kind, pat in text.PII_PATTERNS:
+        for did, red in con.execute(
+            "SELECT doc_id, regexp_replace(text, ?, ?, 'g') FROM t",
+            [pat, f"<{kind}>"],
+        ).fetchall():
+            dk.setdefault(did, {})[kind] = red
+    spark_single = {
+        (r["doc_id"], kind): r["red"]
+        for kind, pat in text.PII_PATTERNS
+        for r in df.select(
+            "doc_id", F.regexp_replace("text", pat, f"<{kind}>").alias("red")
+        ).collect()
+    }
+    for did in (1, 2, 3):
+        for kind, _ in text.PII_PATTERNS:
+            assert spark_single[(did, kind)] == dk[did][kind], (did, kind)

@@ -44,7 +44,14 @@ def test_q19_disjunctive_pushdown_both_sides(spark, registry):
 def test_sampling_is_shuffle_free(spark, registry):
     p = plan_of(registry["sample_stratified_source"](spark, SF))
     assert "Exchange" not in p
-    assert "struct<doc_id:bigint,source:string>" in p  # 2 of 5 columns read
+    # column pruning: only (doc_id, source) of the 5 columns reach the query.
+    # If another test cached a plan-identical documents read, the scan is an
+    # InMemoryTableScan — pruning then shows as a 2-column Output instead of
+    # the parquet ReadSchema.
+    if "InMemoryTableScan" in p:
+        assert "Output [2]: [doc_id" in p
+    else:
+        assert "struct<doc_id:bigint,source:string>" in p
 
 
 def test_split_counts_single_shuffle(spark, registry):
