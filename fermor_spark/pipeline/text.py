@@ -167,9 +167,11 @@ def fingerprint_overlap_pairs(
 ) -> DataFrame:
     """Pairs sharing ≥ min_shared winnowing fingerprints → (id_a, id_b, shared).
     Blocking key = the fingerprint value (equi-join), never all-pairs."""
+    # cache: both self-join legs read this plan — uncached, the whole
+    # winnowing cascade (explode + 3 windows + md5-60 hash) computes twice
     fp = fingerprint(df, id_col, text_col, **fp_kwargs).select(
         "id", F.explode("fingerprints").alias("f")
-    )
+    ).cache()
     a = fp.select(F.col("id").alias("id_a"), "f")
     b = fp.select(F.col("id").alias("id_b"), "f")
     return (
