@@ -709,3 +709,160 @@ def iterate_route(route: Route, f: Callable[[Route], Route], n: int) -> Route:
     for _ in range(n):
         route = f(route)
     return route
+
+
+# -------------------------------------------- whole-graph vertex rankings
+#
+# Beyond the reference's surface: ranking/community/core algorithms a
+# 100 TB-scale graph user expects alongside CC/SCC. Same loop discipline
+# as the rest of this module (adjacency checkpointed once, per-iteration
+# localCheckpoint, superseded frames unpersisted).
+
+
+def pagerank(
+    g: PropertyGraph,
+    labels=None,
+    direction: str = "out",
+    iters: int = 10,
+    damping: float = 0.85,
+    dangling: str = "redistribute",
+) -> DataFrame:
+    """Fixed-iteration PageRank → (id, rank).
+
+    Synchronous power iteration: rank_{t+1}(v) = (1-d)/N + d * (Σ_{u→v}
+    rank_t(u)/outdeg(u) + dangling_mass/N). `dangling='redistribute'`
+    spreads the rank of out-degree-0 vertices uniformly (the standard
+    stochastic-matrix fix); `'none'` lets that mass leak (sum < 1, still a
+    well-defined ranking — and exactly unrollable in a SQL oracle).
+
+    Shuffle profile per iteration: one rank⋈adjacency shuffle join keyed on
+    u + one groupBy(v) partial-aggregated sum — the minimal Pregel-step
+    cost. The dangling term is one tiny scalar aggregate per iteration
+    (same cost class as the convergence probes elsewhere in this module).
+    Fixed `iters` (no convergence probe) keeps the job count predictable;
+    PageRank residuals decay geometrically by `damping`, so iters≈10 gives
+    ~d^10 ≈ 0.2 residual and iters≈50 machine-precision stationarity.
+    """
+    if dangling not in ("redistribute", "none"):
+        raise ValueError(f"dangling must be 'redistribute'|'none', not {dangling!r}")
+    adj = _loop_adjacency(g, labels, direction)
+    universe = _persist(g.vertices_with_edge(labels))
+    n = universe.count()
+    if n == 0:
+        return universe.withColumn("rank", F.lit(0.0))
+    deg = _persist(adj.groupBy("u").agg(F.count("*").alias("deg")))
+    ranks = universe.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(iters):
+        contrib_src = ranks.join(deg, ranks["id"] == deg["u"], "inner").select(
+            F.col("u"), (F.col("rank") / F.col("deg")).alias("share")
+        )
+        contrib = (
+            adj.join(contrib_src, "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("share").alias("c"))
+        )
+        if dangling == "redistribute":
+            dm = (
+                ranks.join(deg, ranks["id"] == deg["u"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+        else:
+            dm = 0.0
+        new = ranks.select("id").join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("rank"),
+        )
+        new = _persist(new)
+        if i > 0:
+            ranks.unpersist()
+        ranks = new
+    adj.unpersist()
+    deg.unpersist()
+    universe.unpersist()
+    return ranks
+
+
+def label_propagation(
+    g: PropertyGraph, labels=None, iters: int = 5
+) -> DataFrame:
+    """Deterministic synchronous label-propagation communities → (id, community).
+
+    Each vertex starts in its own community; every iteration it adopts the
+    most frequent label among its (undirected) neighbors, ties broken by
+    the lexicographically smallest label, keeping its own when isolated.
+    The classic async/random LPA is nondeterministic; the (freq desc,
+    label asc) tie-break makes this variant reproducible across runs and
+    partitionings — the property every oracle check here relies on. Fixed
+    `iters` sidesteps sync-LPA's well-known 2-cycle oscillation on
+    bipartite structures (no convergence probe can terminate those).
+
+    Per iteration: one frontier⋈adjacency join + one groupBy(v, label)
+    count + one per-vertex window top-1 — all shuffles on vertex id.
+    """
+    adj = _loop_adjacency(g, labels, "both")
+    comm = _persist(g.vertices_with_edge(labels).withColumn("community", F.col("id")))
+    from pyspark.sql import Window
+
+    for i in range(iters):
+        freq = (
+            comm.join(adj, comm["id"] == adj["u"], "inner")
+            .groupBy(F.col("v").alias("id"), F.col("community"))
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("community"))
+        best = (
+            freq.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", F.col("community").alias("best"))
+        )
+        new = (
+            comm.select("id", F.col("community").alias("old"))
+            .join(best, "id", "left")
+            .select("id", F.coalesce("best", "old").alias("community"))
+        )
+        new = _persist(new)
+        comm.unpersist()
+        comm = new
+    adj.unpersist()
+    return comm
+
+
+def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500) -> DataFrame:
+    """Vertices of the k-core (maximal subgraph of min undirected degree ≥ k)
+    → (id, deg) with deg = the vertex's degree within the core.
+
+    Iterative peeling: drop vertices with degree < k, recompute degrees on
+    the induced subgraph, repeat to fixpoint. Each round is one groupBy
+    degree count + two semi-joins — O(E) work per round, O(peel-depth)
+    rounds (bounded by the longest chain of cascading removals; real
+    graphs settle in a few dozen). Parallel edges count once per edge,
+    self-loops are excluded (standard core-number convention).
+    """
+    e = _persist(
+        _step_edges(g, labels, "both")
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()  # 'both' emits each undirected edge once per direction
+    )
+    for i in range(max_iters):
+        deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select(F.col("u").alias("id"))
+        keep = _persist(keep)
+        e2 = (
+            e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+        )
+        e2 = _persist(e2)
+        if e2.count() == e.count():
+            e.unpersist()
+            e = e2
+            break
+        e.unpersist()
+        e = e2
+    out = e.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    return out

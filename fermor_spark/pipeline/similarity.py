@@ -350,6 +350,59 @@ def ivf_topk(
     )
 
 
+def semantic_assign(
+    df: DataFrame, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    centroid_ids: list | None = None,
+) -> DataFrame:
+    """Cosine-nearest-centroid assignment → (id, cluster) — the partitioning
+    primitive of semantic dedup / corpus clustering (cluster first, then
+    dedup/diversify WITHIN clusters so no step is ever all-pairs).
+
+    Default centroids are the k lowest-id vectors — deterministic without
+    RNG state and reproducible in plain SQL, which is what lets the driver
+    oracle-check the assignment math (the Lloyd refinement loop on top is
+    `ivf_fit_centroids`). Ties break toward the smallest centroid id:
+    centroid rows are ordered by id and np.argmax keeps the first maximum.
+
+    Scale shape: the centroid matrix is model state (k × dim, broadcast);
+    the corpus streams through one mapInPandas matmul — no shuffle at all
+    beyond the initial scan, and the output join key (`cluster`) is exactly
+    the blocking key downstream stages need.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if centroids is None:
+        rows = base.orderBy("id").limit(k).collect()  # k rows of model state
+        centroid_ids = [r["id"] for r in rows]
+        centroids = [r["v"] for r in rows]
+    if centroid_ids is None:
+        centroid_ids = list(range(len(centroids)))
+    C = np.asarray(centroids, dtype=np.float64)
+    cids = np.asarray(centroid_ids)
+    bc = spark.sparkContext.broadcast((cids, C))
+
+    def assign(batches):
+        ids, cm = bc.value
+        cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            # argmax keeps the FIRST max → ids must be ascending for the
+            # smallest-centroid-id tie-break the oracle uses
+            a = np.argmax(Xn @ cn.T, axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "cluster": ids[a]})
+
+    return base.mapInPandas(assign, "id long, cluster long")
+
+
 def lsh_topk(
     df: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -2179,6 +2179,158 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# whole-graph rankings / communities / cores (beyond-reference additions;
+# oracles unroll the fixed-iteration recurrences in plain SQL)
+
+_PR_ITER = """
+    c{i} AS (
+      SELECT e.v AS id, sum(r{p}.r / deg.d) AS c
+      FROM edges e JOIN r{p} ON e.u = r{p}.id JOIN deg ON e.u = deg.u
+      GROUP BY e.v
+    ),
+    r{i} AS (
+      SELECT verts.id, (1.0 - 0.85) / nv.n + 0.85 * coalesce(c{i}.c, 0.0) AS r
+      FROM verts CROSS JOIN nv LEFT JOIN c{i} ON verts.id = c{i}.id
+    )"""
+
+_PR_SQL = (
+    """
+    WITH verts AS (
+      SELECT 's:' || s_suppkey AS id FROM supplier
+      UNION ALL SELECT 'n:' || n_nationkey FROM nation
+      UNION ALL SELECT 'r:' || r_regionkey FROM region
+    ),
+    edges AS (
+      SELECT 's:' || s_suppkey AS u, 'n:' || s_nationkey AS v FROM supplier
+      UNION ALL SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+    ),
+    deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY u),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    r0 AS (SELECT id, 1.0 / nv.n AS r FROM verts CROSS JOIN nv),"""
+    + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT id, round(r, 6) AS rank FROM r3
+    """
+)
+
+
+@query("g_pagerank_supply", _PR_SQL)
+def g_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (iterate.pagerank) on the supplier→nation→
+    region funnel. `dangling='none'` (regions leak their mass) makes the
+    recurrence exactly unrollable in the SQL oracle — the redistribute
+    variant is pytest-verified (rank mass conservation) instead."""
+    g = star_graph(spark, sf_dir)
+    pr = iterate.pagerank(
+        g, labels=["supp_nation", "in_region"], direction="out",
+        iters=3, damping=0.85, dangling="none",
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "g_label_propagation_ring",
+    """
+    WITH r AS (
+      SELECT 'n:' || n_nationkey AS id, n_regionkey AS rk,
+             CAST(row_number() OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS BIGINT) AS pos,
+             CAST(count(*) OVER (PARTITION BY n_regionkey) AS BIGINT) AS m
+      FROM nation
+    )
+    SELECT a.id, min(b.id) AS community
+    FROM r a JOIN r b ON a.rk = b.rk
+      AND ((b.pos - a.pos) % a.m + a.m) % a.m IN (0, 2, a.m - 2)
+    GROUP BY a.id
+    """,
+)
+def g_label_propagation_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sync label propagation (iterate.label_propagation),
+    2 iterations on the per-region nation rings. On a ring the (freq desc,
+    label asc) update has the closed form l2(v) = min id within ring
+    distance {0, 2} — which is what the oracle computes relationally."""
+    rg = _nation_ring_graph(spark, sf_dir)
+    return iterate.label_propagation(rg, labels="next_nation", iters=2)
+
+
+def _ring_chain_graph(spark: SparkSession, sf_dir: str):
+    """Per-region nation rings + per-nation customer chains (custkey ≤ 300)
+    hung off the ring: the rings are exactly the 2-core; the chains peel
+    one tail per round (deep cascade exercise for k_core)."""
+    from fermor_spark.datasets import _id
+    from fermor_spark.graph import PropertyGraph
+
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    wall = Window.partitionBy("n_regionkey")
+    ring = n.select(
+        F.lit("ring").alias("label"),
+        _id("n", F.col("n_nationkey")).alias("src"),
+        _id("n", F.coalesce(
+            F.lead("n_nationkey").over(w), F.min("n_nationkey").over(wall)
+        )).alias("dst"),
+    )
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    cw = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = (
+        c.select(
+            F.lit("chain").alias("label"),
+            _id("c", F.col("c_custkey")).alias("src"),
+            _id("c", F.lead("c_custkey").over(cw)).alias("dst"),
+        ).where(F.col("dst").isNotNull())
+    )
+    attach = c.groupBy("c_nationkey").agg(F.min("c_custkey").alias("first_c")).select(
+        F.lit("attach").alias("label"),
+        _id("n", F.col("c_nationkey")).alias("src"),
+        _id("c", F.col("first_c")).alias("dst"),
+    )
+    return PropertyGraph.from_dataframes(
+        spark, ring.unionByName(chain).unionByName(attach)
+    )
+
+
+@query(
+    "g_kcore_ring_chains",
+    """
+    SELECT 'n:' || n_nationkey AS id, CAST(2 AS BIGINT) AS deg FROM nation
+    """,
+)
+def g_kcore_ring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core via iterative peeling (iterate.k_core) on rings + pendant
+    customer chains: every chain cascades away tail-first (~|chain| peel
+    rounds), leaving exactly the nation rings at within-core degree 2."""
+    g = _ring_chain_graph(spark, sf_dir)
+    return iterate.k_core(g, k=2)
+
+
+@query(
+    "semantic_cluster_assign",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8)
+    SELECT vec_id, cluster FROM (
+      SELECT e.vec_id, s.cid AS cluster,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.cid
+             ) AS rn
+      FROM e CROSS JOIN seeds s
+    ) WHERE rn = 1
+    """,
+)
+def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering partition step (pipeline.similarity.semantic_assign):
+    every vector → its cosine-nearest of the 8 lowest-id seed centroids.
+    The cluster id is the downstream blocking key for semantic dedup."""
+    from fermor_spark.pipeline.similarity import semantic_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_assign(emb, k=8).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
+
+
+# --------------------------------------------------------------------------
 # entry points consumed by __spark_entry__.py
 
 def all_queries():

@@ -140,3 +140,93 @@ def test_descend_control_signals(spark):
     # ignore negatives, cut at 2 (emit-and-continue elsewhere)
     assert run(emit_pred=~F.col("id").startswith("-") & (F.col("id") != "2"),
                descend_pred=F.col("id") != "2") == {"0", "1", "3"}
+
+
+# ---------------------------------------------- rankings / communities / cores
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    # triangle a->b->c->a, pendant d->a, dangling sink c->e
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("c", "e")]
+    g = edges_graph(spark, "to", edges)
+    got = {r["id"]: r["rank"] for r in
+           iterate.pagerank(g, iters=12, damping=0.85).collect()}
+
+    import numpy as np
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, (1 - 0.85) / n)
+        dm = sum(r[idx[u]] for u in ids if u not in out)
+        nxt += 0.85 * dm / n
+        for u, vs in out.items():
+            for v in vs:
+                nxt[idx[v]] += 0.85 * r[idx[u]] / len(vs)
+        r = nxt
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    # redistribute conserves total rank mass
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_none_leaks(spark):
+    g = edges_graph(spark, "to", [("a", "b"), ("b", "c")])  # c dangling
+    got = iterate.pagerank(g, iters=5, dangling="none")
+    assert got.agg(F.sum("rank")).first()[0] < 1.0
+
+
+def test_label_propagation_path_iterations(spark):
+    # path a-b-c; sync min-tie-break LPA has exact per-iteration values
+    g = edges_graph(spark, "to", [("a", "b"), ("b", "c")])
+    l1 = {r["id"]: r["community"] for r in
+          iterate.label_propagation(g, iters=1).collect()}
+    assert l1 == {"a": "b", "b": "a", "c": "b"}
+    l2 = {r["id"]: r["community"] for r in
+          iterate.label_propagation(g, iters=2).collect()}
+    assert l2 == {"a": "a", "b": "b", "c": "a"}
+
+
+def test_label_propagation_two_cliques(spark):
+    clique1 = [("a", "b"), ("a", "c"), ("b", "c")]
+    clique2 = [("x", "y"), ("x", "z"), ("y", "z")]
+    g = edges_graph(spark, "to", clique1 + clique2 + [("c", "x")])
+    out = {r["id"]: r["community"] for r in
+           iterate.label_propagation(g, iters=4).collect()}
+    # deterministic: two runs agree exactly, and the cliques never merge
+    out2 = {r["id"]: r["community"] for r in
+            iterate.label_propagation(g, iters=4).collect()}
+    assert out == out2
+    # each clique is internally uniform, and the two never merge (labels may
+    # hop the bridge — clique2 ends up under c's ORIGINAL label — but the
+    # partition into two communities is what LPA promises)
+    assert len({out[v] for v in "abc"}) == 1
+    assert len({out[v] for v in "xyz"}) == 1
+    assert out["a"] != out["x"]
+
+
+def test_k_core_triangle_with_chain(spark):
+    g = edges_graph(
+        spark, "to",
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+    )
+    got = {r["id"]: r["deg"] for r in iterate.k_core(g, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}  # chain c-d-e peeled tail-first
+
+
+def test_k_core_empty_when_no_core(spark):
+    # K4 minus one edge has no 3-core (cascading removal empties it)
+    g = edges_graph(
+        spark, "to",
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+    )
+    assert iterate.k_core(g, k=3).count() == 0
+
+
+def test_k_core_parallel_edges_count_once(spark):
+    g = edges_graph(spark, "to", [("a", "b"), ("b", "a"), ("a", "b")])
+    assert iterate.k_core(g, k=2).count() == 0

@@ -412,3 +412,39 @@ def test_redact_pii_planted(spark):
     for did in (1, 2, 3):
         for kind, _ in text.PII_PATTERNS:
             assert spark_single[(did, kind)] == dk[did][kind], (did, kind)
+
+
+def test_semantic_assign_matches_numpy(spark):
+    import numpy as np
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(6)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: r["cluster"] for r in
+           similarity.semantic_assign(df, k=4).collect()}
+
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:4]  # seeds = 4 lowest ids
+    expect = np.argmax(Xn @ C.T, axis=1)
+    assert got == {i: int(expect[i]) for i in range(40)}
+
+
+def test_semantic_assign_explicit_centroids(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["id"]: r["cluster"] for r in similarity.semantic_assign(
+        df, centroids=[[1.0, 0.0], [0.0, 1.0]], centroid_ids=[100, 200]
+    ).collect()}
+    assert out == {1: 100, 2: 200, 3: 100}
+
+
+def test_semantic_assign_blocks_dedup(spark, docs):
+    """cluster ids partition the corpus -> downstream dedup never all-pairs"""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.semantic_assign(emb, k=8)
+    sizes = out.groupBy("cluster").count()
+    assert out.count() == emb.count()
+    assert sizes.count() <= 8
