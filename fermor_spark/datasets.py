@@ -40,14 +40,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _table_cache:
         if name == "events":
-            # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-            # parquet reader rejects; read nanos as long and convert to a
-            # microsecond timestamp (matching DuckDB's ns→µs truncation).
+            # events.parquet has carried either TIMESTAMP(NANOS) — which Spark's
+            # vectorized parquet reader only accepts as long via nanosAsLong —
+            # or plain timestamp[us]. Branch on the dtype actually read:
+            # nanosAsLong leaves non-NANOS timestamp columns untouched (NTZ).
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            # integer division — double division of int64 nanos loses the
-            # final microsecond to 53-bit mantissa rounding
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            from pyspark.sql.types import LongType, TimestampType
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, LongType):
+                # integer division — double division of int64 nanos loses the
+                # final microsecond to 53-bit mantissa rounding
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            elif not isinstance(ts_type, TimestampType):
+                # TIMESTAMP_NTZ → session-tz timestamp; session tz is pinned
+                # UTC (session.py) so the cast preserves wall-clock and
+                # matches the DuckDB oracle's NTZ read
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             _table_cache[key] = df
         else:
             _table_cache[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -26,16 +26,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_RAW_SCHEMA = (
+# legacy layout: TIMESTAMP(NANOS) files read with nanosAsLong; current files
+# carry plain timestamp[us] (TIMESTAMP_NTZ). The stream schema is picked to
+# match whichever the batch reader actually sees (read_events_stream).
+EVENTS_RAW_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_RAW_SCHEMA_NTZ = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts normalized, as in
-    datasets.table)."""
+    """File-source stream over the events parquet (ts normalized to a
+    session-tz timestamp, same dtype-adaptive rule as datasets.table)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file streaming source requires a directory; expose the single
     # events.parquet through a stable symlinked dir
@@ -49,11 +56,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # batch-read the footer once to learn which layout this file carries
+    from pyspark.sql.types import LongType
+    probe_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    nanos_as_long = isinstance(probe_type, LongType)
+    schema = EVENTS_RAW_SCHEMA_NANOS if nanos_as_long else EVENTS_RAW_SCHEMA_NTZ
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stream_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos_as_long:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
