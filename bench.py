@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "pipeline_curation_funnel",
     "dedup_embedding_cosine",
     "decontaminate_overlap",
+    # r4 additions: iterative graph operators carry perf evidence too
+    "g_pagerank_supply",
+    "g_kcore_ring_chains",
 ]
 
 

@@ -324,43 +324,79 @@ def all_cycles(
 # ------------------------------------------------------------- components
 
 
-def connected_components(g: PropertyGraph, labels=None,
-                         incident_only: bool = False) -> DataFrame:
-    """Undirected CCs via min-id label propagation → (id, component).
+# round count of the most recent connected_components call — lets tests
+# assert the O(log n) bound on planted high-diameter fixtures
+LAST_CC_ROUNDS = 0
 
-    Converges in O(diameter) joins; AQE + localCheckpoint keep plans flat.
-    (SURVEY §2.9: GraphFrames' Pregel equivalent, expressed as plain joins.)
-    `incident_only=True` scopes the universe to vertices touching the chosen
-    labels — isolated vertices are trivially their own singleton components
-    and dragging them through every iteration join is pure overhead.
+
+def connected_components(g: PropertyGraph, labels=None,
+                         incident_only: bool = False,
+                         max_iter: int = 50) -> DataFrame:
+    """Undirected CCs via alternating large-star/small-star contraction →
+    (id, component), component = min vertex id (same contract as the former
+    min-id propagation, which this replaces).
+
+    Min-id propagation converges in O(diameter) shuffle rounds — fine on a
+    star schema, a scale-killer on a 100 TB graph with a long chain (10⁶
+    rounds on a 10⁶-chain). The two-phase star contraction ("Connected
+    Components in MapReduce and Beyond", Kiveris et al., SoCC'14) converges
+    in O(log n) rounds regardless of diameter: large-star hangs every
+    strictly-larger neighbor of u under u's neighborhood minimum, small-star
+    re-hangs u and its smaller neighbors under that minimum, and the fixed
+    point is a star forest whose centers are the component minima. Each
+    round is two groupBy+join passes over the (shrinking) edge set — no
+    driver-side state beyond a 1-row convergence probe.
     """
+    global LAST_CC_ROUNDS
     adj = _loop_adjacency(g, labels, "both")
     universe = g.vertices_with_edge(labels) if incident_only else g.vertex_ids()
-    comp = universe.withColumn("comp", F.col("id"))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric view so Γ(u) sees both orientations
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nm = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+              .select("u", F.least(F.col("mn"), F.col("u")).alias("m")))
+        return (
+            sym.join(nm, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input is parent-pointer-shaped: (u, v) with v < u after large-star
+        nm = (e.groupBy("u").agg(F.min("v").alias("m")))
+        hang = (
+            e.join(nm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(nm.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return hang
+
+    edges = _persist(
+        adj.where(F.col("u") != F.col("v")).select("u", "v").distinct())
     i = 0
     while True:
-        neigh = (
-            comp.join(adj, comp["id"] == adj["u"], "inner")
-            .groupBy(F.col("v").alias("id"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        new = (
-            comp.join(neigh, "id", "left")
-            .select("id", F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"))
-        )
-        new = _persist(new)
-        changed = (
-            new.alias("n").join(comp.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        if i > 0:
-            comp.unpersist()
-        comp = new
+        new = _persist(small_star(large_star(edges)))
         i += 1
-        if changed == 0 or i > 200:
+        converged = new.exceptAll(edges).limit(1).count() == 0
+        edges.unpersist()
+        edges = new
+        if converged or i >= max_iter:
             break
+    LAST_CC_ROUNDS = i
+    # fixed point is a star forest (child → component-min center); vertices
+    # never seen as a child are their own component (centers + isolated)
+    parents = edges.groupBy("u").agg(F.min("v").alias("comp")).withColumnRenamed("u", "id")
+    comp = (
+        universe.join(parents, "id", "left")
+        .select("id", F.coalesce(F.col("comp"), F.col("id")).alias("comp"))
+    )
+    comp = _persist(comp)
+    edges.unpersist()
     adj.unpersist()
     return comp
 
@@ -763,19 +799,26 @@ def pagerank(
             .agg(F.sum("share").alias("c"))
         )
         if dangling == "redistribute":
-            dm = (
+            # 1-row aggregate crossJoined into the update: the dangling mass
+            # is computed inside the same job as the iteration checkpoint
+            # instead of costing its own driver action per iteration
+            dm_df = (
                 ranks.join(deg, ranks["id"] == deg["u"], "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .first()[0]
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
         else:
-            dm = 0.0
-        new = ranks.select("id").join(contrib, "id", "left").select(
-            "id",
-            (
-                F.lit(base)
-                + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm / n))
-            ).alias("rank"),
+            dm_df = ranks.sparkSession.range(1).select(F.lit(0.0).alias("_dm"))
+        new = (
+            ranks.select("id").join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dm_df))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
+                ).alias("rank"),
+            )
         )
         new = _persist(new)
         if i > 0:

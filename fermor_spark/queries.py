@@ -1252,7 +1252,7 @@ ORACLES["dedup_simhash_candidates"] = _simhash_sql(8)
 
 
 def _ann_recall_gate(spark: SparkSession, sf_dir: str, approx_fn,
-                     k: int = 5, floor: float = 0.6) -> DataFrame:
+                     k: int = 5, floor: float = 0.5) -> DataFrame:
     """Turn an approximate top-k into a driver-checkable result.
 
     An ANN result can't be reproduced in SQL, but its CONTRACT can be stated
@@ -1263,6 +1263,11 @@ def _ann_recall_gate(spark: SparkSession, sf_dir: str, approx_fn,
     oracle can emit verbatim; the Spark side EARNS them by joining the
     approximate result against the exact blocked-BLAS top-k. A broken hash
     family / centroid fit / candidate join shows up as a red hash row.
+
+    Recall is a multiple of 1/k, so the floor sits BETWEEN attainable
+    values (0.5 for k=5) — the gate never depends on float equality at the
+    boundary. Both operators are deterministic (seeded planes/centroids);
+    measured minima at sf0.001/sf0.01: LSH(3,16) 0.8, IVF(16,10) 0.6.
     """
     from fermor_spark.pipeline.similarity import brute_force_topk_arrow
 
@@ -1295,8 +1300,8 @@ _ANN_GATE_SQL = """
 @query("ann_lsh_topk", _ANN_GATE_SQL)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN, driver-gated via the recall contract
-    (_ann_recall_gate): k rows per query, value-wise recall ≥ 0.6 vs the
-    exact top-k. The raw neighbor-list operator is
+    (_ann_recall_gate): k rows per query, value-wise recall over the floor
+    vs the exact top-k. The raw neighbor-list operator is
     pipeline.similarity.lsh_topk (recall-tested in tests/)."""
     from fermor_spark.pipeline.similarity import lsh_topk
 
@@ -1314,7 +1319,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _ann_recall_gate(
         spark, sf_dir,
-        lambda emb, q: ivf_topk(emb, q, k=5, n_centroids=16, nprobe=6))
+        lambda emb, q: ivf_topk(emb, q, k=5, n_centroids=16, nprobe=10))
 
 
 @query(
@@ -2242,9 +2247,12 @@ _PR_SQL = (
     r0 AS (SELECT id, 1.0 / nv.n AS r FROM verts CROSS JOIN nv),"""
     + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
     + """
-    SELECT id, round(r, 6) AS rank FROM r3
+    SELECT id, round(r + 1e-9, 6) AS rank FROM r3
     """
 )
+# the +1e-9 nudge (mirrored in the Spark query) keeps exact 6-dp midpoints
+# — which the terminating-decimal rank rationals at tiny SFs hit exactly —
+# from rounding to different sides on ulp-level accumulation-order noise
 
 
 @query("g_pagerank_supply", _PR_SQL)
@@ -2258,7 +2266,7 @@ def g_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         g, labels=["supp_nation", "in_region"], direction="out",
         iters=3, damping=0.85, dangling="none",
     )
-    return pr.select("id", F.round("rank", 6).alias("rank"))
+    return pr.select("id", F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank"))
 
 
 @query(

@@ -83,6 +83,20 @@ def test_connected_components(spark):
     assert set(map(frozenset, comps.values())) == {frozenset({"a", "b", "c"}), frozenset({"x", "y"})}
 
 
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """Star-contraction CC must converge in O(log n) rounds on a planted
+    chain — the case where the former min-id propagation needed O(n)
+    (one shuffle round per hop of diameter)."""
+    n = 64
+    ids = [f"v{i:03d}" for i in range(n)]
+    g = edges_graph(spark, "l", list(zip(ids, ids[1:])))
+    cc = iterate.connected_components(g)
+    rows = cc.collect()
+    assert {r["comp"] for r in rows} == {"v000"}
+    assert len(rows) == n
+    assert iterate.LAST_CC_ROUNDS <= 12, iterate.LAST_CC_ROUNDS
+
+
 def test_scc(spark):
     """G7 expected SCCs (graph/algo_test.clj:126-139): {{M C E}, {D G}}."""
     g = edges_graph(spark, "to", [
