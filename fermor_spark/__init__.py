@@ -23,6 +23,8 @@ Design notes (scale-first):
 from fermor_spark.session import get_spark
 from fermor_spark.graph import PropertyGraph
 from fermor_spark.route import Route
+from fermor_spark.conditions import Condition, handling, set_handler
 
-__all__ = ["get_spark", "PropertyGraph", "Route"]
+__all__ = ["get_spark", "PropertyGraph", "Route",
+           "Condition", "handling", "set_handler"]
 __version__ = "0.1.0"

@@ -182,8 +182,47 @@ class PropertyGraph:
         g._seq_counter = self._seq_counter
         return g
 
+    def _add_edges_anchored(self, label: str, anchor, vs,
+                            edge_documents, forward: bool) -> "PropertyGraph":
+        """Shared body of add_edges_from/add_edges_to (reference:
+        add-edges-to/add-edges-from, src/fermor/core.clj:80-134). A document
+        list shorter than the vertex list signals :missing-documents with
+        the zipped prefix in context — the handler returns the triples to
+        use (return ctx['triples'] to accept the prefix); unhandled, it
+        raises, exactly the reference's escalation."""
+        anchor = str(anchor)
+        vs = [str(v) for v in vs]
+        if edge_documents is not None:
+            pairs = list(zip(vs, edge_documents))
+            if len(pairs) != len(vs):
+                from fermor_spark import conditions
+
+                pairs = conditions.signal(
+                    "missing-documents",
+                    f"edge_documents has {len(edge_documents)} entries for "
+                    f"{len(vs)} vertices (label {label!r})",
+                    triples=pairs, vs=vs, edge_documents=edge_documents,
+                    label=label)
+            rows = [((anchor, v, d) if forward else (v, anchor, d))
+                    for v, d in pairs]
+        else:
+            rows = [((anchor, v) if forward else (v, anchor)) for v in vs]
+        return self.add_edges(label, rows)
+
+    def add_edges_from(self, label: str, from_id, vs,
+                       edge_documents=None) -> "PropertyGraph":
+        """Connect one anchor vertex to each of ``vs``
+        (reference: add-edges-from, src/fermor/core.clj:113-134)."""
+        return self._add_edges_anchored(label, from_id, vs, edge_documents, True)
+
+    def add_edges_to(self, label: str, vs, to_id,
+                     edge_documents=None) -> "PropertyGraph":
+        """Connect each of ``vs`` to one anchor vertex
+        (reference: add-edges-to, src/fermor/core.clj:90-112)."""
+        return self._add_edges_anchored(label, to_id, vs, edge_documents, False)
+
     def add_vertices(self, pairs: Iterable[Sequence] | DataFrame) -> "PropertyGraph":
-        """Add (id[, doc]) pairs or (id, kind, doc) triples; last-wins on id.
+        """Add (id[, doc]) pairs or (id, doc, kind) triples; last-wins on id.
 
         Reference: add-vertices, src/fermor/graph.clj:377-384.
         """
@@ -588,11 +627,17 @@ class PropertyGraph:
                              materialized_vertices=self.materialized_vertices)
 
     def get_vertex_checked(self, vid) -> "Route":
-        """Point lookup that raises KeyError when absent — the engine analog
-        of the reference's :vertex-not-found condition
-        (reference: get-vertex!, src/fermor/core.clj:245-260)."""
+        """Point lookup that signals :vertex-not-found when absent
+        (reference: get-vertex!, src/fermor/core.clj:245-260). A bound
+        handler's return value is returned as the lookup default; unhandled,
+        the signal raises (conditions.Condition, a KeyError subclass-free
+        analog of the reference's ex-info escalation)."""
         if not self.has_vertex(vid):
-            raise KeyError(f"vertex not found: {vid}")
+            from fermor_spark import conditions
+
+            return conditions.signal(
+                "vertex-not-found", f"vertex not found: {vid}",
+                graph=self, id=vid)
         return self.get_vertex(vid)
 
     def assert_acyclic(self, labels=None, max_iter: int = 200) -> "PropertyGraph":
@@ -801,6 +846,35 @@ class PropertyGraph:
             if r["kind"] is not None:
                 G.nodes[r["id"]]["kind"] = r["kind"]
         return G
+
+    @classmethod
+    def from_networkx(cls, spark: SparkSession, G,
+                      default_label: str = "edge") -> "PropertyGraph":
+        """Import a NetworkX graph — the return leg of the ecosystem
+        adapter, making the interop bidirectional like the reference's Loom
+        adapter (as-loom-graph supports reads AND builds,
+        src/fermor/loom_graph.clj:35-168; to_networkx is the export leg).
+        Edge attrs label/weight/doc and node attrs kind/doc round-trip;
+        other attributes are ignored. Driver-side by nature (the source is
+        an in-memory NetworkX object — model-state scale, not data scale).
+        """
+        erows = []
+        for u, v, data in G.edges(data=True):
+            erows.append((
+                str(data.get("label", default_label)), str(u), str(v),
+                float(data["weight"]) if data.get("weight") is not None else None,
+                _doc_json(data["doc"]) if "doc" in data else None,
+            ))
+        vrows = []
+        for n, data in G.nodes(data=True):
+            vrows.append((
+                str(n), data.get("kind"),
+                _doc_json(data["doc"]) if "doc" in data else None,
+            ))
+        e = spark.createDataFrame(
+            erows, "label string, src string, dst string, weight double, doc string")
+        vdf = spark.createDataFrame(vrows, V_SCHEMA) if vrows else None
+        return cls.from_dataframes(spark, e, vdf)
 
     # -------------------------------------------------------------- equality
 

@@ -453,16 +453,27 @@ class Route:
         )
 
     def no_cycles(self) -> "Route":
-        """Like prevent_cycles but SIGNALS on a revisit instead of dropping —
-        the reference's no-cycles! error variant
-        (src/fermor/core.clj:1351-1377). Raises ValueError."""
+        """Like prevent_cycles but SIGNALS :on-cycle on a revisit instead of
+        dropping — the reference's no-cycles! variant
+        (src/fermor/core.clj:1351-1367). Handler contract mirrors the
+        reference: return falsy to break out of the cycle (truncate like
+        prevent_cycles), truthy to continue cycling (keep the offending
+        elements); unhandled, the signal raises."""
         assert self.has_path
         verts = F.filter(F.col("path"), lambda x: x.startswith("v:"))
-        bad = self.df.where(
+        offender = self.df.where(
             F.size(verts) != F.size(F.array_distinct(verts))
-        ).limit(1).count()
-        if bad:
-            raise ValueError("no_cycles: cycle encountered in route path")
+        ).limit(1).collect()
+        if offender:
+            from fermor_spark import conditions
+
+            keep = conditions.signal_or("on-cycle", element=offender[0])
+            if conditions.unhandled(keep):
+                raise conditions.Condition(
+                    "on-cycle", "no_cycles: cycle encountered in route path",
+                    {"element": offender[0]})
+            if not keep:
+                return self.prevent_cycles()
         return self
 
     # -------------------------------------------------- section / pair forms
