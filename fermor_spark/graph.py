@@ -887,3 +887,50 @@ class PropertyGraph:
         v1 = self.V.where(F.col("doc").isNotNull()).select("id", "doc")
         v2 = other.V.where(F.col("doc").isNotNull()).select("id", "doc")
         return not (v1.exceptAll(v2).limit(1).count() or v2.exceptAll(v1).limit(1).count())
+
+
+# ------------------------------------------------------------ default graph
+
+def default_graph() -> "PropertyGraph | None":
+    """Resolve the ambient default graph via the :default-graph condition
+    (reference: core.clj `v`/`e` literals + graph.clj:911-937). The signal
+    is optional — None when no handler is bound, matching the reference's
+    `optional` resolution path."""
+    from fermor_spark import conditions
+
+    g = conditions.signal_or("default-graph")
+    return None if conditions.unhandled(g) else g
+
+
+def use_graph(g: "PropertyGraph"):
+    """Lexically bind ``g`` as the default graph::
+
+        with use_graph(g):
+            v("a")         # -> point-lookup Route in g
+
+    (reference: handling the :default-graph condition, graph.clj:911-937)"""
+    from fermor_spark import conditions
+
+    return conditions.handling("default-graph", lambda ctx: g)
+
+
+def v(vid, document=None):
+    """Vertex literal (reference: `v`, src/fermor/graph.clj:911-925): with a
+    default graph bound, a point-lookup Route into it; detached otherwise —
+    an (id, document) pair usable with add_vertices, mirroring the
+    reference's graph-less ->V record."""
+    g = default_graph()
+    if g is None:
+        return (str(vid), document)
+    return g.get_vertex(vid)
+
+
+def e(label, src, dst):
+    """Edge literal (reference: `e->`, src/fermor/graph.clj:927-945): with a
+    default graph bound, that graph's get_edge result (an edge DataFrame,
+    empty when absent); detached otherwise — a (label, src, dst) triple
+    usable with add_edges."""
+    g = default_graph()
+    if g is None:
+        return (str(label), str(src), str(dst))
+    return g.get_edge(label, src, dst)

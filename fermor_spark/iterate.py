@@ -879,12 +879,15 @@ def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500) -> DataF
     """Vertices of the k-core (maximal subgraph of min undirected degree ≥ k)
     → (id, deg) with deg = the vertex's degree within the core.
 
-    Iterative peeling: drop vertices with degree < k, recompute degrees on
-    the induced subgraph, repeat to fixpoint. Each round is one groupBy
-    degree count + two semi-joins — O(E) work per round, O(peel-depth)
-    rounds (bounded by the longest chain of cascading removals; real
-    graphs settle in a few dozen). Parallel edges count once per edge,
-    self-loops are excluded (standard core-number convention).
+    Incremental peeling: degrees are computed ONCE, then each round removes
+    the sub-k frontier and subtracts its edge contributions from surviving
+    neighbors (frontier broadcast against the persisted adjacency — a
+    map-side semi-join, so per-round work is proportional to the removed
+    frontier's edges, not to |E|). Rounds remain O(peel-depth) — inherent
+    to k-core — but a round on a 100 TB graph costs frontier-sized work
+    instead of a full-edge-set degree recount + double semi-join (the
+    previous shape). Parallel edges count once per edge, self-loops are
+    excluded (standard core-number convention).
     """
     e = _persist(
         _step_edges(g, labels, "both")
@@ -892,20 +895,27 @@ def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500) -> DataF
         .select("u", "v")
         .distinct()  # 'both' emits each undirected edge once per direction
     )
+    deg = _persist(
+        e.groupBy("u").agg(F.count("*").alias("deg")).withColumnRenamed("u", "id"))
     for i in range(max_iters):
-        deg = e.groupBy("u").agg(F.count("*").alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select(F.col("u").alias("id"))
-        keep = _persist(keep)
-        e2 = (
-            e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
-        )
-        e2 = _persist(e2)
-        if e2.count() == e.count():
-            e.unpersist()
-            e = e2
+        frontier = _persist(deg.where(F.col("deg") < k).select("id"))
+        if frontier.limit(1).count() == 0:
+            frontier.unpersist()
             break
-        e.unpersist()
-        e = e2
-    out = e.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
-    return out
+        # edges lost by survivors: one per (frontier u → v) edge; rows whose
+        # v was removed (this round or earlier) drop out in the left join
+        delta = (
+            e.join(F.broadcast(frontier.withColumnRenamed("id", "u")), "u", "left_semi")
+            .groupBy(F.col("v").alias("id")).agg(F.count("*").alias("_d"))
+        )
+        new_deg = (
+            deg.join(frontier, "id", "left_anti")
+            .join(delta, "id", "left")
+            .select("id", (F.col("deg") - F.coalesce(F.col("_d"), F.lit(0))).alias("deg"))
+        )
+        new_deg = _persist(new_deg)
+        deg.unpersist()
+        frontier.unpersist()
+        deg = new_deg
+    e.unpersist()
+    return deg.select("id", "deg")

@@ -90,6 +90,21 @@ def test_networkx_round_trip(spark):
     assert kinds["a"] == "city"
 
 
+def test_default_graph_literals(spark):
+    from fermor_spark.graph import default_graph, e, use_graph, v
+
+    g = edges_graph(spark, "l", [("a", "b")])
+    assert default_graph() is None
+    assert v("a") == ("a", None)           # detached literal
+    assert e("l", "a", "b") == ("l", "a", "b")
+    with use_graph(g):
+        assert default_graph() is g
+        assert v("a").count() == 1          # point-lookup Route in g
+        assert e("l", "a", "b").count() == 1
+        assert e("l", "b", "a").count() == 0
+    assert default_graph() is None
+
+
 def test_from_networkx_weights_and_labels(spark):
     nx = pytest.importorskip("networkx")
     G = nx.MultiDiGraph()
