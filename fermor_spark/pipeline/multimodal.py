@@ -4,11 +4,12 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 Three tiers of codec support, honestly delineated:
 
 * REAL, no external deps: ``parse_image_header`` (PNG/GIF/BMP/JPEG
-  dimensions from container bytes), ``decode_wav`` (RIFF/WAVE PCM header +
-  numpy sample statistics), ``resize_image_raw`` (nearest-neighbor resize
-  of raw interleaved arrays via numpy indexing).
+  dimensions from container bytes), ``decode_image`` for the uncompressed
+  formats (PPM/PGM/BMP pixel decode in pure numpy), ``decode_wav``
+  (RIFF/WAVE PCM header + numpy sample statistics), ``resize_image_raw``
+  (nearest-neighbor resize of raw interleaved arrays via numpy indexing).
 * STUBBED behind ``fake=True`` where the env lacks the codec library:
-  ``decode_image`` (full compressed-pixel decode needs PIL/opencv),
+  ``decode_image`` on COMPRESSED payloads (png/jpeg/gif need PIL/opencv),
   ``frame_sample`` (video needs ffmpeg). The Spark-side machinery —
   schemas, batching, partition sizing, UDF signatures, row explosion —
   is real and tested either way.
@@ -234,28 +235,84 @@ def resize_image_raw(df: DataFrame, out_w: int, out_h: int,
 
 
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode image binaries → (media_id, width, height, channels, n_bytes).
+    """Decode image binaries → (media_id, width, height, channels, n_bytes),
+    n_bytes = size of the decoded interleaved pixel buffer.
 
-    Real decode requires an image codec library (PIL/opencv) — STUBBED here:
-    pass fake=True for a deterministic fake decode (dims derived from the
-    first bytes) that exercises the full mapInPandas pipeline.
+    REAL decode, pure numpy, for the uncompressed formats: PPM (P6), PGM
+    (P5), and uncompressed 8/24/32-bit BMP (BI_RGB, incl. bottom-up row
+    order + 4-byte row padding). Compressed formats (PNG/JPEG/GIF) need a
+    codec library (PIL/opencv) that this environment lacks — those payloads
+    raise NotImplementedError unless ``fake=True``, which substitutes a
+    deterministic stub decode so the full mapInPandas pipeline can still be
+    exercised. Unrecognized payloads yield null dims.
     """
+
+    def decode_one(b: bytes):
+        """(width, height, channels, decoded_bytes) | None | 'compressed'"""
+        import re
+        import struct
+
+        import numpy as np
+
+        if len(b) >= 2 and b[:2] in (b"P6", b"P5"):
+            # PNM header: magic, then 3 ASCII ints (w h maxval) separated by
+            # whitespace/comments, then a single whitespace before pixels
+            m = re.match(
+                rb"P[56]\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
+                rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s", b)
+            if not m:
+                return None
+            w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+            ch = 3 if b[:2] == b"P6" else 1
+            bpp = 2 if maxval > 255 else 1
+            px = b[m.end():m.end() + w * h * ch * bpp]
+            if len(px) < w * h * ch * bpp:
+                return None
+            arr = np.frombuffer(px, dtype=np.uint16 if bpp == 2 else np.uint8)
+            return w, h, ch, arr.astype(np.uint8, copy=False).tobytes()
+        if len(b) >= 54 and b[:2] == b"BM":
+            off, = struct.unpack("<I", b[10:14])
+            w, h = struct.unpack("<ii", b[18:26])
+            bpp, comp = struct.unpack("<HI", b[28:34])
+            if comp != 0 or bpp not in (8, 24, 32):
+                return "compressed"
+            ch = bpp // 8
+            bottom_up, h = h > 0, abs(h)
+            row = ((bpp * w + 31) // 32) * 4
+            if len(b) < off + row * h:
+                return None
+            raw = np.frombuffer(b[off:off + row * h], dtype=np.uint8)
+            px = raw.reshape(h, row)[:, : w * ch]
+            if bottom_up:
+                px = px[::-1]
+            return w, h, ch, px.tobytes()
+        if (b[:8] == b"\x89PNG\r\n\x1a\n" or b[:2] == b"\xff\xd8"
+                or b[:6] in (b"GIF87a", b"GIF89a")):
+            return "compressed"
+        return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decoding requires PIL/opencv, unavailable in this "
-                    "environment; pass fake=True for the deterministic stub"
-                )
-            out = pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "width": [((c[0] if len(c) else 0) % 64) + 1 for c in pdf["content"]],
-                "height": [((c[1] if len(c) > 1 else 0) % 64) + 1 for c in pdf["content"]],
-                "channels": [3] * len(pdf),
-                "n_bytes": [len(c) for c in pdf["content"]],
+            ids, ws, hs, chs, nbs = [], [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                got = decode_one(bytes(c)) if c is not None else None
+                if got == "compressed" and not fake:
+                    raise NotImplementedError(
+                        "compressed image decode (png/jpeg/gif) requires "
+                        "PIL/opencv, unavailable in this environment; "
+                        "pass fake=True for the deterministic stub")
+                if got in ("compressed", None) and fake and c is not None:
+                    got = (((c[0] if len(c) else 0) % 64) + 1,
+                           ((c[1] if len(c) > 1 else 0) % 64) + 1, 3, c)
+                ids.append(mid)
+                ws.append(got[0] if got else None)
+                hs.append(got[1] if got else None)
+                chs.append(got[2] if got else None)
+                nbs.append(len(got[3]) if got else None)
+            yield pd.DataFrame({
+                "media_id": ids, "width": ws, "height": hs,
+                "channels": chs, "n_bytes": nbs,
             })
-            yield out
 
     return df.mapInPandas(run, DECODED_IMAGE_SCHEMA)
 

@@ -277,11 +277,28 @@ class Route:
         return {k: f(self) for k, f in fns.items()}
 
     @staticmethod
-    def merge_round_robin(routes: Sequence["Route"]) -> "Route":
-        """Fair interleave has no distributed meaning (documented delta,
-        SURVEY §2.5) — identical to merge_exhaustive: union + branch index
-        (reference: merge-round-robin, src/fermor/core.clj:924-951)."""
-        return Route.merge_exhaustive(routes)
+    def merge_round_robin(routes: Sequence["Route"],
+                          order_by=None) -> "Route":
+        """Round-robin branch merge (reference: merge-round-robin,
+        src/fermor/core.clj:924-951).
+
+        Without ``order_by``: fair interleave of UNORDERED branches has no
+        distributed meaning (documented delta, SURVEY §2.5) — identical to
+        merge_exhaustive (union + `_branch` index). With ``order_by`` (a
+        column or list giving each branch a deterministic order), a faithful
+        fair interleave: every row gets its within-branch position and the
+        merged route sorts by (position, branch) — one element from each
+        still-live branch in turn, the reference's chunk rotation at chunk
+        size 1. Scale note: the per-branch enumeration is a window over the
+        whole branch (one task per branch) — the same global-order cost
+        class as fast_sort, inherent to the semantics."""
+        merged = Route.merge_exhaustive(routes)
+        if order_by is None:
+            return merged
+        keys = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = Window.partitionBy("_branch").orderBy(*keys)
+        df = merged.df.withColumn("_rr", F.row_number().over(w))
+        return merged._with(df.orderBy("_rr", "_branch").drop("_rr"))
 
     @staticmethod
     def merge_exhaustive(routes: Sequence["Route"]) -> "Route":

@@ -77,6 +77,21 @@ def test_merge_round_robin(spark):
     assert r.count() == 2
 
 
+def test_merge_round_robin_ordered_interleave(spark):
+    """With an order key, the merge is a faithful fair interleave: one
+    element from each still-live branch in turn (uneven branch lengths —
+    the exhausted branch simply drops out, like the reference's rotation)."""
+    from fermor_spark.graph import PropertyGraph
+    from fermor_spark.route import Route
+
+    g = PropertyGraph.build(spark).add_edges(
+        "l", [("a", "a1"), ("a", "a2"), ("a", "a3"), ("b", "b1")]).forked()
+    b1 = g.get_vertex("a").out("l")   # a1 a2 a3
+    b2 = g.get_vertex("b").out("l")   # b1
+    merged = Route.merge_round_robin([b1, b2], order_by="id")
+    assert [r["id"] for r in merged.df.collect()] == ["a1", "b1", "a2", "a3"]
+
+
 def test_bucketed_save_colocated_join(spark):
     """src-bucketed persisted edges join on src WITHOUT a shuffle exchange —
     the co-located traversal-join story at scale."""

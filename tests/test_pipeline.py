@@ -168,9 +168,42 @@ def test_multimodal_decode_stub(spark):
     decoded = {r["media_id"]: r for r in multimodal.decode_image(df, fake=True).collect()}
     assert decoded[1]["width"] == 11 and decoded[1]["height"] == 21
     assert decoded[1]["n_bytes"] == 4
-    # real decode is stubbed
+    # compressed formats stay stubbed without fake=True
+    png = multimodal.media_table(
+        spark, [(3, "image", b"\x89PNG\r\n\x1a\n" + bytes(24), {"source": "s", "mime": "image/png"})])
     with pytest.raises(Exception):
-        multimodal.decode_image(df, fake=False).collect()
+        multimodal.decode_image(png, fake=False).collect()
+
+
+def _bmp_bytes(w, h, pixel_rows):
+    """Minimal uncompressed 24-bit bottom-up BMP."""
+    import struct
+
+    row = ((24 * w + 31) // 32) * 4
+    body = b"".join(bytes(r) + b"\x00" * (row - len(r)) for r in pixel_rows[::-1])
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0))
+    return header + body
+
+
+def test_multimodal_decode_real_uncompressed(spark):
+    # P6 PPM 2x2 RGB, with a comment line in the header
+    ppm = b"P6\n# c\n2 2\n255\n" + bytes(range(12))
+    # P5 PGM 3x1 grayscale
+    pgm = b"P5\n3 1\n255\n" + bytes([7, 8, 9])
+    # 24-bit BMP 2x2, bottom-up: top row pixels (BGR) 0..5, bottom 6..11
+    bmp = _bmp_bytes(2, 2, [[0, 1, 2, 3, 4, 5], [6, 7, 8, 9, 10, 11]])
+    df = multimodal.media_table(spark, [
+        (1, "image", ppm, {"source": "s", "mime": "image/x-ppm"}),
+        (2, "image", pgm, {"source": "s", "mime": "image/x-pgm"}),
+        (3, "image", bmp, {"source": "s", "mime": "image/bmp"}),
+        (4, "image", b"garbage", {"source": "s", "mime": "application/octet-stream"}),
+    ])
+    got = {r["media_id"]: r for r in multimodal.decode_image(df, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"], got[1]["n_bytes"]) == (2, 2, 3, 12)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"], got[2]["n_bytes"]) == (3, 1, 1, 3)
+    assert (got[3]["width"], got[3]["height"], got[3]["channels"], got[3]["n_bytes"]) == (2, 2, 3, 12)
+    assert got[4]["width"] is None and got[4]["n_bytes"] is None
 
 
 def test_multimodal_frame_sample(spark):
