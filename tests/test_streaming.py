@@ -92,6 +92,39 @@ def test_running_user_totals(spark, batch_events):
     assert got == exp
 
 
+def test_stream_static_enrichment_matches_batch(spark, batch_events):
+    """Stream-static broadcast join: every micro-batch row picks up its
+    dimension attributes — equal to the batch left join."""
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("click", 0.1), ("view", 0.05)],
+        "event_type string, weight double")
+    s = streaming.read_events_stream(spark, SF)
+    out = _drain(spark, streaming.enrich_with_dimension(s, dim, "event_type"), "t_enrich")
+    got = {(r["event_id"], r["weight"]) for r in out.select("event_id", "weight").collect()}
+    exp = {(r["event_id"], r["weight"])
+           for r in batch_events.join(dim, "event_type", "left")
+           .select("event_id", "weight").collect()}
+    assert got == exp and len(exp) > 0
+
+
+def test_stream_stream_self_join_matches_batch(spark, batch_events):
+    """Stream-stream interval self-join: same pairs as the batch range
+    self-join over users ≤ 50 (the subset keeps the pair count sane)."""
+    s = streaming.read_events_stream(spark, SF).where(F.col("user_id") <= 50)
+    out = _drain(spark, streaming.self_join_within(s, minutes=10), "t_selfjoin")
+    got = {(r["first_event_id"], r["second_event_id"], r["gap_seconds"])
+           for r in out.collect()}
+    e = batch_events.where(F.col("user_id") <= 50)
+    a, b = e.alias("a"), e.alias("b")
+    exp_df = a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("b.ts") > F.col("a.ts"))
+                    & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")))
+    exp = {(r["fe"], r["se"], r["g"]) for r in exp_df.select(
+        F.col("a.event_id").alias("fe"), F.col("b.event_id").alias("se"),
+        (F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")).alias("g")).collect()}
+    assert got == exp and len(exp) > 0
+
+
 def test_streaming_curation_matches_batch(spark):
     """The curation front-end (lang gate + token-length gate + hash split)
     is stateless column logic, so streaming output must equal the batch
