@@ -719,6 +719,65 @@ def events_enriched_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_prior_click",
+    """
+    SELECT p.event_id, date_diff('second', c.ts, p.ts) AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal.asof_join): each purchase picks up its user's
+    most recent prior-or-simultaneous click; null gap when none exists.
+    The oracle is DuckDB's native ASOF LEFT JOIN. Emits the gap, not the
+    matched id — ids are ambiguous under exact-timestamp ties, gaps are
+    not."""
+    from fermor_spark.temporal import asof_join
+
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase")
+    c = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(p, c, on="ts", by="user_id", right_cols=[])
+    return out.select(
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_right"))
+        .cast("long").alias("gap_seconds"),
+    )
+
+
+@query(
+    "events_range_nearby_counts",
+    """
+    SELECT e.event_id, count(o.event_id)::BIGINT AS n_nearby
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN events o ON e.user_id = o.user_id AND o.event_id <> e.event_id
+      AND o.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id
+    """,
+)
+def events_range_nearby_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (temporal.range_join): per error event, how many of the
+    same user's events fall within ±10 minutes. The Spark plan is a
+    time-bin equi-join (never the theta join the naive formulation
+    plans); the oracle is the direct SQL interval join."""
+    from fermor_spark.temporal import range_join
+
+    e = table(spark, sf_dir, "events")
+    err = e.where(F.col("event_type") == "error")
+    out = range_join(
+        err, e.select("user_id", "ts", "event_id"),
+        on="ts", by="user_id", before_seconds=600, after_seconds=600,
+    ).where(F.col("event_id_right") != F.col("event_id"))
+    cnt = out.groupBy("event_id").agg(F.count("*").alias("n_nearby"))
+    return (
+        err.select("event_id").join(cnt, "event_id", "left")
+        .select("event_id",
+                F.coalesce("n_nearby", F.lit(0)).cast("long").alias("n_nearby"))
+    )
+
+
 # --------------------------------------------------------------------------
 # graph traversal queries (Route engine over the star graph; SQL oracles)
 

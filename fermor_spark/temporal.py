@@ -1,0 +1,115 @@
+"""Temporal joins: as-of and range — the time-series primitives the
+reference ecosystem lacks and a training-data/event pipeline needs
+(SURVEY §2.12 beyond-reference scope; no reference counterpart).
+
+Scale shapes:
+
+* ``asof_join`` — union-tag + running ``last(..., ignorenulls)`` over a
+  (key, time) window: ONE shuffle on the key, a sort within partitions, no
+  row explosion. This is the sort-merge as-of plan; a naive formulation
+  (left ⋈ right on key AND right.ts <= left.ts, then max) explodes to the
+  full per-key cross product before aggregating.
+* ``range_join`` — time-bin bucketing: both sides get
+  ``bin = floor(epoch/width)`` with ``width >= max(before, after)``; the
+  left side probes bins {-1, 0, +1}, so the join is a pure equi-join on
+  (key, bin) and the exact interval predicate filters candidates after.
+  Candidate volume ≈ 3 × rows-per-bin — never the all-pairs theta join
+  Catalyst would otherwise plan (BroadcastNestedLoopJoin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the MOST RECENT right row with
+    ``right.on <= left.on`` (per ``by`` key), like pandas.merge_asof /
+    DuckDB ASOF JOIN. Unmatched (or out-of-tolerance) rows keep nulls.
+
+    ``right_cols`` selects which right payload columns to carry (default:
+    all except the key/time columns); each arrives as ``<col><suffix>``,
+    plus ``<on><suffix>`` = the matched right timestamp.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys + [on]]
+    carried = [f"{c}{suffix}" for c in right_cols]
+
+    r = right.select(
+        *keys, F.col(on).alias(on),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn(f"{on}{suffix}", F.col(on)).withColumn("_side", F.lit(0))
+    l = left.withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows sort BEFORE left rows at equal timestamps (side 0 < 1), so
+    # an exactly-simultaneous right row is a valid match
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(on, "_side").rowsBetween(Window.unboundedPreceding, 0)
+    picked = u.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_p_{c}")
+          for c in carried + [f"{on}{suffix}"]],
+    ).where(F.col("_side") == 1)
+
+    valid = F.col(f"_p_{on}{suffix}").isNotNull()
+    if tolerance_seconds is not None:
+        valid = valid & (
+            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col(f"_p_{on}{suffix}"))
+            <= F.lit(tolerance_seconds)
+        )
+    out_cols = [c for c in left.columns]
+    picked = picked.select(
+        *out_cols,
+        *[F.when(valid, F.col(f"_p_{c}")).alias(c)
+          for c in carried + [f"{on}{suffix}"]],
+    )
+    return picked
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    before_seconds: int = 0,
+    after_seconds: int = 0,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner-join left rows to every right row with ``right.on`` in
+    ``[left.on - before, left.on + after]`` per ``by`` key, without a
+    theta join: both sides bucket into time bins of
+    ``width = max(before, after, 1)`` seconds and the left probes bins
+    {-1, 0, +1} — any in-range right row is at most one bin away — then the
+    exact interval predicate filters. Right columns arrive suffixed.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    width = max(before_seconds, after_seconds, 1)
+    lbin = (F.unix_timestamp(F.col(on)) / width).cast("long")
+
+    r = right.select(
+        *[F.col(c).alias(c if c in keys else f"{c}{suffix}") for c in right.columns]
+    ).withColumn("_bin", (F.unix_timestamp(F.col(f"{on}{suffix}")) / width).cast("long"))
+    l = left.withColumn("_bin0", lbin)
+    l = l.withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    l = l.withColumn("_bin", F.col("_bin0") + F.col("_off")).drop("_bin0", "_off")
+
+    joined = l.join(r, keys + ["_bin"])
+    in_range = (
+        (F.unix_timestamp(F.col(f"{on}{suffix}"))
+         >= F.unix_timestamp(F.col(on)) - F.lit(before_seconds))
+        & (F.unix_timestamp(F.col(f"{on}{suffix}"))
+           <= F.unix_timestamp(F.col(on)) + F.lit(after_seconds))
+    )
+    return joined.where(in_range).drop("_bin")

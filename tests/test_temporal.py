@@ -1,0 +1,83 @@
+"""Temporal join operators (fermor_spark.temporal): as-of semantics
+(latest-at-or-before, ties, tolerance, unmatched nulls) and range-join
+bin-bucketing correctness + the no-theta-join plan contract."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from fermor_spark.temporal import asof_join, range_join
+
+TS = "2024-01-01 {}"
+
+
+def _events(spark, rows, schema="k string, ts timestamp, val long"):
+    return spark.createDataFrame(
+        [(k, TS.format(t), v) for k, t, v in rows], "k string, ts string, val long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_asof_basic_latest_at_or_before(spark):
+    left = _events(spark, [("a", "10:00:00", 1), ("a", "10:30:00", 2), ("b", "10:00:00", 3)])
+    right = _events(spark, [("a", "09:59:00", 10), ("a", "10:10:00", 20), ("b", "11:00:00", 30)])
+    out = {(r["k"], r["val"]): r["val_right"]
+           for r in asof_join(left, right, on="ts", by="k").collect()}
+    assert out[("a", 1)] == 10      # 09:59 is the latest <= 10:00
+    assert out[("a", 2)] == 20      # 10:10 supersedes 09:59
+    assert out[("b", 3)] is None    # b's only right row is in the future
+
+
+def test_asof_simultaneous_right_row_matches(spark):
+    left = _events(spark, [("a", "10:00:00", 1)])
+    right = _events(spark, [("a", "10:00:00", 42)])
+    r = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert r["val_right"] == 42
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = _events(spark, [("a", "10:00:00", 1)])
+    right = _events(spark, [("a", "09:00:00", 10)])
+    ok = asof_join(left, right, on="ts", by="k", tolerance_seconds=7200).collect()[0]
+    stale = asof_join(left, right, on="ts", by="k", tolerance_seconds=600).collect()[0]
+    assert ok["val_right"] == 10
+    assert stale["val_right"] is None and stale["ts_right"] is None
+
+
+def test_range_join_boundaries_inclusive(spark):
+    left = _events(spark, [("a", "10:00:00", 1)])
+    right = _events(spark, [
+        ("a", "09:50:00", 10),   # exactly -before
+        ("a", "10:10:00", 20),   # exactly +after
+        ("a", "09:49:59", 30),   # just outside
+        ("a", "10:10:01", 40),   # just outside
+        ("b", "10:00:00", 50),   # wrong key
+    ])
+    got = sorted(r["val_right"] for r in range_join(
+        left, right, on="ts", by="k",
+        before_seconds=600, after_seconds=600).collect())
+    assert got == [10, 20]
+
+
+def test_range_join_no_duplicate_candidates(spark):
+    # a right row adjacent to a bin boundary must appear exactly once
+    left = _events(spark, [("a", "10:00:00", 1)])
+    right = _events(spark, [("a", "10:09:59", 20)])
+    rows = range_join(left, right, on="ts", by="k",
+                      before_seconds=600, after_seconds=600).collect()
+    assert len(rows) == 1
+
+
+def test_temporal_plans_have_no_theta_join(spark):
+    left = _events(spark, [("a", "10:00:00", 1)])
+    right = _events(spark, [("a", "09:59:00", 10)])
+    for df in (
+        asof_join(left, right, on="ts", by="k"),
+        range_join(left, right, on="ts", by="k",
+                   before_seconds=600, after_seconds=600),
+    ):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
