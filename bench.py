@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     # r4 additions: iterative graph operators carry perf evidence too
     "g_pagerank_supply",
     "g_kcore_ring_chains",
+    "events_asof_prior_click",
+    "events_range_nearby_counts",
 ]
 
 
