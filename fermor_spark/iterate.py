@@ -325,7 +325,9 @@ def all_cycles(
 
 
 # round count of the most recent connected_components call — lets tests
-# assert the O(log n) bound on planted high-diameter fixtures
+# assert the O(log n) bound on planted high-diameter fixtures. Diagnostics
+# only, last-call-wins: NOT meaningful if multiple driver threads run
+# connected_components concurrently (never read on any result path).
 LAST_CC_ROUNDS = 0
 
 
@@ -378,13 +380,20 @@ def connected_components(g: PropertyGraph, labels=None,
 
     edges = _persist(
         adj.where(F.col("u") != F.col("v")).select("u", "v").distinct())
+    n_edges = edges.count()
     i = 0
     while True:
         new = _persist(small_star(large_star(edges)))
         i += 1
-        converged = new.exceptAll(edges).limit(1).count() == 0
+        # symmetric fixed-point test: both sides are distinct sets, so
+        # new ⊆ old together with |new| == |old| means new == old. A
+        # subset-only probe would accept a still-shrinking edge set.
+        n_new = new.count()
+        converged = (
+            n_new == n_edges and new.exceptAll(edges).limit(1).count() == 0
+        )
         edges.unpersist()
-        edges = new
+        edges, n_edges = new, n_new
         if converged or i >= max_iter:
             break
     LAST_CC_ROUNDS = i

@@ -2011,12 +2011,12 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, source, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+             (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS strt
       FROM t
     )
     SELECT doc_id AS id, source, n_tokens,
-           strt // 512 AS bin_id, strt % 512 AS bin_offset
+           (strt // 512)::BIGINT AS bin_id, (strt % 512)::BIGINT AS bin_offset
     FROM c
     """,
 )
@@ -2060,11 +2060,11 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
               % 1000000 < 800000
     )
-    SELECT 'all' AS stage, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM base
-    UNION ALL SELECT 'lang_en', count(*), sum(n_chars) FROM s1
-    UNION ALL SELECT 'quality', count(*), sum(n_chars) FROM s2
-    UNION ALL SELECT 'dedup', count(*), sum(n_chars) FROM s3
-    UNION ALL SELECT 'train', count(*), sum(n_chars) FROM s4
+    SELECT 'all' AS stage, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars FROM base
+    UNION ALL SELECT 'lang_en', count(*), sum(n_chars)::BIGINT FROM s1
+    UNION ALL SELECT 'quality', count(*), sum(n_chars)::BIGINT FROM s2
+    UNION ALL SELECT 'dedup', count(*), sum(n_chars)::BIGINT FROM s3
+    UNION ALL SELECT 'train', count(*), sum(n_chars)::BIGINT FROM s4
     """,
 )
 def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2170,7 +2170,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN bkt < 800000 THEN 'train'
                 WHEN bkt < 900000 THEN 'val'
                 ELSE 'test' END AS split,
-           lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+           lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
     FROM b GROUP BY 1, 2
     """,
 )
@@ -2460,29 +2460,29 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed this round. Everything stays registered — the remainder keeps its
 # evidence via tests/test_oracle_parity.py, which sweeps ALL entries.
 _GATE_PRIORITY = [
-    # never driver-gated before r4 (registered r2/r3)
-    "g_scc_nation_ring", "g_shortest_path_weighted",
-    "g_triangle_count_copurchase", "g_square_count_bipartite",
-    "g_all_paths_region", "g_transpose_nation", "g_merge_graphs",
-    "g_set_documents_nation", "g_edge_documents", "g_branch_merge",
-    "g_sorted_section_orders", "g_vertices_with_edge_supp", "g_other_v_both",
-    "g_filter_one_of", "g_subseq_degree", "g_take_drop_parts",
-    "g_group_count_kind", "algo_dominators_flow", "text_repetition",
-    "text_redact_pii", "text_pack_sequences", "pipeline_curation_funnel",
-    "dedup_embedding_cosine", "decontaminate_overlap", "sample_split_counts",
-    "sample_stratified_source", "sample_weighted_mix",
-    "dedup_clusters_minhash", "g_pagerank_supply", "g_label_propagation_ring",
-    "g_kcore_ring_chains", "semantic_cluster_assign",
-    # regressed in r3 (events loader) — prove the restoration
-    "events_by_dow", "window_lag_user_delta", "events_tumbling_hour",
-    "events_sliding_6h_3h", "events_sessions_30m", "events_dedup_first",
-    "events_self_join_10m", "events_enriched_by_type",
-    # implementation/oracle changed in r4 — re-gate
-    "q12_priority_lines", "ann_lsh_topk", "ann_ivf_topk", "ann_topk_cosine",
-    "g_connected_components",
-    # flagship anchors
-    "g_recommender", "q1_pricing_summary", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "text_fingerprint_overlap",
+    # never driver-gated in ANY round (added late in r4) — head of the gate
+    "events_asof_prior_click", "events_range_nearby_counts",
+    # oracle/implementation changed in r5 — must re-gate
+    "text_pack_sequences", "pipeline_curation_funnel", "sample_split_counts",
+    "g_kcore_ring_chains", "g_connected_components", "dedup_ngram_jaccard",
+    # stale: last driver row r1-r3, rotated out of the r4 gate
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "top3_orders_per_customer", "orders_status_matrix", "monthly_revenue",
+    "part_name_prefixes", "g_both_neighbors_nation", "q6_revenue_forecast",
+    "rollup_order_totals", "cube_lineitem_flags", "median_price_by_status",
+    "q4_order_priority", "q7_volume_shipping", "q10_returned_items",
+    "q14_promo_share", "q19_discounted_revenue",
+    "g_out_nation", "g_2hop_region", "g_degree_nation",
+    "g_lookahead_big_buyers", "g_neg_lookahead_nations", "g_lookahead_range",
+    "g_order_count_distribution", "g_siblings_same_nation",
+    "g_reachable_from_region", "text_token_count", "text_quality",
+    "dedup_exact", "ann_nearest_neighbor_all", "text_lang_id",
+    "dedup_simhash_candidates", "g_all_cycles_ring",
+    # regression watch (r4 time drifted) + flagship anchors
+    "events_sessions_30m", "g_recommender", "q1_pricing_summary",
+    "dedup_minhash_lsh", "text_fingerprint_overlap", "g_pagerank_supply",
+    # NOTE: 46 names — r5-new registrations must be APPENDED HERE explicitly
+    # to land inside the driver's 50-row gate window.
 ]
 
 

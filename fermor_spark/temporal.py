@@ -45,6 +45,17 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in keys + [on]]
     carried = [f"{c}{suffix}" for c in right_cols]
 
+    # A left column named like an internal or suffix-derived name would be
+    # silently shadowed and produce wrong results — fail loudly instead.
+    reserved = {"_side", f"{on}{suffix}", *carried}
+    reserved |= {f"_p_{c}" for c in carried + [f"{on}{suffix}"]}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with internal/"
+            f"suffix-derived names; rename them or pick another suffix"
+        )
+
     r = right.select(
         *keys, F.col(on).alias(on),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
@@ -65,9 +76,12 @@ def asof_join(
 
     valid = F.col(f"_p_{on}{suffix}").isNotNull()
     if tolerance_seconds is not None:
+        # unix_micros keeps full microsecond precision; unix_timestamp would
+        # truncate to whole seconds and admit pairs whose true gap is in
+        # (tolerance, tolerance+1).
         valid = valid & (
-            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col(f"_p_{on}{suffix}"))
-            <= F.lit(tolerance_seconds)
+            F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"_p_{on}{suffix}"))
+            <= F.lit(int(tolerance_seconds) * 1_000_000)
         )
     out_cols = [c for c in left.columns]
     picked = picked.select(
@@ -95,21 +109,37 @@ def range_join(
     exact interval predicate filters. Right columns arrive suffixed.
     """
     keys = [by] if isinstance(by, str) else list(by or [])
-    width = max(before_seconds, after_seconds, 1)
-    lbin = (F.unix_timestamp(F.col(on)) / width).cast("long")
+    suffixed = {f"{c}{suffix}" for c in right.columns if c not in keys}
+    clash = ({"_bin", "_bin0", "_off"} | suffixed) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"range_join: left columns {sorted(clash)} collide with internal/"
+            f"suffix-derived names; rename them or pick another suffix"
+        )
+
+    # All bin arithmetic and the interval predicate run on unix_micros
+    # (full microsecond precision) — unix_timestamp truncates to whole
+    # seconds, which can wrongly include pairs whose true gap is in
+    # (bound, bound+1) seconds.
+    width_us = max(before_seconds, after_seconds, 1) * 1_000_000
+    before_us = int(before_seconds) * 1_000_000
+    after_us = int(after_seconds) * 1_000_000
+    lbin = F.floor(F.unix_micros(F.col(on)) / width_us).cast("long")
 
     r = right.select(
         *[F.col(c).alias(c if c in keys else f"{c}{suffix}") for c in right.columns]
-    ).withColumn("_bin", (F.unix_timestamp(F.col(f"{on}{suffix}")) / width).cast("long"))
+    ).withColumn(
+        "_bin", F.floor(F.unix_micros(F.col(f"{on}{suffix}")) / width_us).cast("long")
+    )
     l = left.withColumn("_bin0", lbin)
     l = l.withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
     l = l.withColumn("_bin", F.col("_bin0") + F.col("_off")).drop("_bin0", "_off")
 
     joined = l.join(r, keys + ["_bin"])
     in_range = (
-        (F.unix_timestamp(F.col(f"{on}{suffix}"))
-         >= F.unix_timestamp(F.col(on)) - F.lit(before_seconds))
-        & (F.unix_timestamp(F.col(f"{on}{suffix}"))
-           <= F.unix_timestamp(F.col(on)) + F.lit(after_seconds))
+        (F.unix_micros(F.col(f"{on}{suffix}"))
+         >= F.unix_micros(F.col(on)) - F.lit(before_us))
+        & (F.unix_micros(F.col(f"{on}{suffix}"))
+           <= F.unix_micros(F.col(on)) + F.lit(after_us))
     )
     return joined.where(in_range).drop("_bin")
