@@ -49,63 +49,89 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold → (id_a, id_b, jaccard).
 
-    Shuffle profile: explode → distinct → self-join keyed on shingle (the
-    blocking key) → per-pair counts. Hot shingles fan out quadratically
-    (a shingle in d docs contributes d² candidate rows), so with
-    `max_shingle_df` set, candidate GENERATION drops shingles whose document
-    frequency exceeds it (stopword shingles carry no dedup signal) and the
-    surviving candidate pairs are VERIFIED against the full shingle sets —
-    the returned jaccard is always exact. Results are identical as long as
-    every true pair shares ≥1 shingle below the cap; at threshold ≥ 0.5 a
-    near-dup pair shares most of its (overwhelmingly rare) shingles, so any
-    cap well above 2 is safe.
+    Candidate generation is PREFIX FILTERING (AllPairs/PPJoin, Bayardo et
+    al., "Scaling Up All Pairs Similarity Search", WWW'07): order every
+    document's shingles by global rarity (ascending document frequency);
+    for Jaccard ≥ t a true pair MUST share a shingle inside each side's
+    first ``n_doc - ceil(t*n_doc) + 1`` shingles (else all shared shingles
+    fit in the ceil(t*n)-1 suffix, contradicting |∩| ≥ t·n). So the
+    blocking self-join runs on the ~(1-t) rarest shingles per doc only —
+    on templated corpora this cuts candidates by orders of magnitude vs
+    blocking on every shingle, because common template shingles sort last
+    and never generate pairs. A size-ratio filter (t·max(na,nb) ≤
+    min(na,nb), a Jaccard necessary condition) prunes further.
+
+    Verification is exact and scale-safe: candidates shuffle-join the
+    per-doc sorted shingle ARRAYS and count the intersection JVM-side with
+    ``array_intersect`` — no broadcast of an unbounded candidate set, no
+    row explosion. The returned jaccard is always exact.
+
+    ``max_shingle_df`` additionally drops shingles with document frequency
+    above the cap from candidate GENERATION only (prefix entries are the
+    rarest shingles, so this almost never fires after prefix filtering —
+    it is a guard against corpora whose every shingle is hot). Results are
+    identical as long as every true pair shares ≥1 sub-cap shingle; at
+    threshold ≥ 0.5 a near-dup pair shares most of its (overwhelmingly
+    rare) shingles, so any cap well above 2 is safe.
     """
     sh = shingle_table(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    hot = None
+
+    # global rarity order: document frequency, shingle text as tiebreak
+    freq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    ranked = sh.join(freq, "sh")
     if max_shingle_df is not None:
-        # adaptive plan choice (runtime stats, like AQE): the blocked+verify
-        # shape only pays for itself when hot shingles actually exist —
-        # probe the frequency table first
-        freq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
-        hot = freq.where(F.col("_df") > max_shingle_df).select("sh").cache()
-        if hot.limit(1).count() == 0:
-            hot = None
-    if hot is None:
-        # single-pass: the blocking join IS the intersection count
-        a = sh.select(F.col("id").alias("id_a"), "sh")
-        b = sh.select(F.col("id").alias("id_b"), "sh")
-        inter = (
-            a.join(b, "sh")
-            .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("c"))
+        ranked = ranked.where(F.col("_df") <= max_shingle_df)
+    wp = Window.partitionBy("id").orderBy("_df", "sh")
+    # persisted: consumed by BOTH legs of the blocking self-join — the
+    # aliasing (id→id_a / id→id_b) sits above the exchange, so without a
+    # persist each leg recomputes the join+window upstream. ~(1-t) of the
+    # shingle rows, far smaller than the corpus.
+    prefix = (
+        ranked.withColumn("_rk", F.row_number().over(wp))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("id")))
+        .where(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .select("id", "sh", "_n")
+        .persist()
+    )
+
+    a = prefix.select(F.col("id").alias("id_a"), "sh", F.col("_n").alias("na"))
+    b = prefix.select(F.col("id").alias("id_b"), "sh", F.col("_n").alias("nb"))
+    cands = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.least("na", "nb")
+            >= F.ceil(F.lit(threshold) * F.greatest("na", "nb"))
         )
-    else:
-        block = sh.join(F.broadcast(hot), "sh", "left_anti")
-        a = block.select(F.col("id").alias("id_a"), "sh")
-        b = block.select(F.col("id").alias("id_b"), "sh")
-        cands = (
-            a.join(b, "sh")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        # verification over FULL shingle sets (exact jaccard, independent of
-        # cap); candidates are few — broadcast them onto the shingle table
-        inter = (
-            F.broadcast(cands)
-            .join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
-            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-            .where(F.col("sh") == F.col("sh_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("c"))
-        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verify on full sorted shingle sets; arrays stay partition-local
+    # through two equi-joins on doc id (sort-merge/AQE's choice) — the
+    # intersection count is one JVM array_intersect per surviving pair
+    # persisted for the same two-leg reason (id_a and id_b verify joins);
+    # one row per document
+    docsets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("sh")).alias("arr"),
+        F.count("*").alias("n"),
+    ).persist()
+    pairs = (
+        cands.join(
+            docsets.select(
+                F.col("id").alias("id_a"), F.col("arr").alias("arr_a"),
+                F.col("n").alias("na")),
+            "id_a")
+        .join(
+            docsets.select(
+                F.col("id").alias("id_b"), F.col("arr").alias("arr_b"),
+                F.col("n").alias("nb")),
+            "id_b")
+        .withColumn("c", F.size(F.array_intersect("arr_a", "arr_b")))
+    )
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .where(jac >= threshold)
+        pairs.where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, round_digits).alias("jaccard"))
     )
 
