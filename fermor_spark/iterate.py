@@ -884,6 +884,11 @@ def label_propagation(
     return comm
 
 
+# peel-round count of the most recent k_core call — diagnostics only,
+# last-call-wins (same contract as LAST_CC_ROUNDS)
+LAST_KCORE_ROUNDS = 0
+
+
 def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500) -> DataFrame:
     """Vertices of the k-core (maximal subgraph of min undirected degree ≥ k)
     → (id, deg) with deg = the vertex's degree within the core.
@@ -893,11 +898,17 @@ def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500) -> DataF
     neighbors (frontier broadcast against the persisted adjacency — a
     map-side semi-join, so per-round work is proportional to the removed
     frontier's edges, not to |E|). Rounds remain O(peel-depth) — inherent
-    to k-core — but a round on a 100 TB graph costs frontier-sized work
-    instead of a full-edge-set degree recount + double semi-join (the
-    previous shape). Parallel edges count once per edge, self-loops are
-    excluded (standard core-number convention).
+    to exact k-core — so the lever on deep-cascade graphs is per-round
+    OVERHEAD: one checkpoint job per round (the frontier is a trivial
+    filter over the checkpointed degree table, recomputed lazily in both
+    plan legs instead of checkpointed itself), with the convergence probe
+    fused into the checkpoint's row count (count unchanged ⟺ frontier was
+    empty ⟺ fixed point). A lazily-persisted multi-level batch was tried
+    and REJECTED: AQE compiles the deep chained plan into far more shuffle
+    stages than the flat loop (see PLANS.md). Parallel edges count once
+    per edge, self-loops are excluded (standard core-number convention).
     """
+    global LAST_KCORE_ROUNDS
     e = _persist(
         _step_edges(g, labels, "both")
         .where(F.col("u") != F.col("v"))
@@ -906,25 +917,28 @@ def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500) -> DataF
     )
     deg = _persist(
         e.groupBy("u").agg(F.count("*").alias("deg")).withColumnRenamed("u", "id"))
-    for i in range(max_iters):
-        frontier = _persist(deg.where(F.col("deg") < k).select("id"))
-        if frontier.limit(1).count() == 0:
-            frontier.unpersist()
-            break
+    n = deg.count()
+    rounds = 0
+    while rounds < max_iters:
+        fr = deg.where(F.col("deg") < k).select("id")
         # edges lost by survivors: one per (frontier u → v) edge; rows whose
-        # v was removed (this round or earlier) drop out in the left join
+        # v was removed (this round or earlier) drop out in the anti-join
         delta = (
-            e.join(F.broadcast(frontier.withColumnRenamed("id", "u")), "u", "left_semi")
+            e.join(F.broadcast(fr.withColumnRenamed("id", "u")), "u", "left_semi")
             .groupBy(F.col("v").alias("id")).agg(F.count("*").alias("_d"))
         )
-        new_deg = (
-            deg.join(frontier, "id", "left_anti")
+        new_deg = _persist(
+            deg.join(fr, "id", "left_anti")
             .join(delta, "id", "left")
             .select("id", (F.col("deg") - F.coalesce(F.col("_d"), F.lit(0))).alias("deg"))
         )
-        new_deg = _persist(new_deg)
+        m = new_deg.count()
+        rounds += 1
         deg.unpersist()
-        frontier.unpersist()
         deg = new_deg
+        if m == n:  # nothing removed → frontier was empty → fixed point
+            break
+        n = m
+    LAST_KCORE_ROUNDS = rounds
     e.unpersist()
     return deg.select("id", "deg")
