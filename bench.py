@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "g_kcore_ring_chains",
     "events_asof_prior_click",
     "events_range_nearby_counts",
+    # r5 additions
+    "g_scc_nation_ring",
 ]
 
 
@@ -136,12 +138,16 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    # iteration round counts for the driver-loop operators, so a
+    # round-count regression is visible in the bench record without rerun
+    from fermor_spark import iterate as it
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rounds": {"cc": it.LAST_CC_ROUNDS, "kcore": it.LAST_KCORE_ROUNDS},
     }))
 
 

@@ -410,7 +410,10 @@ def connected_components(g: PropertyGraph, labels=None,
     return comp
 
 
-def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int = 64) -> DataFrame:
+def strongly_connected_components(
+    g: PropertyGraph, labels=None, max_outer: int = 64,
+    local_edge_threshold: int = 200_000,
+) -> DataFrame:
     """SCC via distributed FW-BW-Trim pivot decomposition → (id, component).
 
     Before the first round and after every partition split, iterated Trim
@@ -425,6 +428,18 @@ def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int 
     algorithms). Reference delegates to Bifurcan's Tarjan
     (src/fermor/graph/algo.clj:24-32); a driver-side Tarjan for CFG-sized
     graphs lives in fermor_spark.algo.
+
+    Hybrid finish: whenever the still-open subgraph has ≤
+    ``local_edge_threshold`` internal edges, it is collected and finished
+    with the iterative Tarjan in fermor_spark.algo — the standard
+    distributed/local hybrid of the parallel-SCC literature (Hong et al.,
+    PPoPP'13; Slota et al., IPDPS'14): pivot floods pay O(diameter) driver
+    rounds per partition, so once Trim+splits have shrunk the cyclic core
+    below driver scale, one collect beats dozens of barrier rounds. SCCs
+    never span FW-BW partitions, so Tarjan on the same-part-filtered edge
+    set is exact; labels stay min(SCC) (the pivot is its partition's min id,
+    hence its SCC's min). Set ``local_edge_threshold=0`` to force the pure
+    distributed path (used by tests to exercise the floods).
     """
     fwd = _loop_adjacency(g, labels, "out")
     bwd = _loop_adjacency(g, labels, "in")
@@ -484,10 +499,49 @@ def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int 
             frontier = nxt
             i += 1
 
+    def local_finish(open_nodes: DataFrame, settled: list) -> bool:
+        """Collect the open subgraph and finish with driver Tarjan if it has
+        ≤ local_edge_threshold internal same-partition edges AND vertices
+        (both probed with short-circuiting limit(n+1) collects, so a
+        too-large open set never materializes on the driver)."""
+        if local_edge_threshold <= 0:
+            return False
+        ids = open_nodes.select("id", "part")
+        id_sample = ids.select("id").limit(local_edge_threshold + 1).collect()
+        if len(id_sample) > local_edge_threshold:
+            return False
+        e_open = (
+            trim_adj
+            .join(ids.select(F.col("id").alias("u"), F.col("part").alias("_pu")), "u")
+            .join(ids.select(F.col("id").alias("v"), F.col("part").alias("_pv")), "v")
+            .where(F.col("_pu") == F.col("_pv"))
+            .select("u", "v")
+        )
+        sample = e_open.limit(local_edge_threshold + 1).collect()
+        if len(sample) > local_edge_threshold:
+            return False
+        from fermor_spark import algo as _algo
+        succ: dict = {r["id"]: [] for r in id_sample}
+        for r in sample:
+            succ.setdefault(r["u"], []).append(r["v"])
+        comps = _algo.strongly_connected_components(succ, include_singletons=True)
+        # plain lexicographic min — identical to the distributed path's
+        # F.min pivot label and the SQL oracles' min()
+        rows = [(v, min(c)) for c in comps for v in c]
+        if rows:
+            settled.append(g.spark.createDataFrame(rows, "id string, component string"))
+        return True
+
     settled = []
-    open_nodes = trim(g.vertex_ids().withColumn("part", F.lit("0")), settled)
-    for rnd in range(max_outer):
+    open_nodes = g.vertex_ids().withColumn("part", F.lit("0"))
+    # fast path: a driver-scale graph skips the trim barrier rounds entirely
+    done = local_finish(open_nodes, settled)
+    if not done:
+        open_nodes = trim(open_nodes, settled)
+    for rnd in range(0 if done else max_outer):
         if open_nodes.limit(1).count() == 0:
+            break
+        if local_finish(open_nodes, settled):
             break
         pivots = open_nodes.groupBy("part").agg(F.min("id").alias("pivot"))
         nodes = open_nodes.join(pivots, "part")
@@ -520,6 +574,8 @@ def strongly_connected_components(g: PropertyGraph, labels=None, max_outer: int 
     fwd.unpersist()
     bwd.unpersist()
     trim_adj.unpersist()
+    if not settled:
+        return g.spark.createDataFrame([], "id string, component string")
     out = settled[0]
     for s in settled[1:]:
         out = out.unionByName(s)

@@ -103,14 +103,17 @@ def test_scc(spark):
         ("X", "T"), ("X", "B"), ("X", "C"), ("T", "B"), ("B", "D"), ("C", "E"),
         ("E", "D"), ("E", "M"), ("M", "C"), ("D", "G"), ("G", "D"),
     ])
-    scc = iterate.strongly_connected_components(g)
-    comps = {}
-    for r in scc.collect():
-        comps.setdefault(r["component"], set()).add(r["id"])
-    multi = {frozenset(v) for v in comps.values() if len(v) > 1}
-    assert multi == {frozenset({"M", "C", "E"}), frozenset({"D", "G"})}
-    # every vertex assigned exactly once (graph has 8 distinct vertices)
-    assert sum(len(v) for v in comps.values()) == 8
+    # both the hybrid local-Tarjan finish (default) and the pure
+    # distributed FW-BW flood path (local_edge_threshold=0) must agree
+    for thresh in (200_000, 0):
+        scc = iterate.strongly_connected_components(g, local_edge_threshold=thresh)
+        comps = {}
+        for r in scc.collect():
+            comps.setdefault(r["component"], set()).add(r["id"])
+        multi = {frozenset(v) for v in comps.values() if len(v) > 1}
+        assert multi == {frozenset({"M", "C", "E"}), frozenset({"D", "G"})}
+        # every vertex assigned exactly once (graph has 8 distinct vertices)
+        assert sum(len(v) for v in comps.values()) == 8
 
 
 def test_shortest_path_weighted(spark):

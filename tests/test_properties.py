@@ -64,8 +64,13 @@ def test_cc_matches_union_find(spark, edges):
 @settings(max_examples=3, deadline=None)
 @given(edges=edge_lists)
 def test_distributed_scc_matches_tarjan(spark, edges):
+    # local_edge_threshold=0 forces the pure FW-BW flood path — the hybrid
+    # local finish would otherwise route these small graphs to the same
+    # Tarjan we compare against
     g = _graph(spark, edges)
-    dist_rows = iterate.strongly_connected_components(g).collect()
+    dist_rows = iterate.strongly_connected_components(
+        g, local_edge_threshold=0
+    ).collect()
     got = {}
     for r in dist_rows:
         got.setdefault(r["component"], set()).add(r["id"])
