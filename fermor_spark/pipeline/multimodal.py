@@ -4,12 +4,15 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 Three tiers of codec support, honestly delineated:
 
 * REAL, no external deps: ``parse_image_header`` (PNG/GIF/BMP/JPEG
-  dimensions from container bytes), ``decode_image`` for the uncompressed
-  formats (PPM/PGM/BMP pixel decode in pure numpy), ``decode_wav``
-  (RIFF/WAVE PCM header + numpy sample statistics), ``resize_image_raw``
-  (nearest-neighbor resize of raw interleaved arrays via numpy indexing).
+  dimensions from container bytes), ``decode_image`` for PPM/PGM/BMP
+  (pure-numpy pixel decode) AND PNG (full zlib inflate + scanline
+  unfilter + bit unpack via ``_png_decode`` — all five filters, depths
+  1-16, color types 0/2/3/4/6, Adam7), ``_png_encode`` (fixture/oracle
+  encoder), ``decode_wav`` (RIFF/WAVE PCM header + numpy sample
+  statistics), ``resize_image_raw`` (nearest-neighbor resize of raw
+  interleaved arrays via numpy indexing).
 * STUBBED behind ``fake=True`` where the env lacks the codec library:
-  ``decode_image`` on COMPRESSED payloads (png/jpeg/gif need PIL/opencv),
+  ``decode_image`` on ENTROPY-CODED payloads (jpeg/gif need PIL/opencv),
   ``frame_sample`` (video needs ffmpeg). The Spark-side machinery —
   schemas, batching, partition sizing, UDF signatures, row explosion —
   is real and tested either way.
@@ -42,6 +45,16 @@ DECODED_IMAGE_SCHEMA = T.StructType([
     T.StructField("height", T.IntegerType()),
     T.StructField("channels", T.IntegerType()),
     T.StructField("n_bytes", T.LongType()),
+])
+
+DECODED_PIXELS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("pixel_sum", T.LongType()),
 ])
 
 FRAME_SCHEMA = T.StructType([
@@ -234,17 +247,216 @@ def resize_image_raw(df: DataFrame, out_w: int, out_h: int,
     return df.mapInPandas(run, schema)
 
 
-def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode image binaries → (media_id, width, height, channels, n_bytes),
-    n_bytes = size of the decoded interleaved pixel buffer.
+def _png_decode(b: bytes):
+    """REAL pure-Python/numpy PNG decode → (width, height, channels,
+    pixel_bytes) or None on malformed input.
 
-    REAL decode, pure numpy, for the uncompressed formats: PPM (P6), PGM
-    (P5), and uncompressed 8/24/32-bit BMP (BI_RGB, incl. bottom-up row
-    order + 4-byte row padding). Compressed formats (PNG/JPEG/GIF) need a
-    codec library (PIL/opencv) that this environment lacks — those payloads
-    raise NotImplementedError unless ``fake=True``, which substitutes a
-    deterministic stub decode so the full mapInPandas pipeline can still be
-    exercised. Unrecognized payloads yield null dims.
+    Needs only stdlib zlib + numpy: PNG's compression IS zlib (RFC 1950/
+    1951); everything else is chunk walking, per-scanline unfiltering, and
+    bit unpacking. Coverage: bit depths 1/2/4/8/16 (16-bit → high byte),
+    color types 0 (gray), 2 (RGB), 3 (palette→RGB), 4 (gray+alpha),
+    6 (RGBA), all five scanline filters, and Adam7 interlacing. Output is
+    8-bit interleaved, channels as in the source (palette expands to 3).
+
+    Filters Sub/Up are vectorized (per-lane cumsum / row add); Average and
+    Paeth are per-pixel loops over the row (their recurrences have no
+    closed form) — fine for the fixture scale here; a production cluster
+    profile would swap in a native codec behind the same mapInPandas shape.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        clen, ctype = struct.unpack(">I4s", b[pos:pos + 8])
+        data = b[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or w == 0 or h == 0:
+        return None
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_i)
+    if nch is None or depth not in (1, 2, 4, 8, 16):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    bpp = max(1, (depth * nch) // 8)  # filter lag in BYTES (spec 4.5.2)
+
+    def unfilter(stream: memoryview, pw: int, ph: int):
+        """Unfilter ph scanlines of a (sub)image pw pixels wide; returns
+        (samples ndarray (ph, pw*nch) uint8-or-uint16, bytes consumed)."""
+        row_bytes = (pw * nch * depth + 7) // 8
+        out = np.zeros((ph, row_bytes), dtype=np.uint8)
+        consumed = ph * (1 + row_bytes)
+        if len(stream) < consumed:
+            raise ValueError("truncated")
+        prev = np.zeros(row_bytes, dtype=np.uint8)
+        for y in range(ph):
+            base = y * (1 + row_bytes)
+            f = stream[base]
+            cur = np.frombuffer(
+                stream[base + 1:base + 1 + row_bytes], dtype=np.uint8
+            ).copy()
+            if f == 1:    # Sub: per-lane cumulative sum
+                for lane in range(min(bpp, row_bytes)):
+                    cur[lane::bpp] = np.cumsum(
+                        cur[lane::bpp], dtype=np.uint64) & 0xFF
+            elif f == 2:  # Up
+                cur += prev
+            elif f == 3:  # Average
+                c16 = cur.astype(np.int32)
+                p16 = prev.astype(np.int32)
+                for i in range(row_bytes):
+                    left = c16[i - bpp] if i >= bpp else 0
+                    c16[i] = (c16[i] + ((left + p16[i]) >> 1)) & 0xFF
+                cur = c16.astype(np.uint8)
+            elif f == 4:  # Paeth
+                c16 = cur.astype(np.int32)
+                p16 = prev.astype(np.int32)
+                for i in range(row_bytes):
+                    a = c16[i - bpp] if i >= bpp else 0
+                    up = p16[i]
+                    ul = p16[i - bpp] if i >= bpp else 0
+                    pa, pb, pc = abs(up - ul), abs(a - ul), abs(a + up - 2 * ul)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    c16[i] = (c16[i] + pred) & 0xFF
+                cur = c16.astype(np.uint8)
+            elif f != 0:
+                raise ValueError("bad filter")
+            out[y] = cur
+            prev = cur
+        # bytes → per-scanline sample values
+        if depth == 16:
+            smp = out.reshape(ph, row_bytes).view(">u2").astype(np.uint16)
+            smp = (smp >> 8).astype(np.uint8)[:, : pw * nch]
+        elif depth == 8:
+            smp = out[:, : pw * nch]
+        else:  # 1/2/4-bit packed, MSB first
+            per = 8 // depth
+            shifts = np.array(
+                [8 - depth * (i + 1) for i in range(per)], dtype=np.uint8)
+            mask = (1 << depth) - 1
+            expanded = (out[:, :, None] >> shifts[None, None, :]) & mask
+            smp = expanded.reshape(ph, -1)[:, : pw * nch].astype(np.uint8)
+            if ctype_i == 0:  # scale low-depth gray to 8-bit
+                smp = (smp * (255 // mask)).astype(np.uint8)
+        return smp, consumed
+
+    try:
+        if interlace == 0:
+            img, _ = unfilter(memoryview(raw), w, h)
+            img = img.reshape(h, w, nch)
+        elif interlace == 1:  # Adam7
+            XS = (0, 4, 0, 2, 0, 1, 0)
+            YS = (0, 0, 4, 0, 2, 0, 1)
+            XD = (8, 8, 4, 4, 2, 2, 1)
+            YD = (8, 8, 8, 4, 4, 2, 2)
+            img = np.zeros((h, w, nch), dtype=np.uint8)
+            mv, off = memoryview(raw), 0
+            for p in range(7):
+                pw = (w - XS[p] + XD[p] - 1) // XD[p]
+                ph = (h - YS[p] + YD[p] - 1) // YD[p]
+                if pw == 0 or ph == 0:
+                    continue
+                smp, used = unfilter(mv[off:], pw, ph)
+                off += used
+                img[YS[p]::YD[p], XS[p]::XD[p]] = smp.reshape(ph, pw, nch)
+        else:
+            return None
+    except ValueError:
+        return None
+    if ctype_i == 3:
+        if plte is None or int(img.max(initial=0)) >= len(plte):
+            return None
+        img = plte[img.reshape(h, w)]
+        nch = 3
+    return w, h, nch, img.tobytes()
+
+
+def _png_encode(arr, filter_mode: str = "mixed") -> bytes:
+    """REAL pure-Python PNG encoder (8-bit, non-interlaced) for fixtures and
+    the synthetic round-trip oracle: arr is uint8 (h, w) or (h, w, ch),
+    ch ∈ {1,2,3,4}. filter_mode 'mixed' cycles scanline filters 0..4 by row
+    so a decode exercises every unfilter path; 'none' emits filter 0 only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = a[y].reshape(-1).astype(np.int32)
+        f = (y % 5) if filter_mode == "mixed" else 0
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+            pa = np.abs(prev - upleft)
+            pb = np.abs(left - upleft)
+            pc = np.abs(left + prev - 2 * upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype_b: bytes, data: bytes) -> bytes:
+        body = ctype_b + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def decode_image(df: DataFrame, fake: bool = False,
+                 with_pixels: bool = False) -> DataFrame:
+    """Decode image binaries → (media_id, width, height, channels, n_bytes),
+    n_bytes = size of the decoded interleaved pixel buffer. With
+    ``with_pixels=True`` the output additionally carries ``content`` (the
+    decoded 8-bit interleaved pixel buffer, feeding resize_image_raw) and
+    ``pixel_sum`` (sum of all pixel values — the checksum the round-trip
+    oracle validates).
+
+    REAL decode, pure numpy/stdlib, for: PPM (P6), PGM (P5), uncompressed
+    8/24/32-bit BMP (BI_RGB, incl. bottom-up row order + 4-byte row
+    padding), and PNG (full zlib inflate + unfilter via _png_decode — all
+    five scanline filters, bit depths 1-16, color types 0/2/3/4/6, Adam7).
+    JPEG/GIF need an entropy-codec library this environment lacks — those
+    payloads raise NotImplementedError unless ``fake=True``, which
+    substitutes a deterministic stub decode so the full mapInPandas
+    pipeline can still be exercised. Unrecognized payloads yield null dims.
     """
 
     def decode_one(b: bytes):
@@ -286,19 +498,23 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
             if bottom_up:
                 px = px[::-1]
             return w, h, ch, px.tobytes()
-        if (b[:8] == b"\x89PNG\r\n\x1a\n" or b[:2] == b"\xff\xd8"
-                or b[:6] in (b"GIF87a", b"GIF89a")):
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return _png_decode(b)
+        if b[:2] == b"\xff\xd8" or b[:6] in (b"GIF87a", b"GIF89a"):
             return "compressed"
         return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, ws, hs, chs, nbs = [], [], [], [], []
+            pxs, sums = [], []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 got = decode_one(bytes(c)) if c is not None else None
                 if got == "compressed" and not fake:
                     raise NotImplementedError(
-                        "compressed image decode (png/jpeg/gif) requires "
+                        "entropy-coded image decode (jpeg/gif) requires "
                         "PIL/opencv, unavailable in this environment; "
                         "pass fake=True for the deterministic stub")
                 if got in ("compressed", None) and fake and c is not None:
@@ -309,12 +525,51 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
                 hs.append(got[1] if got else None)
                 chs.append(got[2] if got else None)
                 nbs.append(len(got[3]) if got else None)
-            yield pd.DataFrame({
+                if with_pixels:
+                    pxs.append(got[3] if got else None)
+                    sums.append(int(np.frombuffer(got[3], dtype=np.uint8)
+                                    .sum(dtype=np.int64)) if got else None)
+            cols = {
                 "media_id": ids, "width": ws, "height": hs,
                 "channels": chs, "n_bytes": nbs,
+            }
+            if with_pixels:
+                cols["content"] = pxs
+                cols["pixel_sum"] = sums
+            yield pd.DataFrame(cols)
+
+    schema = DECODED_PIXELS_SCHEMA if with_pixels else DECODED_IMAGE_SCHEMA
+    return df.mapInPandas(run, schema)
+
+
+def synth_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic PNG per input row → MEDIA_SCHEMA rows.
+
+    Per id: width = 4 + id % 13, height = 4 + id % 11, 3 channels, pixel
+    value (y, x, c) = (id*7919 + y*131 + x*31 + c*17) % 256, encoded with
+    _png_encode's mixed per-row filters (cycling 0..4). Self-oracle
+    fixture: the decoded pixel sum has the same closed form in SQL, so an
+    encode→decode round trip is value-checkable by the DuckDB oracle
+    without any image columns in the test data."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 13, 4 + mid % 11
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                arr = ((mid * 7919 + y * 131 + x * 31 + c * 17) % 256
+                       ).astype(np.uint8)
+                ids.append(mid)
+                blobs.append(_png_encode(arr, filter_mode="mixed"))
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["image"] * len(ids),
+                "content": blobs, "meta": [{}] * len(ids),
             })
 
-    return df.mapInPandas(run, DECODED_IMAGE_SCHEMA)
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 2, max_frames: int = 4,

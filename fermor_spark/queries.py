@@ -2188,6 +2188,42 @@ def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, (4 + doc_id % 13) AS w, (4 + doc_id % 11) AS h
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+           3::INT AS channels, (w*h*3)::BIGINT AS n_bytes,
+           sum((doc_id*7919 + y.r*131 + x.r*31 + c.r*17) % 256)::BIGINT
+             AS pixel_sum
+    FROM d, range(16) y(r), range(16) x(r), range(3) c(r)
+    WHERE y.r < d.h AND x.r < d.w
+    GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG encode→decode round trip, value-checked: per selected doc a
+    deterministic pixel grid (closed form the oracle restates in SQL) is
+    encoded to a real PNG with cycling scanline filters 0-4
+    (multimodal.synth_png_table) and decoded back through the pure-numpy
+    inflate+unfilter decoder (multimodal._png_decode via decode_image
+    with_pixels=True). The returned pixel_sum only matches the oracle's
+    closed form if every filter's unfilter math is exact — a driver-gated
+    proof the image decode path is real, not plumbing around a stub.
+    Reference has no multimodal surface; this is the training-data-pipeline
+    extension scope."""
+    from fermor_spark.pipeline import multimodal
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 97 == 0)
+    media = multimodal.synth_png_table(d, "doc_id")
+    dec = multimodal.decode_image(media, with_pixels=True)
+    return dec.select(
+        "media_id", "width", "height", "channels", "n_bytes", "pixel_sum")
+
+
+@query(
     "sample_stratified_source",
     """
     SELECT doc_id, source FROM documents
@@ -2481,8 +2517,10 @@ _GATE_PRIORITY = [
     # regression watch (r4 time drifted) + flagship anchors
     "events_sessions_30m", "g_recommender", "q1_pricing_summary",
     "dedup_minhash_lsh", "text_fingerprint_overlap", "g_pagerank_supply",
-    # NOTE: 46 names — r5-new registrations must be APPENDED HERE explicitly
-    # to land inside the driver's 50-row gate window.
+    # r5-new registrations (never driver-gated)
+    "multimodal_png_roundtrip",
+    # NOTE: 47 names — further r5-new registrations must be APPENDED HERE
+    # explicitly to land inside the driver's 50-row gate window.
 ]
 
 

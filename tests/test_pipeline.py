@@ -168,11 +168,105 @@ def test_multimodal_decode_stub(spark):
     decoded = {r["media_id"]: r for r in multimodal.decode_image(df, fake=True).collect()}
     assert decoded[1]["width"] == 11 and decoded[1]["height"] == 21
     assert decoded[1]["n_bytes"] == 4
-    # compressed formats stay stubbed without fake=True
-    png = multimodal.media_table(
-        spark, [(3, "image", b"\x89PNG\r\n\x1a\n" + bytes(24), {"source": "s", "mime": "image/png"})])
+    # entropy-coded formats (jpeg/gif) stay stubbed without fake=True;
+    # PNG is decoded for real now (see test_multimodal_png_*)
+    gif = multimodal.media_table(
+        spark, [(3, "image", b"GIF89a" + bytes(24), {"source": "s", "mime": "image/gif"})])
     with pytest.raises(Exception):
-        multimodal.decode_image(png, fake=False).collect()
+        multimodal.decode_image(gif, fake=False).collect()
+
+
+def test_multimodal_png_roundtrip_all_types(spark):
+    """Encode with cycling filters 0-4, decode, compare exact pixels for
+    every color type; plus 16-bit, low bit depths, palette, Adam7, and an
+    externally-produced known PNG."""
+    import base64
+
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _png_decode, _png_encode
+
+    rng = np.random.RandomState(7)
+    for (h, w, ch) in [(7, 5, 3), (1, 1, 1), (16, 13, 4), (9, 3, 2), (33, 31, 3)]:
+        arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        for mode in ("mixed", "none"):
+            got = _png_decode(_png_encode(arr, filter_mode=mode))
+            assert got is not None
+            gw, gh, gch, px = got
+            assert (gw, gh, gch) == (w, h, ch)
+            assert np.array_equal(
+                np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch), arr)
+    # externally-produced fixture (canonical 1x1 libpng output):
+    # 50%-alpha red — validates against an independent encoder, so a
+    # symmetric encode/decode bug cannot hide
+    ext = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    assert _png_decode(ext) == (1, 1, 4, b"\xff\x00\x00\x7f")
+    # malformed inputs degrade to None, never raise
+    assert _png_decode(b"\x89PNG\r\n\x1a\njunk") is None
+    assert _png_decode(b"notapng") is None
+
+
+def test_multimodal_png_low_depth_palette_interlace(spark):
+    """Hand-built PNGs for the container features the encoder doesn't
+    emit: palette color (type 3), sub-byte depths, 16-bit, and Adam7."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _png_decode
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    def png(w, h, depth, ctype, raw, extra=b"", interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # palette: 4x1, 2-bit indices [0,1,2,3] packed into one byte 0b00011011
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]))
+    got = _png_decode(png(4, 1, 2, 3, b"\x00\x1b", extra=plte))
+    assert got == (4, 1, 3, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]))
+    # 1-bit grayscale 8x1: 0b10110001 → 255/0 pattern scaled to 8-bit
+    got = _png_decode(png(8, 1, 1, 0, b"\x00\xb1"))
+    assert got == (8, 1, 1, bytes([255, 0, 255, 255, 0, 0, 0, 255]))
+    # 16-bit grayscale 2x1: samples 0x1234, 0xABCD → high bytes 0x12, 0xAB
+    got = _png_decode(png(2, 1, 16, 0, b"\x00\x12\x34\xab\xcd"))
+    assert got == (2, 1, 1, bytes([0x12, 0xAB]))
+    # Adam7 interlaced 2x2 grayscale: passes 1 (x0y0), 4 (x1y0... ) — for
+    # 2x2 the non-empty passes are p1:(0,0) p4... verify via brute pattern
+    # pass order for 2x2: p1 = pixel(0,0); p5 = pixel(0..1? ) — build from
+    # spec offsets: p1 x%8==0,y%8==0 → (0,0); p4 x%4==2? no (w=2): x=...
+    # passes with pixels: p1 (0,0), p6 (1,0)? p6: x odd, y even → (1,0);
+    # p7: y odd → (0,1),(1,1)
+    raw = (b"\x00\x11"          # pass1: 1x1 row
+           + b"\x00\x22"        # pass6: 1x1 row (x=1,y=0)
+           + b"\x00\x33\x44")   # pass7: 2x1 row (y=1)
+    got = _png_decode(png(2, 2, 8, 0, raw, interlace=1))
+    assert got == (2, 2, 1, bytes([0x11, 0x22, 0x33, 0x44]))
+
+
+def test_multimodal_png_spark_roundtrip(spark):
+    """synth_png_table → decode_image(with_pixels) through mapInPandas:
+    pixel_sum must equal the closed form (the driver-gated query's oracle)."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(i,) for i in (0, 5, 97, 1234)], "doc_id long")
+    media = multimodal.synth_png_table(ids, "doc_id")
+    dec = {r["media_id"]: r for r in
+           multimodal.decode_image(media, with_pixels=True).collect()}
+    for mid in (0, 5, 97, 1234):
+        w, h = 4 + mid % 13, 4 + mid % 11
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((mid * 7919 + y * 131 + x * 31 + c * 17) % 256).astype(np.uint8)
+        r = dec[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["pixel_sum"] == int(arr.sum())
+        assert bytes(r["content"]) == arr.tobytes()
 
 
 def _bmp_bytes(w, h, pixel_rows):
