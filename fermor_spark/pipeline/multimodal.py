@@ -5,15 +5,17 @@ Three tiers of codec support, honestly delineated:
 
 * REAL, no external deps: ``parse_image_header`` (PNG/GIF/BMP/JPEG
   dimensions from container bytes), ``decode_image`` for PPM/PGM/BMP
-  (pure-numpy pixel decode) AND PNG (full zlib inflate + scanline
-  unfilter + bit unpack via ``_png_decode`` — all five filters, depths
-  1-16, color types 0/2/3/4/6, Adam7), ``_png_encode`` (fixture/oracle
-  encoder), ``decode_wav`` (RIFF/WAVE PCM header + numpy sample
-  statistics), ``resize_image_raw`` (nearest-neighbor resize of raw
-  interleaved arrays via numpy indexing).
+  (pure-numpy pixel decode), PNG (full zlib inflate + scanline unfilter +
+  bit unpack via ``_png_decode`` — all five filters, depths 1-16, color
+  types 0/2/3/4/6, Adam7), AND GIF (``_gif_decode`` — pure-Python LZW,
+  global/local palettes, interlace), ``_png_encode`` (fixture/oracle
+  encoder), ``frame_sample`` on Y4M payloads (``_y4m_frames`` —
+  uncompressed YUV4MPEG2 luma-plane extraction), ``decode_wav``
+  (RIFF/WAVE PCM header + numpy sample statistics), ``resize_image_raw``
+  (nearest-neighbor resize of raw interleaved arrays via numpy indexing).
 * STUBBED behind ``fake=True`` where the env lacks the codec library:
-  ``decode_image`` on ENTROPY-CODED payloads (jpeg/gif need PIL/opencv),
-  ``frame_sample`` (video needs ffmpeg). The Spark-side machinery —
+  ``decode_image`` on JPEG (needs PIL/opencv), ``frame_sample`` on
+  compressed containers (mp4/webm need ffmpeg). The Spark-side machinery —
   schemas, batching, partition sizing, UDF signatures, row explosion —
   is real and tested either way.
 
@@ -61,6 +63,8 @@ FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("frame_index", T.IntegerType()),
     T.StructField("frame", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),    # null on the fake path
+    T.StructField("height", T.IntegerType()),
 ])
 
 
@@ -388,6 +392,134 @@ def _png_decode(b: bytes):
     return w, h, nch, img.tobytes()
 
 
+def _gif_decode(b: bytes):
+    """REAL pure-Python GIF decode (first frame) → (width, height, 3,
+    rgb_bytes) or None. GIF's LZW is self-contained bit unpacking — no
+    codec library involved: variable-width LSB-first codes (min+1 .. 12
+    bits), clear/end codes, growing dictionary (GIF89a spec appendix F).
+    Handles global/local color tables, interlaced row order, and frames
+    smaller than the logical screen (composited onto the background
+    color). Animated GIFs yield their first frame."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    W, H, packed, bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+
+    def subblocks(pos):
+        out = []
+        while pos < len(b):
+            ln = b[pos]
+            pos += 1
+            if ln == 0:
+                break
+            out.append(b[pos:pos + ln])
+            pos += ln
+        return b"".join(out), pos
+
+    try:
+        while pos < len(b):
+            tag = b[pos]
+            if tag == 0x21:          # extension: introducer, label, sub-blocks
+                _data, pos = subblocks(pos + 2)
+            elif tag == 0x2C:        # image descriptor
+                x0, y0, w, h, ipk = struct.unpack("<HHHHB", b[pos + 1:pos + 10])
+                pos += 10
+                ct = gct
+                if ipk & 0x80:
+                    n = 2 << (ipk & 0x07)
+                    ct = np.frombuffer(
+                        b[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                    pos += 3 * n
+                if ct is None or w == 0 or h == 0:
+                    return None
+                mcs = b[pos]
+                data, pos = subblocks(pos + 1)
+                idx = _lzw_decode(data, mcs, w * h)
+                if idx is None or len(idx) < w * h:
+                    return None
+                frame = np.asarray(idx[: w * h], dtype=np.int32)
+                if int(frame.max(initial=0)) >= len(ct):
+                    return None
+                if ipk & 0x40:       # interlaced: 4-pass row order
+                    order = np.concatenate([
+                        np.arange(0, h, 8), np.arange(4, h, 8),
+                        np.arange(2, h, 4), np.arange(1, h, 2)])
+                    img = np.empty((h, w), dtype=np.int32)
+                    img[order] = frame.reshape(h, w)
+                else:
+                    img = frame.reshape(h, w)
+                canvas = np.full((H, W), bg if bg < len(ct) else 0,
+                                 dtype=np.int32)
+                canvas[y0:y0 + h, x0:x0 + w] = img[: max(0, H - y0), : max(0, W - x0)]
+                return W, H, 3, ct[canvas].astype(np.uint8).tobytes()
+            elif tag == 0x3B:        # trailer
+                return None
+            else:
+                return None
+    except (struct.error, IndexError, ValueError):
+        return None
+    return None
+
+
+def _lzw_decode(data: bytes, min_code_size: int, limit: int):
+    """GIF-flavor LZW: LSB-first variable-width codes, clear/end codes,
+    dictionary growth to 12 bits. Returns list of palette indices."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code_size + 1, end + 1
+
+    table, width, nxt = reset()
+    out: list = []
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, nxt = reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+                table[nxt] = prev + (entry[0],)
+                nxt += 1
+            elif code == nxt:
+                entry = prev + (prev[0],)
+                table[nxt] = entry
+                nxt += 1
+            else:
+                return None
+            out.extend(entry)
+            if len(out) >= limit:
+                return out
+            if nxt == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    return out
+
+
 def _png_encode(arr, filter_mode: str = "mixed") -> bytes:
     """REAL pure-Python PNG encoder (8-bit, non-interlaced) for fixtures and
     the synthetic round-trip oracle: arr is uint8 (h, w) or (h, w, ch),
@@ -500,7 +632,9 @@ def decode_image(df: DataFrame, fake: bool = False,
             return w, h, ch, px.tobytes()
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             return _png_decode(b)
-        if b[:2] == b"\xff\xd8" or b[:6] in (b"GIF87a", b"GIF89a"):
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_decode(b)
+        if b[:2] == b"\xff\xd8":
             return "compressed"
         return None
 
@@ -572,29 +706,97 @@ def synth_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def _y4m_frames(b: bytes, every_n: int, max_frames: int):
+    """REAL pure-Python YUV4MPEG2 (Y4M) frame extraction → (width, height,
+    [(source_frame_index, y_plane_bytes)]) or None. Y4M is the standard
+    UNCOMPRESSED video interchange container (ffmpeg/mjpegtools): a text
+    header line, then per frame a 'FRAME...' line + raw planar YUV — no
+    entropy coding anywhere, so sampling frames is header parsing plus
+    offset arithmetic. Emits the luma (Y) plane per sampled frame: a
+    grayscale image directly consumable by resize_image_raw(channels=1)."""
+    if not b.startswith(b"YUV4MPEG2"):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    chroma = "420"
+    for tok in b[9:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            chroma = tok[1:].decode("ascii", "replace")
+    if not w or not h:
+        return None
+    ysize = w * h
+    half_w, half_h = (w + 1) // 2, (h + 1) // 2
+    if chroma.startswith("420"):
+        csize = 2 * half_w * half_h
+    elif chroma.startswith("422"):
+        csize = 2 * half_w * h
+    elif chroma.startswith("444"):
+        csize = 2 * ysize
+    elif chroma.startswith("mono"):
+        csize = 0
+    else:
+        return None
+    pos, src, out = nl + 1, 0, []
+    while pos < len(b) and len(out) < max_frames:
+        if b[pos:pos + 5] != b"FRAME":
+            return None
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or len(b) < fnl + 1 + ysize + csize:
+            return None
+        if src % every_n == 0:
+            out.append((src, b[fnl + 1:fnl + 1 + ysize]))
+        pos = fnl + 1 + ysize + csize
+        src += 1
+    return w, h, out
+
+
 def frame_sample(df: DataFrame, every_n: int = 2, max_frames: int = 4,
                  fake: bool = False) -> DataFrame:
     """Sample video frames → one row per (media_id, frame_index).
 
-    STUBBED codec: with fake=True, 'frames' are deterministic byte slices of
-    the content — the row-explosion shape (1 row in, k rows out via
-    mapInPandas) is the part that matters for the pipeline."""
+    REAL for Y4M (uncompressed YUV4MPEG2 — _y4m_frames): every_n-th frame's
+    luma plane, frame_index = source frame number, width/height populated.
+    Compressed containers (mp4/webm) need ffmpeg, unavailable here — those
+    raise NotImplementedError unless ``fake=True``, where 'frames' are
+    deterministic byte slices of the content (frame_index ordinal,
+    width/height null) — the row-explosion shape (1 row in, k rows out via
+    mapInPandas) stays exercised either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decoding requires ffmpeg bindings, unavailable here; "
-                    "pass fake=True for the deterministic stub"
-                )
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, ws, hs = [], [], [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                got = _y4m_frames(content, every_n, max_frames)
+                if got is not None:
+                    w, h, fr = got
+                    for src_idx, y in fr:
+                        ids.append(mid)
+                        idxs.append(src_idx)
+                        frames.append(y)
+                        ws.append(w)
+                        hs.append(h)
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "compressed video decoding requires ffmpeg bindings, "
+                        "unavailable here; supply Y4M payloads or pass "
+                        "fake=True for the deterministic stub")
                 n = min(max_frames, max(1, len(content) // every_n))
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)
                     frames.append(bytes(content[i * every_n:(i + 1) * every_n]))
-            yield pd.DataFrame({"media_id": ids, "frame_index": idxs, "frame": frames})
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame({"media_id": ids, "frame_index": idxs,
+                                "frame": frames, "width": ws, "height": hs})
 
     return df.mapInPandas(run, FRAME_SCHEMA)
 

@@ -168,12 +168,12 @@ def test_multimodal_decode_stub(spark):
     decoded = {r["media_id"]: r for r in multimodal.decode_image(df, fake=True).collect()}
     assert decoded[1]["width"] == 11 and decoded[1]["height"] == 21
     assert decoded[1]["n_bytes"] == 4
-    # entropy-coded formats (jpeg/gif) stay stubbed without fake=True;
-    # PNG is decoded for real now (see test_multimodal_png_*)
-    gif = multimodal.media_table(
-        spark, [(3, "image", b"GIF89a" + bytes(24), {"source": "s", "mime": "image/gif"})])
+    # jpeg stays stubbed without fake=True; PNG and GIF are decoded for
+    # real now (see test_multimodal_png_* / test_multimodal_gif_decode)
+    jpg = multimodal.media_table(
+        spark, [(3, "image", b"\xff\xd8\xff\xe0" + bytes(24), {"source": "s", "mime": "image/jpeg"})])
     with pytest.raises(Exception):
-        multimodal.decode_image(gif, fake=False).collect()
+        multimodal.decode_image(jpg, fake=False).collect()
 
 
 def test_multimodal_png_roundtrip_all_types(spark):
@@ -248,6 +248,142 @@ def test_multimodal_png_low_depth_palette_interlace(spark):
            + b"\x00\x33\x44")   # pass7: 2x1 row (y=1)
     got = _png_decode(png(2, 2, 8, 0, raw, interlace=1))
     assert got == (2, 2, 1, bytes([0x11, 0x22, 0x33, 0x44]))
+
+
+def _gif_bytes(arr, palette, interlace=False, local=False, bg=0,
+               compress=True):
+    """Test-side GIF writer with a REAL LZW compressor (dictionary growth,
+    width bumps) — an independent reference implementation, so decoding it
+    exercises the multi-character-entry and code==next paths a literal-only
+    stream never hits."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    size_field = bits - 1
+    pal = b"".join(bytes(p) for p in palette) + bytes(3 * ((1 << bits) - n))
+    lsd_packed = size_field if local else (0x80 | size_field)
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, lsd_packed, bg, 0)
+    if not local:
+        out += pal
+    ipk = (0x40 if interlace else 0) | ((0x80 | size_field) if local else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipk)
+    if local:
+        out += pal
+    mcs = max(2, bits)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    rows = arr
+    if interlace:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        rows = arr[order]
+    vals = [int(v) for v in rows.reshape(-1)]
+    by = bytearray()
+    acc = nb = 0
+
+    def emit(c, width):
+        nonlocal acc, nb
+        acc |= c << nb
+        nb += width
+        while nb >= 8:
+            by.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    table = {(i,): i for i in range(clear)}
+    width, nxt = mcs + 1, end + 1
+    emit(clear, width)
+    buf = ()
+    for v in vals:
+        cand = buf + (v,)
+        if compress and cand in table:
+            buf = cand
+            continue
+        if buf:
+            emit(table[buf], width)
+            table[cand] = nxt
+            nxt += 1
+            # encoder leads the decoder's table by one entry
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+            if nxt >= 4096:
+                emit(clear, width)
+                table = {(i,): i for i in range(clear)}
+                width, nxt = mcs + 1, end + 1
+        buf = (v,)
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nb > 0:
+        by.append(acc & 0xFF)
+    out += bytes([mcs])
+    for i in range(0, len(by), 255):
+        blk = by[i:i + 255]
+        out += bytes([len(blk)]) + bytes(blk)
+    return out + b"\x00\x3b"
+
+
+def test_multimodal_gif_decode(spark):
+    import base64
+
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _gif_decode
+
+    # externally-produced fixture: the canonical 1x1 transparent-GIF
+    # tracking pixel (independent encoder — symmetric bugs cannot hide)
+    ext = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    assert _gif_decode(ext) == (1, 1, 3, b"\x00\x00\x00")
+    rng = np.random.RandomState(5)
+    pal = [(i * 7 % 256, i * 13 % 256, i * 29 % 256) for i in range(16)]
+    for (h, w) in [(1, 1), (5, 7), (23, 9)]:
+        for interlace in (False, True):
+            for local in (False, True):
+                # runs make the stream genuinely compressible, exercising
+                # dictionary entries and the code==next special case
+                runs = rng.randint(0, 16, size=h * w // 3 + 1)
+                arr = np.repeat(runs, 3)[: h * w].reshape(h, w).astype(np.uint8)
+                got = _gif_decode(_gif_bytes(
+                    arr, pal, interlace=interlace, local=local))
+                assert got is not None, (h, w, interlace, local)
+                gw, gh, gch, px = got
+                exp = np.array(pal, dtype=np.uint8)[arr]
+                assert (gw, gh, gch) == (w, h, 3)
+                assert np.array_equal(
+                    np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3), exp)
+    # decode_image routes GIF through the real decoder now
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4) % 16
+    df = multimodal.media_table(
+        spark, [(1, "image", _gif_bytes(arr, pal), {"source": "s", "mime": "image/gif"})])
+    r = multimodal.decode_image(df, fake=False).collect()[0]
+    assert (r["width"], r["height"], r["channels"], r["n_bytes"]) == (4, 3, 3, 36)
+
+
+def test_multimodal_y4m_frames(spark):
+    import numpy as np
+
+    planes = [np.full((4, 6), 10 * i, dtype=np.uint8) for i in range(5)]
+    chroma = bytes(2 * 3 * 2)  # C420: two 3x2 chroma planes
+    y4m = b"YUV4MPEG2 W6 H4 F30:1 Ip A1:1 C420\n" + b"".join(
+        b"FRAME\n" + p.tobytes() + chroma for p in planes)
+    df = multimodal.media_table(
+        spark, [(1, "video", y4m, {"source": "s", "mime": "video/x-y4m"})])
+    rows = sorted(multimodal.frame_sample(df, every_n=2, max_frames=3).collect(),
+                  key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in rows] == [0, 2, 4]
+    assert all((r["width"], r["height"]) == (6, 4) for r in rows)
+    assert [bytes(r["frame"]) for r in rows] == [
+        planes[0].tobytes(), planes[2].tobytes(), planes[4].tobytes()]
+    # mono chroma + truncated payload edge cases
+    from fermor_spark.pipeline.multimodal import _y4m_frames
+    mono = b"YUV4MPEG2 W2 H2 Cmono\n" + b"FRAME\n" + bytes([1, 2, 3, 4])
+    assert _y4m_frames(mono, 1, 10) == (2, 2, [(0, bytes([1, 2, 3, 4]))])
+    assert _y4m_frames(mono[:-2], 1, 10) is None
+    assert _y4m_frames(b"nope", 1, 10) is None
 
 
 def test_multimodal_png_spark_roundtrip(spark):
