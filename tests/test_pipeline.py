@@ -168,10 +168,12 @@ def test_multimodal_decode_stub(spark):
     decoded = {r["media_id"]: r for r in multimodal.decode_image(df, fake=True).collect()}
     assert decoded[1]["width"] == 11 and decoded[1]["height"] == 21
     assert decoded[1]["n_bytes"] == 4
-    # jpeg stays stubbed without fake=True; PNG and GIF are decoded for
-    # real now (see test_multimodal_png_* / test_multimodal_gif_decode)
+    # PNG/GIF/baseline-JPEG are decoded for real now; only PROGRESSIVE jpeg
+    # (SOF2) stays stubbed without fake=True
+    prog = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+            + b"\xff\xd9")
     jpg = multimodal.media_table(
-        spark, [(3, "image", b"\xff\xd8\xff\xe0" + bytes(24), {"source": "s", "mime": "image/jpeg"})])
+        spark, [(3, "image", prog, {"source": "s", "mime": "image/jpeg"})])
     with pytest.raises(Exception):
         multimodal.decode_image(jpg, fake=False).collect()
 
@@ -363,6 +365,176 @@ def test_multimodal_gif_decode(spark):
     assert (r["width"], r["height"], r["channels"], r["n_bytes"]) == (4, 3, 3, 36)
 
 
+def _jpeg_bytes(arr, subsample=False, q=8, dri=0):
+    """Test-side baseline JPEG ENCODER (4:4:4 or 4:2:0, optional restart
+    markers) — forward DCT + quant + canonical-Huffman entropy coding with
+    flat custom tables (12 DC symbols @ 4 bits, 162 AC symbols @ 8 bits).
+    An independent inverse of the library decoder's math: a round trip is
+    only near-lossless if both directions follow the spec."""
+    import struct
+
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _JPEG_ZIGZAG, _jpeg_idct_matrix
+
+    T = _jpeg_idct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def half(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                            mode="edge")
+                return (ph[0::2, 0::2] + ph[1::2, 0::2]
+                        + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+            planes = [y, half(cb), half(cr)]
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            factors = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad every plane to its MCU-aligned size
+    padded = []
+    for p, (fh, fv) in zip(planes, factors):
+        th, tw = mcuy * fv * 8, mcux * fh * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode="edge"))
+
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r_ << 4) | s for r_ in range(16)
+                              for s in range(1, 11)]
+
+    def dht(tc, th_, counts, syms):
+        body = bytes([(tc << 4) | th_]) + bytes(counts) + bytes(syms)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    dc_counts = [0] * 16
+    dc_counts[3] = 12       # 12 codes of length 4
+    ac_counts = [0] * 16
+    ac_counts[7] = 162      # 162 codes of length 8
+
+    def build_lut(counts, syms):
+        lut, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                lut[syms[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return lut
+
+    dc_lut = build_lut(dc_counts, dc_syms)
+    ac_lut = build_lut(ac_counts, ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    qtab = np.full(64, q, dtype=np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab.tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + qtab.tobytes()
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += dht(0, 0, dc_counts, dc_syms) + dht(1, 0, ac_counts, ac_syms)
+    if nc == 3:
+        out += dht(0, 1, dc_counts, dc_syms) + dht(1, 1, ac_counts, ac_syms)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([nc])
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    acc = [0, 0]  # bits, nbits
+
+    def put(code, ln):
+        acc[0] = (acc[0] << ln) | code
+        acc[1] += ln
+        while acc[1] >= 8:
+            byte = (acc[0] >> (acc[1] - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            acc[1] -= 8
+            acc[0] &= (1 << acc[1]) - 1
+
+    def flush():
+        if acc[1]:
+            pad = 8 - acc[1]
+            byte = ((acc[0] << pad) | ((1 << pad) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            acc[0] = acc[1] = 0
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    pred = [0] * nc
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                flush()
+                out += bytes([0xFF, 0xD0 + ((mcu_count // dri - 1) % 8)])
+                pred = [0] * nc
+            mcu_count += 1
+            for ci in range(nc):
+                fh, fv = factors[ci]
+                for by_ in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by_) * 8
+                        x0 = (mx * fh + bx) * 8
+                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        F = T @ blk @ T.T
+                        qc = np.round(F / q).astype(np.int64)
+                        seq = qc.reshape(-1)[zz]
+                        diff = int(seq[0]) - pred[ci]
+                        pred[ci] = int(seq[0])
+                        s = category(diff)
+                        ln, code = dc_lut[s]
+                        put(code, ln)
+                        v = diff if diff >= 0 else diff + (1 << s) - 1
+                        if s:
+                            put(v, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(seq[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_lut[0xF0]
+                                put(code, ln)
+                                run -= 16
+                            s = category(v)
+                            ln, code = ac_lut[(run << 4) | s]
+                            put(code, ln)
+                            ev = v if v >= 0 else v + (1 << s) - 1
+                            put(ev, s)
+                            run = 0
+                        if run:
+                            ln, code = ac_lut[0x00]
+                            put(code, ln)
+    flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def test_multimodal_y4m_frames(spark):
     import numpy as np
 
@@ -384,6 +556,111 @@ def test_multimodal_y4m_frames(spark):
     assert _y4m_frames(mono, 1, 10) == (2, 2, [(0, bytes([1, 2, 3, 4]))])
     assert _y4m_frames(mono[:-2], 1, 10) is None
     assert _y4m_frames(b"nope", 1, 10) is None
+
+
+def test_multimodal_jpeg_idct_matches_spec():
+    """IDCT matrix form vs the spec's direct double sum (ITU T.81 A.3.3) —
+    validates the transform independently of both encoder and decoder."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _jpeg_idct_matrix
+
+    rng = np.random.RandomState(9)
+    F = rng.randint(-200, 200, size=(8, 8)).astype(np.float64)
+    T = _jpeg_idct_matrix()
+    got = T.T @ F @ T
+    exp = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (cu * cv / 4.0 * F[v, u]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            exp[y, x] = s
+    assert np.allclose(got, exp, atol=1e-9)
+
+
+def test_multimodal_jpeg_roundtrip():
+    """Decode(encode(x)) ≈ x for gray / RGB 4:4:4 / RGB 4:2:0 / restart
+    markers; JPEG is lossy so assert a tight error bound, not equality."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _jpeg_decode
+
+    rng = np.random.RandomState(21)
+
+    def smooth(h, w, ch=None):
+        # low-frequency content keeps quantization error small and bounded
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (128 + 80 * np.sin(xx / 7.0) * np.cos(yy / 5.0))
+        if ch is None:
+            return base.astype(np.uint8)
+        return np.stack(
+            [np.clip(base + 20 * i, 0, 255) for i in range(ch)],
+            axis=-1).astype(np.uint8)
+
+    for (h, w), kw, tol in [
+        ((16, 16), {}, 4.0),                      # gray
+        ((24, 17), {}, 4.0),                      # gray, non-multiple-of-8
+        ((16, 16), {"rgb": True}, 8.0),           # color 4:4:4
+        ((21, 19), {"rgb": True, "subsample": True}, 14.0),  # 4:2:0
+        ((32, 24), {"rgb": True, "dri": 2}, 8.0),  # restart markers
+    ]:
+        rgb = kw.pop("rgb", False)
+        arr = smooth(h, w, 3 if rgb else None)
+        got = _jpeg_decode(_jpeg_bytes(arr, **kw))
+        assert got not in (None, "compressed"), (h, w, kw)
+        gw, gh, gch, px = got
+        assert (gw, gh, gch) == (w, h, 3 if rgb else 1)
+        dec = np.frombuffer(px, dtype=np.uint8).reshape(
+            h, w, gch).astype(np.float64)
+        exp = arr.reshape(h, w, gch).astype(np.float64)
+        err = np.abs(dec - exp).mean()
+        assert err < tol, (h, w, kw, err)
+    # flat image: DC-only closed form — decoded block must be exactly the
+    # quantized-DC reconstruction round(round(8*(v-128)/q)*q/8)+128
+    for v in (0, 77, 128, 200, 255):
+        arr = np.full((8, 8), v, dtype=np.uint8)
+        got = _jpeg_decode(_jpeg_bytes(arr, q=8))
+        dec = np.frombuffer(got[3], dtype=np.uint8)
+        expected = int(np.clip(round(round(8 * (v - 128) / 8) * 8 / 8 + 128
+                                     + 0.5 - 0.5), 0, 255))
+        assert (dec == expected).all(), (v, dec[0], expected)
+
+
+def test_multimodal_jpeg_external_files(spark):
+    """Real JPEGs produced by independent encoders (Python/IPython test
+    fixtures) — dimensions + full entropy-stream consumption + plausible
+    statistics. Skipped when the fixtures aren't on this system."""
+    import os
+
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _jpeg_decode
+
+    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+    fixtures = [
+        (f"{base}/site-packages/IPython/core/tests/2x2.jpg", (2, 2, 1)),
+        (f"{base}/test/test_email/data/python.jpg", (16, 16, 3)),
+    ]
+    found = False
+    for path, dims in fixtures:
+        if not os.path.exists(path):
+            continue
+        found = True
+        got = _jpeg_decode(open(path, "rb").read())
+        assert got not in (None, "compressed"), path
+        w, h, ch, px = got
+        assert (w, h, ch) == dims, path
+        a = np.frombuffer(px, dtype=np.uint8)
+        assert len(a) == w * h * ch
+        assert 0 < a.mean() < 255
+    if not found:
+        pytest.skip("external JPEG fixtures not present")
 
 
 def test_multimodal_png_spark_roundtrip(spark):
