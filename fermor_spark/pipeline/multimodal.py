@@ -1052,6 +1052,69 @@ def frame_sample(df: DataFrame, every_n: int = 2, max_frames: int = 4,
     return df.mapInPandas(run, FRAME_SCHEMA)
 
 
+def synth_y4m_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic Y4M clip per input row → MEDIA_SCHEMA rows.
+
+    Per id: width = 4 + id % 9, height = 2 + id % 7, frames = 2 + id % 5,
+    C420 chroma planes zeroed, luma pixel (frame, y, x) =
+    (id*31 + frame*97 + y*13 + x*7) % 256. Self-oracle fixture for the
+    frame_sample path — the sampled frames' luma sums have the same closed
+    form in SQL (same pattern as synth_png_table)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, nf = 4 + mid % 9, 2 + mid % 7, 2 + mid % 5
+                chroma = bytes(2 * ((w + 1) // 2) * ((h + 1) // 2))
+                f, y, x = np.ogrid[0:nf, 0:h, 0:w]
+                lum = ((mid * 31 + f * 97 + y * 13 + x * 7) % 256
+                       ).astype(np.uint8)
+                body = b"".join(
+                    b"FRAME\n" + lum[i].tobytes() + chroma for i in range(nf))
+                ids.append(mid)
+                blobs.append(
+                    b"YUV4MPEG2 W%d H%d F30:1 Ip A1:1 C420\n" % (w, h) + body)
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["video"] * len(ids),
+                "content": blobs, "meta": [{}] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("y_sum", T.LongType()),
+])
+
+
+def frame_luma_stats(df: DataFrame) -> DataFrame:
+    """Feature extraction over sampled frames (frame_sample output):
+    → (media_id, frame_index, width, height, y_sum) with y_sum the sum of
+    luma bytes — the per-frame brightness statistic a curation pipeline
+    filters on (all-black/all-white frame detection)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = [int(np.frombuffer(f, dtype=np.uint8).sum(dtype=np.int64))
+                    if f is not None else None for f in pdf["frame"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_index": pdf["frame_index"],
+                "width": pdf["width"], "height": pdf["height"],
+                "y_sum": sums,
+            })
+
+    return df.mapInPandas(run, FRAME_STATS_SCHEMA)
+
+
 def extract_meta_features(df: DataFrame) -> DataFrame:
     """Pure-column feature extraction from the metadata map — no UDF."""
     return df.select(

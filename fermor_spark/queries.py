@@ -2224,6 +2224,43 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_y4m_frame_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, (4 + doc_id % 9) AS w, (2 + doc_id % 7) AS h,
+             (2 + doc_id % 5) AS nf
+      FROM documents WHERE doc_id % 83 = 0
+    ),
+    f AS (
+      SELECT doc_id, w, h, fr.r AS frame_index
+      FROM d, range(7) fr(r) WHERE fr.r < d.nf AND fr.r % 2 = 0
+    )
+    SELECT doc_id AS media_id, frame_index::INT AS frame_index,
+           w::INT AS width, h::INT AS height,
+           sum((doc_id*31 + frame_index*97 + y.r*13 + x.r*7) % 256)::BIGINT
+             AS y_sum
+    FROM f, range(9) y(r), range(13) x(r)
+    WHERE y.r < f.h AND x.r < f.w
+    GROUP BY doc_id, frame_index, w, h
+    """,
+)
+def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, value-checked: deterministic Y4M clips
+    (closed-form luma, multimodal.synth_y4m_table) → frame_sample's real
+    YUV4MPEG2 parser extracts every 2nd frame's luma plane →
+    frame_luma_stats sums it; the oracle restates the closed form in SQL.
+    Driver-gated proof the video path is real parsing, not the fake stub.
+    Reference has no multimodal surface; training-data-pipeline extension
+    scope."""
+    from fermor_spark.pipeline import multimodal
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 83 == 0)
+    media = multimodal.synth_y4m_table(d, "doc_id")
+    frames = multimodal.frame_sample(media, every_n=2, max_frames=7)
+    return multimodal.frame_luma_stats(frames)
+
+
+@query(
     "sample_stratified_source",
     """
     SELECT doc_id, source FROM documents
@@ -2518,8 +2555,8 @@ _GATE_PRIORITY = [
     "events_sessions_30m", "g_recommender", "q1_pricing_summary",
     "dedup_minhash_lsh", "text_fingerprint_overlap", "g_pagerank_supply",
     # r5-new registrations (never driver-gated)
-    "multimodal_png_roundtrip",
-    # NOTE: 47 names — further r5-new registrations must be APPENDED HERE
+    "multimodal_png_roundtrip", "multimodal_y4m_frame_stats",
+    # NOTE: 48 names — further r5-new registrations must be APPENDED HERE
     # explicitly to land inside the driver's 50-row gate window.
 ]
 
