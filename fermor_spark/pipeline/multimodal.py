@@ -165,41 +165,58 @@ WAV_SCHEMA = T.StructType([
 ])
 
 
-def decode_wav(df: DataFrame) -> DataFrame:
-    """REAL audio decode for PCM WAV → header fields + RMS energy.
-
-    RIFF/WAVE is an uncompressed container: the fmt chunk is struct
-    parsing and the data chunk is one numpy frombuffer — a genuine decode
-    + feature-extract path with zero external dependencies. Non-WAV or
-    compressed payloads yield nulls (route those to a codec-equipped
-    cluster profile)."""
+def _wav_parse(b: bytes):
+    """REAL RIFF/WAVE PCM parse → (rate, channels, bits, samples float64
+    ndarray of raw integer sample values, interleaved) or None. WAV is an
+    uncompressed container: the fmt chunk is struct parsing and the data
+    chunk is one numpy frombuffer — zero external dependencies."""
     import struct
 
     import numpy as np
 
-    def parse(b: bytes):
-        if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-            return None
-        i, rate, ch, bits, data = 12, None, None, None, None
-        while i + 8 <= len(b):
-            cid = b[i:i + 4]
-            clen = struct.unpack("<I", b[i + 4:i + 8])[0]
-            body = b[i + 8:i + 8 + clen]
-            if cid == b"fmt ":
-                ch, rate = struct.unpack("<HI", body[2:8])
-                bits = struct.unpack("<H", body[14:16])[0]
-            elif cid == b"data":
-                data = body
-            i += 8 + clen + (clen & 1)
-        if rate is None or data is None or bits not in (8, 16, 32):
-            return None
-        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
-        samples = np.frombuffer(data, dtype=dtype).astype(np.float64)
-        if bits == 8:
-            samples = samples - 128.0
-        n = len(samples) // max(ch, 1)
-        rms = float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0
-        return rate, ch, bits, n, n / rate if rate else 0.0, rms
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, rate, ch, bits, data = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        clen = struct.unpack("<I", b[i + 4:i + 8])[0]
+        body = b[i + 8:i + 8 + clen]
+        if cid == b"fmt ":
+            ch, rate = struct.unpack("<HI", body[2:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if rate is None or data is None or bits not in (8, 16, 32):
+        return None
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    usable = (len(data) // np.dtype(dtype).itemsize) * np.dtype(dtype).itemsize
+    samples = np.frombuffer(data[:usable], dtype=dtype).astype(np.float64)
+    if bits == 8:
+        samples = samples - 128.0
+    return rate, max(ch, 1), bits, samples
+
+
+def _wav_encode(samples, rate: int, channels: int = 1) -> bytes:
+    """Minimal 16-bit PCM WAV encoder (fixture/oracle side of the audio
+    round trip — same role as _png_encode for images)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, channels,
+        rate, rate * channels * 2, channels * 2, 16, b"data", len(pcm))
+    return hdr + pcm
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode for PCM WAV → header fields + RMS energy
+    (_wav_parse + numpy). Non-WAV or compressed payloads yield nulls
+    (route those to a codec-equipped cluster profile)."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -207,8 +224,15 @@ def decode_wav(df: DataFrame) -> DataFrame:
                     ("sample_rate", "channels", "bits_per_sample",
                      "n_samples", "duration_sec", "rms")}
             for c in pdf["content"]:
-                got = parse(bytes(c)) if c is not None else None
-                vals = got if got else (None,) * 6
+                got = _wav_parse(bytes(c)) if c is not None else None
+                if got is None:
+                    vals = (None,) * 6
+                else:
+                    rate, ch, bits, samples = got
+                    n = len(samples) // ch
+                    rms = (float(np.sqrt(np.mean(samples ** 2)))
+                           if len(samples) else 0.0)
+                    vals = (rate, ch, bits, n, n / rate if rate else 0.0, rms)
                 for k, v in zip(cols, vals):
                     cols[k].append(v)
             yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
@@ -1123,3 +1147,98 @@ def extract_meta_features(df: DataFrame) -> DataFrame:
         F.col("meta").getItem("source").alias("source"),
         F.col("meta").getItem("mime").alias("mime"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sample_sum", T.LongType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("spectral_centroid_hz", T.DoubleType()),
+    T.StructField("spectral_rolloff_hz", T.DoubleType()),
+])
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over PCM WAV payloads → one row per
+    media_id with time-domain stats (sample_sum / energy / zero_crossings
+    / rms — exact integer math, SQL-restatable for the oracle gate) and
+    frequency-domain features (spectral centroid + 85% rolloff via numpy
+    rFFT — validated against pure-tone fixtures in pytest; no SQL oracle
+    since DuckDB has no FFT). Multi-channel audio is mixed down by
+    averaging interleaved channels before analysis. The curation use:
+    silence/clipping detection (rms, energy), noisiness (zero-crossing
+    rate), and bandwidth screens (centroid/rolloff) over a speech corpus.
+    Non-WAV payloads yield null features."""
+    import numpy as np
+
+    def feats(b: bytes):
+        got = _wav_parse(b)
+        if got is None:
+            return None
+        rate, ch, _bits, samples = got
+        n = len(samples) // ch
+        if n == 0:
+            return (rate, ch, 0, 0, 0, 0, 0.0, None, None)
+        mono = samples[:n * ch].reshape(n, ch).mean(axis=1)
+        ssum = int(mono.sum())
+        energy = int((mono ** 2).sum())
+        zc = int(np.count_nonzero((mono[1:] < 0) != (mono[:-1] < 0)))
+        rms = float(np.sqrt(energy / n))
+        # Hann window before the FFT: a rectangular window's leakage tails
+        # bias the magnitude-weighted centroid upward by hundreds of Hz
+        mags = np.abs(np.fft.rfft(mono * np.hanning(n)))
+        total = mags.sum()
+        if total <= 0:
+            return (rate, ch, n, ssum, energy, zc, rms, 0.0, 0.0)
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        centroid = float((freqs * mags).sum() / total)
+        rolloff = float(freqs[np.searchsorted(
+            np.cumsum(mags), 0.85 * total)])
+        return (rate, ch, n, ssum, energy, zc, rms, centroid, rolloff)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("sample_rate", "channels", "n_samples", "sample_sum",
+                     "energy", "zero_crossings", "rms",
+                     "spectral_centroid_hz", "spectral_rolloff_hz")}
+            for c in pdf["content"]:
+                got = feats(bytes(c)) if c is not None else None
+                vals = got if got is not None else (None,) * 9
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic 16-bit mono WAV per input row → MEDIA_SCHEMA.
+
+    Per id: rate = 8000 Hz, n = 64 + id % 64 samples, sample value
+    v(i) = ((id*37 + i*101) % 2048) - 1024. Self-oracle fixture for the
+    audio path — sample_sum / energy / zero_crossings / rms have the same
+    closed form in SQL (same pattern as synth_png_table / synth_y4m_table)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 64 + mid % 64
+                i = np.arange(n, dtype=np.int64)
+                v = ((mid * 37 + i * 101) % 2048) - 1024
+                ids.append(mid)
+                blobs.append(_wav_encode(v.astype(np.int16), 8000, 1))
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["audio"] * len(ids),
+                "content": blobs, "meta": [{}] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)

@@ -78,9 +78,10 @@ def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01,
 
 
 def _has_cms_estimate(spark) -> bool:
+    # catalog lookup, not a trial SQL execution — the latter logs an
+    # ERROR-level UNRESOLVED_ROUTINE line on builds without the function
     try:
-        spark.sql("SELECT count_min_sketch_estimate(X'00', 'a')")
-        return True
+        return spark.catalog.functionExists("count_min_sketch_estimate")
     except Exception:
         return False
 

@@ -849,6 +849,52 @@ def test_decode_wav_real(spark):
     assert out[2]["sample_rate"] is None
 
 
+def test_audio_features_pure_tone(spark):
+    # 440 Hz sine: spectral centroid/rolloff land on the tone, ZCR = 2f·t
+    rate, n, freq = 8000, 4096, 440.0
+    rows = [(1, "audio", _wav_bytes(rate, n, freq=freq), {}),
+            (2, "audio", b"garbage", {})]
+    out = {r["media_id"]: r for r in
+           multimodal.audio_features(multimodal.media_table(spark, rows)).collect()}
+    r1 = out[1]
+    assert (r1["sample_rate"], r1["channels"], r1["n_samples"]) == (rate, 1, n)
+    assert abs(r1["rms"] - 10000 / 2 ** 0.5) < 100
+    assert abs(r1["spectral_centroid_hz"] - freq) < 60
+    assert abs(r1["spectral_rolloff_hz"] - freq) < 30
+    expected_zc = 2 * freq * n / rate
+    assert abs(r1["zero_crossings"] - expected_zc) <= 3
+    assert out[2]["sample_rate"] is None and out[2]["rms"] is None
+
+
+def test_audio_features_matches_closed_form(spark):
+    # synth_wav_table's documented closed form, recomputed independently
+    import numpy as np
+    ids = spark.createDataFrame([(0,), (89,), (178,)], "doc_id: long")
+    media = multimodal.synth_wav_table(ids, "doc_id")
+    out = {r["media_id"]: r for r in multimodal.audio_features(media).collect()}
+    for mid in (0, 89, 178):
+        n = 64 + mid % 64
+        v = ((mid * 37 + np.arange(n) * 101) % 2048) - 1024
+        r = out[mid]
+        assert r["n_samples"] == n
+        assert r["sample_sum"] == int(v.sum())
+        assert r["energy"] == int((v ** 2).sum())
+        assert r["zero_crossings"] == int(
+            np.count_nonzero((v[1:] < 0) != (v[:-1] < 0)))
+        assert abs(r["rms"] - float(np.sqrt((v ** 2).sum() / n))) < 1e-9
+
+
+def test_audio_features_stereo_mixdown(spark):
+    # L = -R interleaved → mono mixdown cancels to silence
+    import numpy as np
+    v = np.tile([5000, -5000], 256).astype(np.int16)
+    rows = [(1, "audio", multimodal._wav_encode(v, 8000, channels=2), {})]
+    r = multimodal.audio_features(multimodal.media_table(spark, rows)).collect()[0]
+    assert (r["channels"], r["n_samples"]) == (2, 256)
+    assert r["energy"] == 0 and r["rms"] == 0.0
+    assert r["spectral_centroid_hz"] == 0.0
+
+
 def test_resize_image_raw(spark):
     import numpy as np
     img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
