@@ -51,3 +51,19 @@ def test_heavy_hitters(spark):
         # CMS never underestimates; overestimate bounded by eps*N
         assert est >= exact.get(item, 0)
         assert est <= exact.get(item, 0) + 0.002 * total
+
+
+def test_cms_estimate_matches_jvm_buckets(spark):
+    # the pure-Python prober must read the EXACT buckets the JVM wrote:
+    # width >> items means zero collisions, so any hashing/offset drift
+    # shows up as an estimate below the true count
+    items = [(f"item-{i}é" * (1 + i % 3), 1 + i * 7) for i in range(40)]
+    rows = [(s,) for s, c in items for _ in range(c)]
+    df = spark.createDataFrame(rows, "v string")
+    for seed in (42, 7):
+        sk = bytes(df.agg(F.count_min_sketch(
+            "v", F.lit(0.0001), F.lit(0.999), F.lit(seed)).alias("c")
+        ).collect()[0]["c"])
+        for s, c in items:
+            assert sketches.cms_estimate(sk, s) == c, (seed, s)
+        assert sketches.cms_estimate(sk, "never-seen-item") == 0
