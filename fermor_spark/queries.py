@@ -567,6 +567,348 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents():
+    """Exact per-line revenue in integer hundredths-of-cents: price and
+    discount are 2-dp decimals, so this is accumulation-order-independent
+    in int64 (the convention q10 established)."""
+    return (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+
+
+_CENTS_SQL = "round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT)"
+
+
+@query(
+    "q8_market_share",
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN sn = 'NATION_5' THEN cents ELSE 0 END)::BIGINT * 1.0
+                 / sum(cents)::BIGINT, 6) AS mkt_share
+    FROM (
+      SELECT o_orderdate, ns.n_name AS sn, {_CENTS_SQL} AS cents
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey AND p_type = 'STANDARD'
+      JOIN orders   ON o_orderkey = l_orderkey
+                   AND o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01'
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation nc ON nc.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s_nationkey
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of STANDARD-part revenue sold
+    into ASIA-region customers, by order year. Both sums run in integer
+    cents, so the single numerator/denominator division is bit-identical
+    across engines. Nation/region dims broadcast; fact joins shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nc = F.broadcast(
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("n_nationkey").alias("_nck")))
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("_nsk"),
+                              F.col("n_name").alias("sn")))
+    j = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nc, c["c_nationkey"] == F.col("_nck"))
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(ns, s["s_nationkey"] == F.col("_nsk"))
+    )
+    cents = _cents()
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"), F.col("sn"),
+                 cents.alias("cents"))
+        .groupBy("o_year")
+        .agg(F.round(
+            F.sum(F.when(F.col("sn") == "NATION_5", F.col("cents"))
+                  .otherwise(F.lit(0))) * 1.0
+            / F.sum("cents"), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           ((sum({_CENTS_SQL}) + 50) // 100) / 100.0 AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: revenue (this schema has no ps_supplycost, so
+    profit = discounted revenue) on red-named parts by supplier nation
+    and order year. Cents-exact sum, half-up division per q10."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    o = table(spark, sf_dir, "orders")
+    j = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+    )
+    return (
+        j.select(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"), _cents().alias("_c"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_c").alias("_s"))
+        .withColumn("profit", F.expr("(_s + 50) DIV 100") / 100.0)
+        .select("nation", "o_year", "profit")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts (customers
+    with zero qualifying orders included via the left join — the filter
+    must live in the join condition, not a WHERE, exactly as in the
+    spec). Pure integer aggregation; no float drift possible."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH r AS (
+      SELECT l_suppkey AS suppkey,
+             ((sum({_CENTS_SQL}) + 50) // 100) / 100.0 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN r ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    max is joined back as a broadcast 1-row aggregate instead of a
+    second scan of lineitem; revenue is cents-exact so the equality
+    filter can't split on float noise."""
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(_cents()).alias("_s"))
+        .withColumn("total_revenue", F.expr("(_s + 50) DIV 100") / 100.0)
+        .drop("_s")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(s, F.col("suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH agg AS (
+      SELECT l_partkey AS pk, sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(round(l_extendedprice*100)::BIGINT) / 700.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#13'
+    JOIN agg  ON pk = l_partkey
+    WHERE 5 * l_quantity::BIGINT * cnt < sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue impact of small-quantity orders (quantity below
+    20% of the part's average). The avg comparison is integerized —
+    5·qty·count < sum(qty) — so no engine can disagree on the boundary;
+    quantities are integer-valued in this dataset (asserted in tests).
+    The per-part aggregate is a map-side-combinable groupBy reused via
+    join rather than a correlated subquery per row."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    agg = (
+        l.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+             F.count("*").alias("cnt"))
+    )
+    j = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(agg, l["l_partkey"] == F.col("pk"))
+        .where(5 * F.col("l_quantity").cast("long") * F.col("cnt")
+               < F.col("sum_qty"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            / 700.0, 2).alias("avg_yearly"))
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity::BIGINT) > 300
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300 (integer sums —
+    exact). The spec's IN-subquery formulation is the same aggregate;
+    expressing it as a single groupBy+having avoids scanning lineitem
+    twice."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey AS ok,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS n_r_supp
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem WHERE l_returnflag = 'R'
+    ) r
+    JOIN per_order ON ok = r.l_orderkey AND n_supp > 1 AND n_r_supp = 1
+    JOIN supplier  ON s_suppkey = r.l_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no commit/receipt dates in this schema, so
+    'kept the order waiting' is re-read as 'sole supplier with returned
+    lines in a multi-supplier order' — the same exists/not-exists
+    structure). One pass computes per-order distinct-supplier and
+    distinct-returning-supplier counts; the blame assignment is then an
+    equi-join, not correlated subqueries."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    per_order = l.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    r = (l.where(F.col("l_returnflag") == "R")
+         .select("l_orderkey", "l_suppkey").distinct())
+    return (
+        r.join(per_order, (F.col("ok") == r["l_orderkey"])
+               & (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(s, r["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    """
+    WITH pos AS (
+      SELECT sum(round(c_acctbal*100)::BIGINT)::BIGINT AS s, count(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           sum(round(c_acctbal*100)::BIGINT)::BIGINT / 100.0 AS totacctbal
+    FROM customer
+    WHERE round(c_acctbal*100)::BIGINT * (SELECT n FROM pos) > (SELECT s FROM pos)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (no phone column, so the country-code grouping
+    becomes nationkey): above-average-balance customers with no recent
+    orders. The average-balance threshold is compared in integer cents
+    (bal·n > sum — no float average), and 'no recent orders' is a
+    left-anti join against the date-filtered orders, broadcast-sized
+    threshold via a 1-row aggregate."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    bal_cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    pos = (c.where(F.col("c_acctbal") > 0.0)
+           .agg(F.sum(bal_cents).alias("_s"), F.count("*").alias("_n")))
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(bal_cents * F.col("_n") > F.col("_s"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             (F.sum(bal_cents) / 100.0).alias("totacctbal"))
+    )
+
+
 # --------------------------------------------------------------------------
 # event-time windows (batch-checkable analogs of the streaming operators)
 
@@ -2692,6 +3034,14 @@ _GATE_PRIORITY = [
     # oracle/implementation changed in r5 — must re-gate
     "text_pack_sequences", "pipeline_curation_funnel", "sample_split_counts",
     "g_kcore_ring_chains", "g_connected_components", "dedup_ngram_jaccard",
+    # r5-new registrations (never driver-gated) — ahead of the stale
+    # refresh so they can't fall outside the driver's 50-row gate window
+    "multimodal_png_roundtrip", "multimodal_y4m_frame_stats",
+    "multimodal_wav_features", "sketch_hll_distinct",
+    "sketch_gk_quantiles", "sketch_cms_heavy_hitters",
+    "q8_market_share", "q9_product_profit", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q21_waiting_supplier", "q22_idle_customers",
     # stale: last driver row r1-r3, rotated out of the r4 gate
     "q3_shipping_priority", "q5_local_supplier_volume",
     "top3_orders_per_customer", "orders_status_matrix", "monthly_revenue",
@@ -2705,11 +3055,6 @@ _GATE_PRIORITY = [
     "g_reachable_from_region", "text_token_count", "text_quality",
     "dedup_exact", "ann_nearest_neighbor_all", "text_lang_id",
     "dedup_simhash_candidates", "g_all_cycles_ring",
-    # r5-new registrations (never driver-gated) — ahead of the regression
-    # watch so they can't fall outside the 50-row window
-    "multimodal_png_roundtrip", "multimodal_y4m_frame_stats",
-    "multimodal_wav_features", "sketch_hll_distinct",
-    "sketch_gk_quantiles", "sketch_cms_heavy_hitters",
     # regression watch + flagship anchors (all r4-green — entries past the
     # driver's 50-row gate window simply re-gate next round)
     "events_sessions_30m", "g_recommender", "q1_pricing_summary",
