@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "events_range_nearby_counts",
     # r5 additions
     "g_scc_nation_ring",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "sketch_hll_distinct",
+    "multimodal_wav_features",
 ]
 
 

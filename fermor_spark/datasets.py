@@ -127,6 +127,16 @@ def star_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         .unionByName(vtx(part, "p", "p_partkey", "part"))
         .unionByName(vtx(orders, "o", "o_orderkey", "order"))
     )
-    g = PropertyGraph.from_dataframes(spark, edges, vertices, cache=True)
+    # materialize via localCheckpoint, not .cache(): the columnar cache's
+    # encode pass costs ~2.5x the checkpoint's block store for the same
+    # reuse speed (measured at sf0.1: 3.3s vs 1.2s materialize, 0.17s
+    # recount either way). The tradeoff is recomputability on block loss —
+    # acceptable for a derived fixture the loader can rebuild; a production
+    # deployment persists the graph with g.save() (bucketed Parquet, the
+    # bench's g_2hop_bucketed path) instead of keeping executor-memory
+    # copies of a 100 TB edge set.
+    edges = edges.localCheckpoint(eager=True)
+    vertices = vertices.localCheckpoint(eager=True)
+    g = PropertyGraph.from_dataframes(spark, edges, vertices, cache=False)
     _graph_cache[gkey] = g
     return g
