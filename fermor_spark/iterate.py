@@ -333,7 +333,8 @@ LAST_CC_ROUNDS = 0
 
 def connected_components(g: PropertyGraph, labels=None,
                          incident_only: bool = False,
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         local_edge_threshold: int = 200_000) -> DataFrame:
     """Undirected CCs via alternating large-star/small-star contraction →
     (id, component), component = min vertex id (same contract as the former
     min-id propagation, which this replaces).
@@ -348,6 +349,17 @@ def connected_components(g: PropertyGraph, labels=None,
     point is a star forest whose centers are the component minima. Each
     round is two groupBy+join passes over the (shrinking) edge set — no
     driver-side state beyond a 1-row convergence probe.
+
+    Distributed/local hybrid (same move as strongly_connected_components):
+    once the pair set fits under ``local_edge_threshold``, a driver-side
+    union-find finishes exactly — every round's pair set preserves the
+    component partition over non-isolated vertices (each such vertex
+    survives each round as a child or as its own star's center), so a
+    local closure mid-contraction is as correct as one at the fixed
+    point. At 100 TB the contraction rounds do the heavy lifting and the
+    local finish only fires once the pair set is driver-scale — exactly
+    when per-round shuffle barriers would dominate. Pass 0 to force the
+    pure distributed path (tests assert its O(log n) round count).
     """
     global LAST_CC_ROUNDS
     adj = _loop_adjacency(g, labels, "both")
@@ -382,7 +394,33 @@ def connected_components(g: PropertyGraph, labels=None,
         adj.where(F.col("u") != F.col("v")).select("u", "v").distinct())
     n_edges = edges.count()
     i = 0
+    parents = None
     while True:
+        if local_edge_threshold and n_edges <= local_edge_threshold:
+            # driver-scale finish: exact union-find over the (bounded)
+            # pair set; union toward the smaller id so each root IS the
+            # component minimum. Spark string comparison is UTF-8 byte
+            # order = Python code-point order, so min labels agree.
+            par: dict = {}
+
+            def find(x):
+                r = x
+                while par.get(r, r) != r:
+                    r = par[r]
+                while par.get(x, x) != r:
+                    par[x], x = r, par[x]
+                return r
+
+            for row in edges.collect():
+                a, b = find(row["u"]), find(row["v"])
+                if a != b:
+                    if b < a:
+                        a, b = b, a
+                    par[b] = a
+            pairs = [(x, find(x)) for x in list(par)]
+            parents = g.spark.createDataFrame(
+                pairs, "id string, comp string") if pairs else None
+            break
         new = _persist(small_star(large_star(edges)))
         i += 1
         # symmetric fixed-point test: both sides are distinct sets, so
@@ -399,7 +437,8 @@ def connected_components(g: PropertyGraph, labels=None,
     LAST_CC_ROUNDS = i
     # fixed point is a star forest (child → component-min center); vertices
     # never seen as a child are their own component (centers + isolated)
-    parents = edges.groupBy("u").agg(F.min("v").alias("comp")).withColumnRenamed("u", "id")
+    if parents is None:
+        parents = edges.groupBy("u").agg(F.min("v").alias("comp")).withColumnRenamed("u", "id")
     comp = (
         universe.join(parents, "id", "left")
         .select("id", F.coalesce(F.col("comp"), F.col("id")).alias("comp"))

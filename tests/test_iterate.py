@@ -90,11 +90,17 @@ def test_connected_components_chain_logarithmic_rounds(spark):
     n = 64
     ids = [f"v{i:03d}" for i in range(n)]
     g = edges_graph(spark, "l", list(zip(ids, ids[1:])))
-    cc = iterate.connected_components(g)
+    # threshold 0 forces the pure distributed contraction (the default
+    # hybrid would finish this toy graph with the driver union-find)
+    cc = iterate.connected_components(g, local_edge_threshold=0)
     rows = cc.collect()
     assert {r["comp"] for r in rows} == {"v000"}
     assert len(rows) == n
     assert iterate.LAST_CC_ROUNDS <= 12, iterate.LAST_CC_ROUNDS
+    # hybrid local finish must agree with the distributed fixed point
+    hybrid = {(r["id"], r["comp"])
+              for r in iterate.connected_components(g).collect()}
+    assert hybrid == {(r["id"], r["comp"]) for r in rows}
 
 
 def test_scc(spark):
