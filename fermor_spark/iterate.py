@@ -984,9 +984,17 @@ def label_propagation(
 LAST_KCORE_ROUNDS = 0
 
 
-def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500) -> DataFrame:
+def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500,
+           local_edge_threshold: int = 200_000) -> DataFrame:
     """Vertices of the k-core (maximal subgraph of min undirected degree ≥ k)
     → (id, deg) with deg = the vertex's degree within the core.
+
+    Distributed/local hybrid (same move as connected_components / SCC):
+    when the whole edge set fits under ``local_edge_threshold``, peeling
+    runs as a driver-side queue algorithm (O(E), zero shuffle rounds) —
+    exact k-core is peel-depth-many barrier rounds distributed, so a
+    driver-scale graph pays pure round overhead otherwise. Pass 0 to
+    force the distributed path (tests assert its frontier math).
 
     Incremental peeling: degrees are computed ONCE, then each round removes
     the sub-k frontier and subtracts its edge contributions from surviving
@@ -1010,6 +1018,34 @@ def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500) -> DataF
         .select("u", "v")
         .distinct()  # 'both' emits each undirected edge once per direction
     )
+    if local_edge_threshold and e.count() <= local_edge_threshold:
+        # driver-scale finish: Matula-Beck-style queue peel over the
+        # (bounded) directed pair set — each undirected edge is present
+        # in both orientations, so deg(u) = #outgoing rows
+        from collections import defaultdict, deque
+
+        nbrs: dict = defaultdict(list)
+        for row in e.collect():
+            nbrs[row["u"]].append(row["v"])
+        deg_l = {u: len(vs) for u, vs in nbrs.items()}
+        q = deque(u for u, d in deg_l.items() if d < k)
+        removed = set()
+        rounds_l = 0
+        while q:
+            u = q.popleft()
+            if u in removed:
+                continue
+            removed.add(u)
+            for v in nbrs[u]:
+                if v not in removed:
+                    deg_l[v] -= 1
+                    if deg_l[v] < k:
+                        q.append(v)
+        LAST_KCORE_ROUNDS = rounds_l  # no distributed rounds ran
+        e.unpersist()
+        rows = [(u, deg_l[u]) for u in nbrs if u not in removed]
+        return g.spark.createDataFrame(rows, "id string, deg long")
+
     deg = _persist(
         e.groupBy("u").agg(F.count("*").alias("deg")).withColumnRenamed("u", "id"))
     n = deg.count()

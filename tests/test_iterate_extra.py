@@ -2,6 +2,7 @@
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from fermor_spark import PropertyGraph, iterate
@@ -224,24 +225,28 @@ def test_label_propagation_two_cliques(spark):
     assert out["a"] != out["x"]
 
 
-def test_k_core_triangle_with_chain(spark):
+@pytest.mark.parametrize("thresh", [200_000, 0])  # local finish / distributed
+def test_k_core_triangle_with_chain(spark, thresh):
     g = edges_graph(
         spark, "to",
         [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
     )
-    got = {r["id"]: r["deg"] for r in iterate.k_core(g, k=2).collect()}
+    got = {r["id"]: r["deg"] for r in
+           iterate.k_core(g, k=2, local_edge_threshold=thresh).collect()}
     assert got == {"a": 2, "b": 2, "c": 2}  # chain c-d-e peeled tail-first
 
 
-def test_k_core_empty_when_no_core(spark):
+@pytest.mark.parametrize("thresh", [200_000, 0])
+def test_k_core_empty_when_no_core(spark, thresh):
     # K4 minus one edge has no 3-core (cascading removal empties it)
     g = edges_graph(
         spark, "to",
         [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
     )
-    assert iterate.k_core(g, k=3).count() == 0
+    assert iterate.k_core(g, k=3, local_edge_threshold=thresh).count() == 0
 
 
-def test_k_core_parallel_edges_count_once(spark):
+@pytest.mark.parametrize("thresh", [200_000, 0])
+def test_k_core_parallel_edges_count_once(spark, thresh):
     g = edges_graph(spark, "to", [("a", "b"), ("b", "a"), ("a", "b")])
-    assert iterate.k_core(g, k=2).count() == 0
+    assert iterate.k_core(g, k=2, local_edge_threshold=thresh).count() == 0
