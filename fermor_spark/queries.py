@@ -2648,6 +2648,66 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_agg_lineitem",
+    """
+    SELECT l_returnflag, sum(l_quantity::BIGINT)::BIGINT AS sum_l_quantity,
+           count(l_linenumber)::BIGINT AS count_l_linenumber,
+           max(l_quantity::BIGINT)::BIGINT AS max_l_quantity
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (skew.salted_agg) over a 3-value key —
+    the worst groupBy skew shape: a hot key's rows spread across 16 salt
+    reducers before the tiny final combine. The oracle is the PLAIN
+    group-by: salting must change the execution plan, never the result.
+    Reference is single-node (no skew concept); 100 TB surface per
+    SURVEY §7."""
+    from fermor_spark.skew import salted_agg
+
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .withColumn("l_quantity", F.col("l_quantity").cast("long"))
+        # salted_agg keys aggs by column, so a second aggregate of the
+        # same column rides on an aliased copy
+        .withColumn("l_quantity_max", F.col("l_quantity"))
+    )
+    return salted_agg(
+        l, ["l_returnflag"],
+        {"l_quantity": "sum", "l_linenumber": "count", "l_quantity_max": "max"},
+        salt=16,
+    ).withColumnRenamed("max_l_quantity_max", "max_l_quantity")
+
+
+@query(
+    "skew_salted_join_brands",
+    """
+    SELECT p_brand, count(*) AS n_lines,
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def skew_salted_join_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (skew.salted_join): the fact side's join key gets a
+    random salt, the dimension side is replicated salt times, and the join
+    runs on (key, salt) — the move for hot keys on a non-broadcastable
+    join. Oracle is the plain join + group-by: identical results, skew-
+    proof execution."""
+    from fermor_spark.skew import salted_join
+
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_quantity").cast("long").alias("qty"))
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_brand")
+    return (
+        salted_join(l, p, "pk", salt=8)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"), F.sum("qty").alias("sum_qty"))
+    )
+
+
+@query(
     "sketch_hll_distinct",
     """
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct,
@@ -3039,6 +3099,7 @@ _GATE_PRIORITY = [
     "multimodal_png_roundtrip", "multimodal_y4m_frame_stats",
     "multimodal_wav_features", "sketch_hll_distinct",
     "sketch_gk_quantiles", "sketch_cms_heavy_hitters",
+    "skew_salted_agg_lineitem", "skew_salted_join_brands",
     "q8_market_share", "q9_product_profit", "q13_customer_distribution",
     "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q21_waiting_supplier", "q22_idle_customers",
