@@ -38,6 +38,43 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 128, overlap: int = 16) -> DataFrame:
+    """Sliding-window token chunking → one row per (id, chunk_index,
+    n_tokens, chunk_text) — the context-window prep step of a training
+    pipeline (long documents split into overlapping model-sized windows).
+
+    Chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap. The final chunk may be shorter, but a
+    window fully contained in its predecessor is never emitted:
+    n_chunks = max(1, ⌈(n_tokens − overlap) / step⌉). Pure column
+    expressions (sequence + explode + slice) — JVM-side row explosion,
+    no UDF, and the chunk count formula is restated verbatim in the
+    DuckDB oracle (text_chunk_windows)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"),
+                     F.size(toks).alias("_n"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(step)).cast("int"))
+    return (
+        base.select(
+            "id", "_t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"))
+        .select(
+            "id", "chunk_index",
+            F.slice(F.col("_t"), F.col("chunk_index") * step + 1,
+                    chunk_tokens).alias("_c"))
+        .select(
+            "id", "chunk_index",
+            F.size("_c").cast("long").alias("n_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"))
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, score).
 

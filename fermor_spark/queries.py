@@ -1351,6 +1351,38 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk_windows",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    c AS (
+      SELECT doc_id, toks, n, i.r AS ci
+      FROM t, range(16) i(r)
+      WHERE i.r < greatest(1, ceil((n - 8) / 16.0))
+    )
+    SELECT doc_id AS id, ci::INT AS chunk_index,
+           len(toks[ci*16 + 1 : least(ci*16 + 24, n)])::BIGINT AS n_tokens,
+           array_to_string(toks[ci*16 + 1 : least(ci*16 + 24, n)], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (pipeline.text.chunk_documents): 24-token
+    windows with 8-token overlap — the context-window prep step. The
+    oracle restates the window arithmetic (starts every 16 tokens, final
+    short window kept, windows fully inside their predecessor never
+    emitted) over the same whitespace tokenization as text_token_count."""
+    from fermor_spark.pipeline.text import chunk_documents
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=24, overlap=8)
+
+
+@query(
     "text_quality",
     r"""
     WITH t AS (
@@ -3100,6 +3132,7 @@ _GATE_PRIORITY = [
     "multimodal_wav_features", "sketch_hll_distinct",
     "sketch_gk_quantiles", "sketch_cms_heavy_hitters",
     "skew_salted_agg_lineitem", "skew_salted_join_brands",
+    "text_chunk_windows",
     "q8_market_share", "q9_product_profit", "q13_customer_distribution",
     "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q21_waiting_supplier", "q22_idle_customers",

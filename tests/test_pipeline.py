@@ -1034,3 +1034,24 @@ def test_semantic_assign_blocks_dedup(spark, docs):
     sizes = out.groupBy("cluster").count()
     assert out.count() == emb.count()
     assert sizes.count() <= 8
+
+
+def test_chunk_documents_boundaries(spark):
+    from fermor_spark.pipeline.text import chunk_documents
+    text = " ".join(f"t{i}" for i in range(10))   # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "x")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=2)
+    rows = {(r["id"], r["chunk_index"]): (r["n_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 1: step=2, n_chunks = ceil((10-2)/2) = 4 -> starts 0,2,4,6
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t2 t3 t4 t5")
+    assert rows[(1, 3)] == (4, "t6 t7 t8 t9")
+    assert len([k for k in rows if k[0] == 1]) == 4
+    # short docs: single chunk, possibly shorter than chunk_tokens
+    assert rows[(2, 0)] == (2, "a b")
+    assert rows[(3, 0)] == (1, "x")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
