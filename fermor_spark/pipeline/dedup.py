@@ -136,6 +136,14 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")).cast("binary"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
@@ -143,12 +151,8 @@ def minhash_signatures(
 
     md5-over-string-min is engine-portable and deterministic; one groupBy
     with map-side partial aggregation."""
-    sh = shingle_table(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")).cast("binary"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    return _signatures_from_shingles(
+        shingle_table(df, id_col, text_col, shingle_n), num_hashes)
 
 
 def lsh_candidates(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -182,10 +186,14 @@ def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 8, threshold: float = 0.8, shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidates(sigs, bands, num_hashes // bands)
+    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
+
+    The shingle table is computed once and cached — the signature
+    aggregation and the exact-Jaccard verify both read it (previously two
+    independent posexplode passes over the corpus)."""
     sh = shingle_table(df, id_col, text_col, shingle_n).cache()
+    sigs = _signatures_from_shingles(sh, num_hashes)
+    cands = lsh_candidates(sigs, bands, num_hashes // bands)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         cands.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")

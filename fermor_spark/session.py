@@ -44,3 +44,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_parallelism(df, target: int | None = None):
+    """Round-robin repartition ONLY when the plan's scan parallelism sits
+    below the session's core count — the single-giant-file fix (a one-file
+    parquet table reads as 1-2 partitions and serializes every downstream
+    map stage). At real scale inputs already carry thousands of partitions
+    and this returns the input unchanged — no shuffle added. Safe for any
+    row-independent or keyed-aggregation downstream (round-robin placement
+    never changes results, only task balance)."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
