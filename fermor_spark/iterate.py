@@ -83,14 +83,55 @@ def all_reachable(
     direction: str = "out",
     max_depth: int | None = None,
     include_start: bool = False,
+    local_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Transitive expansion with GLOBAL visited-set cycle cutting → (id, depth).
 
     The fast mode — valid when only reachability matters
     (reference: `all` used for reachability, src/fermor/core.clj:1095-1110).
-    """
+
+    Distributed/local hybrid (same threshold discipline as CC/SCC/k-core):
+    when BOTH the label-filtered adjacency and the start set fit under
+    ``local_edge_threshold``, a driver-side level-order BFS replaces the
+    per-level join+anti-join+checkpoint rounds — BFS is O(diameter)
+    barrier rounds distributed, pure overhead on a driver-scale subgraph.
+    Pass 0 to force the distributed path (tests cover both)."""
     start_df = start.df if isinstance(start, Route) else start
     adj = _loop_adjacency(g, labels, direction)
+    if local_edge_threshold and adj.count() <= local_edge_threshold:
+        starts = [r["id"] for r in start_df.select("id").distinct()
+                  .limit(local_edge_threshold + 1).collect()]
+        if len(starts) <= local_edge_threshold:
+            # Arrow both ways: a row-at-a-time collect/createDataFrame
+            # round trip costs more than the saved shuffle rounds at
+            # ~200k rows (measured) — toPandas/pandas in, pandas out
+            from collections import defaultdict
+
+            import numpy as np
+            import pandas as pd
+
+            apdf = adj.toPandas()
+            nb = defaultdict(list)
+            for u, v in zip(apdf["u"].to_numpy(), apdf["v"].to_numpy()):
+                nb[u].append(v)
+            depth_map = {s: 0 for s in starts}
+            frontier_l, d = starts, 0
+            while frontier_l and (max_depth is None or d < max_depth):
+                nxt = []
+                for u in frontier_l:
+                    for v in nb.get(u, ()):
+                        if v not in depth_map:
+                            depth_map[v] = d + 1
+                            nxt.append(v)
+                frontier_l, d = nxt, d + 1
+            adj.unpersist()
+            ids = [k for k, dd in depth_map.items() if include_start or dd > 0]
+            out = pd.DataFrame({
+                "id": pd.array(ids, dtype="string"),
+                "depth": np.fromiter(
+                    (depth_map[k] for k in ids), dtype=np.int32, count=len(ids)),
+            })
+            return g.spark.createDataFrame(out, "id string, depth int")
     frontier = start_df.select("id").distinct().withColumn("depth", F.lit(0))
     seen = frontier
     results = [frontier] if include_start else []
@@ -411,15 +452,22 @@ def connected_components(g: PropertyGraph, labels=None,
                     par[x], x = r, par[x]
                 return r
 
-            for row in edges.collect():
-                a, b = find(row["u"]), find(row["v"])
+            epdf = edges.toPandas()   # Arrow-fast for up-to-threshold rows
+            for a, b in zip(epdf["u"].to_numpy(), epdf["v"].to_numpy()):
+                a, b = find(a), find(b)
                 if a != b:
                     if b < a:
                         a, b = b, a
                     par[b] = a
-            pairs = [(x, find(x)) for x in list(par)]
-            parents = g.spark.createDataFrame(
-                pairs, "id string, comp string") if pairs else None
+            if par:
+                import pandas as pd
+
+                keys = list(par)
+                out = pd.DataFrame({
+                    "id": pd.array(keys, dtype="string"),
+                    "comp": pd.array([find(k) for k in keys], dtype="string"),
+                })
+                parents = g.spark.createDataFrame(out, "id string, comp string")
             break
         new = _persist(small_star(large_star(edges)))
         i += 1

@@ -1,23 +1,37 @@
 """Iteration-engine tests — expected values from the reference's committed
 assertions (gremlin_examples_test.clj, graph/algo_test.clj)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from fermor_spark import iterate
 from tests.fixtures import betweenness_graph, cycles_graph, edges_graph
 
 
-def test_all_reachable(spark):
+@pytest.mark.parametrize("thresh", [200_000, 0])  # local BFS / distributed
+def test_all_reachable(spark, thresh):
     g = edges_graph(spark, "to", [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
-    r = iterate.all_reachable(g, g.get_vertex("a"), direction="out", include_start=True)
+    r = iterate.all_reachable(g, g.get_vertex("a"), direction="out",
+                              include_start=True, local_edge_threshold=thresh)
     rows = {(x["id"], x["depth"]) for x in r.collect()}
     assert rows == {("a", 0), ("b", 1), ("c", 2), ("d", 3)}
 
 
-def test_all_reachable_cyclic_terminates(spark):
+@pytest.mark.parametrize("thresh", [200_000, 0])
+def test_all_reachable_cyclic_terminates(spark, thresh):
     g = edges_graph(spark, "to", [("a", "b"), ("b", "a"), ("b", "c")])
-    r = iterate.all_reachable(g, g.get_vertex("a"), include_start=False)
+    r = iterate.all_reachable(g, g.get_vertex("a"), include_start=False,
+                              local_edge_threshold=thresh)
     assert {x["id"] for x in r.collect()} == {"b", "c"}
+
+
+@pytest.mark.parametrize("thresh", [200_000, 0])
+def test_all_reachable_max_depth(spark, thresh):
+    g = edges_graph(spark, "to", [("a", "b"), ("b", "c"), ("c", "d")])
+    r = iterate.all_reachable(g, g.get_vertex("a"), include_start=True,
+                              max_depth=2, local_edge_threshold=thresh)
+    assert {(x["id"], x["depth"]) for x in r.collect()} == {
+        ("a", 0), ("b", 1), ("c", 2)}
 
 
 def test_all_paths(spark):
