@@ -914,6 +914,7 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     dangling: str = "redistribute",
+    local_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank → (id, rank).
 
@@ -938,6 +939,38 @@ def pagerank(
     n = universe.count()
     if n == 0:
         return universe.withColumn("rank", F.lit(0.0))
+    if local_edge_threshold and adj.count() <= local_edge_threshold:
+        # driver-scale finish (same threshold discipline as CC/SCC/k-core/
+        # BFS): fixed-iteration power iteration costs `iters` barrier
+        # rounds distributed — on a driver-scale edge set the same float64
+        # recurrence runs in numpy. Summation order differs from the
+        # distributed groupBy (itself partition-order-dependent); both
+        # land on identical values after the caller's rounding.
+        import numpy as np
+        import pandas as pd
+
+        apdf = adj.toPandas()
+        ids = sorted({r["id"] for r in universe.collect()})
+        ix = {v: i for i, v in enumerate(ids)}
+        src = np.fromiter((ix[u] for u in apdf["u"]), dtype=np.int64,
+                          count=len(apdf))
+        dst = np.fromiter((ix[v] for v in apdf["v"]), dtype=np.int64,
+                          count=len(apdf))
+        deg_l = np.bincount(src, minlength=n).astype(np.float64)
+        rank = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+        nonzero = deg_l > 0
+        for _ in range(iters):
+            share = np.zeros(n)
+            share[nonzero] = rank[nonzero] / deg_l[nonzero]
+            c = np.bincount(dst, weights=share[src], minlength=n)
+            dm = rank[~nonzero].sum() if dangling == "redistribute" else 0.0
+            rank = base + damping * (c + dm / n)
+        adj.unpersist()
+        universe.unpersist()
+        out = pd.DataFrame({"id": pd.array(ids, dtype="string"),
+                            "rank": rank})
+        return g.spark.createDataFrame(out, "id string, rank double")
     deg = _persist(adj.groupBy("u").agg(F.count("*").alias("deg")))
     ranks = universe.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n

@@ -161,12 +161,14 @@ def test_descend_control_signals(spark):
 # ---------------------------------------------- rankings / communities / cores
 
 
-def test_pagerank_matches_numpy_reference(spark):
+@pytest.mark.parametrize("thresh", [200_000, 0])  # local numpy / distributed
+def test_pagerank_matches_numpy_reference(spark, thresh):
     # triangle a->b->c->a, pendant d->a, dangling sink c->e
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("c", "e")]
     g = edges_graph(spark, "to", edges)
     got = {r["id"]: r["rank"] for r in
-           iterate.pagerank(g, iters=12, damping=0.85).collect()}
+           iterate.pagerank(g, iters=12, damping=0.85,
+                            local_edge_threshold=thresh).collect()}
 
     import numpy as np
     ids = sorted({v for e in edges for v in e})
@@ -190,9 +192,11 @@ def test_pagerank_matches_numpy_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
-def test_pagerank_dangling_none_leaks(spark):
+@pytest.mark.parametrize("thresh", [200_000, 0])
+def test_pagerank_dangling_none_leaks(spark, thresh):
     g = edges_graph(spark, "to", [("a", "b"), ("b", "c")])  # c dangling
-    got = iterate.pagerank(g, iters=5, dangling="none")
+    got = iterate.pagerank(g, iters=5, dangling="none",
+                           local_edge_threshold=thresh)
     assert got.agg(F.sum("rank")).first()[0] < 1.0
 
 
