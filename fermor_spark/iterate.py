@@ -679,6 +679,7 @@ def shortest_path_weighted(
     direction: str = "out",
     default_weight: float = 1.0,
     max_iter: int = 100,
+    local_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Single/multi-source weighted shortest distances → (id, dist).
 
@@ -686,11 +687,46 @@ def shortest_path_weighted(
     per destination). Reference: Dijkstra via Bifurcan with user cost fn
     (src/fermor/graph/algo.clj:92-125); the relaxation formulation is the
     distributed-native equivalent.
-    """
+
+    Distributed/local hybrid (same threshold discipline as the other
+    iterative operators): under ``local_edge_threshold`` the SAME
+    synchronous relaxation runs as numpy ``minimum.at`` rounds —
+    bit-identical results (min over identical per-edge sum candidates,
+    order-independent), O(diameter) barrier rounds saved. Pass 0 to
+    force the distributed path."""
     src_df = sources.df if isinstance(sources, Route) else sources
     adj = _persist(_step_edges(g, labels, direction).select(
         "u", "v", F.coalesce(F.col("w"), F.lit(default_weight)).alias("w")
     ))
+    if local_edge_threshold and adj.count() <= local_edge_threshold:
+        starts = [r["id"] for r in src_df.select("id").distinct()
+                  .limit(local_edge_threshold + 1).collect()]
+        if len(starts) <= local_edge_threshold:
+            import numpy as np
+            import pandas as pd
+
+            apdf = adj.toPandas()
+            ids = sorted(set(apdf["u"]) | set(apdf["v"]) | set(starts))
+            ix = {v: i for i, v in enumerate(ids)}
+            su = np.fromiter((ix[u] for u in apdf["u"]), np.int64, len(apdf))
+            sv = np.fromiter((ix[v] for v in apdf["v"]), np.int64, len(apdf))
+            w = apdf["w"].to_numpy(dtype=np.float64)
+            d = np.full(len(ids), np.inf)
+            for s in starts:
+                d[ix[s]] = 0.0
+            for _ in range(max_iter):
+                nd = d.copy()
+                np.minimum.at(nd, sv, d[su] + w)
+                if np.array_equal(nd, d):
+                    break
+                d = nd
+            adj.unpersist()
+            reach = np.isfinite(d).nonzero()[0]
+            out = pd.DataFrame({
+                "id": pd.array([ids[i] for i in reach], dtype="string"),
+                "dist": d[reach],
+            })
+            return g.spark.createDataFrame(out, "id string, dist double")
     dist = src_df.select("id").distinct().withColumn("dist", F.lit(0.0))
     for i in range(max_iter):
         relaxed = (

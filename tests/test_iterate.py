@@ -136,7 +136,8 @@ def test_scc(spark):
         assert sum(len(v) for v in comps.values()) == 8
 
 
-def test_shortest_path_weighted(spark):
+@pytest.mark.parametrize("thresh", [200_000, 0])  # local numpy / distributed
+def test_shortest_path_weighted(spark, thresh):
     from fermor_spark import PropertyGraph
 
     g = (
@@ -145,14 +146,17 @@ def test_shortest_path_weighted(spark):
         .forked()
     )
     d = {r["id"]: r["dist"] for r in
-         iterate.shortest_path_weighted(g, g.get_vertex("a"), labels="w").collect()}
+         iterate.shortest_path_weighted(g, g.get_vertex("a"), labels="w",
+                                        local_edge_threshold=thresh).collect()}
     assert d == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
 
 
-def test_shortest_path_negativeless_cycle_terminates(spark):
+@pytest.mark.parametrize("thresh", [200_000, 0])
+def test_shortest_path_negativeless_cycle_terminates(spark, thresh):
     g = edges_graph(spark, "l", [("a", "b"), ("b", "a"), ("b", "c")])
     d = {r["id"]: r["dist"] for r in
-         iterate.shortest_path_weighted(g, g.get_vertex("a"), default_weight=1.0).collect()}
+         iterate.shortest_path_weighted(g, g.get_vertex("a"), default_weight=1.0,
+                                        local_edge_threshold=thresh).collect()}
     assert d == {"a": 0.0, "b": 1.0, "c": 2.0}
 
 
