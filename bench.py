@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "q18_large_volume_customers",
     "sketch_hll_distinct",
     "multimodal_wav_features",
+    "g_shortest_path_weighted",
+    "text_chunk_windows",
+    "skew_salted_join_brands",
 ]
 
 

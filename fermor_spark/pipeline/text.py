@@ -75,6 +75,48 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus's own
+    bigram model → (id, logprob) — the perplexity-style outlier signal of
+    a curation pipeline (garbled/boilerplate documents score far below
+    the corpus mode; no external LM needed).
+
+    Model: Laplace-smoothed conditional p(w2|w1) = (c(w1 w2) + 1) /
+    (c(w1 ·) + V), with V = distinct bigram-prefix count; score = mean
+    ln p over the document's bigrams (multiplicity preserved — unlike
+    shingle_table this does NOT dedup). Documents with fewer than two
+    tokens have no bigrams and drop out, mirroring the SQL oracle.
+
+    Scale shape: bigram/prefix count tables are groupBys with map-side
+    combine; the scoring join is an equi-join on the bigram. At 100 TB
+    the model tables are corpus-sized aggregates, not broadcasts — the
+    join shuffles on the bigram key, which AQE skew-handles for stop-word
+    prefixes."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    wl = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        toks.withColumn("nxt", F.lead("tok").over(wl))
+        .where(F.col("nxt").isNotNull())
+        .select("id", F.concat_ws(" ", "tok", "nxt").alias("big"),
+                F.col("tok").alias("pre"))
+    )
+    bc = bg.groupBy("big").agg(F.count("*").alias("cb"))
+    uc = bg.groupBy("pre").agg(F.count("*").alias("cu"))
+    nv = bg.agg(F.countDistinct("pre").alias("nv"))
+    return (
+        bg.join(bc, "big")
+        .join(uc, "pre")
+        .crossJoin(F.broadcast(nv))
+        .groupBy("id")
+        .agg(F.round(F.avg(
+            F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("nv")))
+        ), 6).alias("logprob"))
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio, score).
 

@@ -1383,6 +1383,38 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_logprob",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i.r+1] || ' ' || t[i.r+2] AS big, t[i.r+1] AS pre
+      FROM d, range(200) i(r) WHERE i.r < len(t) - 1
+    ),
+    bc AS (SELECT big, count(*) AS cb FROM bg GROUP BY big),
+    uc AS (SELECT pre, count(*) AS cu FROM bg GROUP BY pre),
+    v AS (SELECT count(DISTINCT pre) AS nv FROM bg)
+    SELECT doc_id AS id, round(avg(ln((cb + 1.0) / (cu + nv))), 6) AS logprob
+    FROM bg JOIN bc USING (big) JOIN uc USING (pre), v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal (pipeline.text.bigram_logprob):
+    every document scored by its mean Laplace-smoothed bigram
+    log-probability under the corpus's own bigram model. The oracle
+    restates the full model build + scoring; counts are exact integers,
+    the smoothed ratio is a single float division, and the mean is
+    rounded at 6 dp on both sides (the q1 avg_disc convention)."""
+    from fermor_spark.pipeline.text import bigram_logprob
+
+    d = table(spark, sf_dir, "documents")
+    return bigram_logprob(d, "doc_id", "text")
+
+
+@query(
     "text_quality",
     r"""
     WITH t AS (
@@ -3132,7 +3164,7 @@ _GATE_PRIORITY = [
     "multimodal_wav_features", "sketch_hll_distinct",
     "sketch_gk_quantiles", "sketch_cms_heavy_hitters",
     "skew_salted_agg_lineitem", "skew_salted_join_brands",
-    "text_chunk_windows",
+    "text_chunk_windows", "text_bigram_logprob",
     "q8_market_share", "q9_product_profit", "q13_customer_distribution",
     "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q21_waiting_supplier", "q22_idle_customers",

@@ -1055,3 +1055,22 @@ def test_chunk_documents_boundaries(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from fermor_spark.pipeline.text import bigram_logprob
+    # corpus: "a b a b" (bigrams: a b, b a, a b), "a b" (a b), "x" (none)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string")
+    out = {r["id"]: r["logprob"] for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+    # counts: c("a b")=3, c("b a")=1; prefixes: c(a .)=3, c(b .)=1; V=2
+    p_ab = (3 + 1.0) / (3 + 2)       # p(b|a)
+    p_ba = (1 + 1.0) / (1 + 2)       # p(a|b)
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    exp2 = round(math.log(p_ab), 6)
+    assert out[1] == exp1
+    assert out[2] == exp2
+    assert 3 not in out              # no bigrams -> no row
