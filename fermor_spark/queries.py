@@ -3158,6 +3158,8 @@ _GATE_PRIORITY = [
     # oracle/implementation changed in r5 — must re-gate
     "text_pack_sequences", "pipeline_curation_funnel", "sample_split_counts",
     "g_kcore_ring_chains", "g_connected_components", "dedup_ngram_jaccard",
+    "g_reachable_from_region", "g_shortest_path_weighted", "g_pagerank_supply",
+    "dedup_minhash_lsh",
     # r5-new registrations (never driver-gated) — ahead of the stale
     # refresh so they can't fall outside the driver's 50-row gate window
     "multimodal_png_roundtrip", "multimodal_y4m_frame_stats",
@@ -3178,13 +3180,13 @@ _GATE_PRIORITY = [
     "g_out_nation", "g_2hop_region", "g_degree_nation",
     "g_lookahead_big_buyers", "g_neg_lookahead_nations", "g_lookahead_range",
     "g_order_count_distribution", "g_siblings_same_nation",
-    "g_reachable_from_region", "text_token_count", "text_quality",
+    "text_token_count", "text_quality",
     "dedup_exact", "ann_nearest_neighbor_all", "text_lang_id",
     "dedup_simhash_candidates", "g_all_cycles_ring",
     # regression watch + flagship anchors (all r4-green — entries past the
     # driver's 50-row gate window simply re-gate next round)
     "events_sessions_30m", "g_recommender", "q1_pricing_summary",
-    "dedup_minhash_lsh", "text_fingerprint_overlap", "g_pagerank_supply",
+    "text_fingerprint_overlap",
 ]
 
 
