@@ -25,10 +25,16 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     array-transform formulations re-inline the tokenization per position
     after Catalyst's projection collapse — quadratic per document (see the
     same fix in pipeline.text.fingerprint)."""
+    sc = df.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, df.rdd.getNumPartitions())
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
-    )
+    ).repartition(n_parts, "id")
+    # the explicit keyed repartition doubles as the window's exchange
+    # (same key -> no extra shuffle) and is exempt from AQE partition
+    # coalescing, which otherwise shrinks this small-bytes/high-CPU stage
+    # to 2 tasks (token explosion + lead windows serialized on 2 cores)
     wl = Window.partitionBy("id").orderBy("pos")
     gram_cols = [F.col("tok")] + [F.lead("tok", j).over(wl) for j in range(1, n)]
     # complete n-grams only: a doc with fewer than n tokens yields none
@@ -160,18 +166,24 @@ def lsh_candidates(signatures: DataFrame, bands: int, rows_per_band: int) -> Dat
 
     bands × rows_per_band must equal the signature width. The join key is
     (band, concatenated-rows) — a pure equi-join, shuffle on the band key.
-    """
-    parts = []
-    for band in range(bands):
-        cols = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            signatures.select(
-                F.col("id"), F.lit(band).alias("band"), F.concat(*cols).alias("key")
-            )
+
+    Banding is ONE array-explode projection, not a union of per-band
+    selects: the union form re-evaluated the upstream signature
+    aggregation once per band per self-join side (16 recomputations at
+    bands=8 — measured 12s for 1.2k candidate pairs at sf0.1). With a
+    single-scan explode the self-join's two identical legs also collapse
+    into one reused exchange."""
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat(*[F.col(f"h{band * rows_per_band + r}")
+                       for r in range(rows_per_band)]).alias("key"),
         )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+        for band in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.select(F.col("id").alias("id_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), "band", "key")
     return (
@@ -190,8 +202,19 @@ def minhash_dedup_pairs(
 
     The shingle table is computed once and cached — the signature
     aggregation and the exact-Jaccard verify both read it (previously two
-    independent posexplode passes over the corpus)."""
-    sh = shingle_table(df, id_col, text_col, shingle_n).cache()
+    independent posexplode passes over the corpus). It is explicitly
+    hash-repartitioned by id before caching: AQE coalesces the distinct's
+    shuffle to data-size-appropriate partitions (2 at sf0.1), which then
+    serializes the 16-way md5 signature aggregation reading the cache —
+    an explicit keyed repartition is exempt from AQE coalescing, spreads
+    the hash work across cores, and co-locates every downstream id-keyed
+    join/groupBy. Partition count = max(defaultParallelism, plan
+    partitions) so a 100 TB input's existing parallelism is never
+    reduced."""
+    sc = df.sparkSession.sparkContext
+    sh_raw = shingle_table(df, id_col, text_col, shingle_n)
+    n_parts = max(sc.defaultParallelism, sh_raw.rdd.getNumPartitions())
+    sh = sh_raw.repartition(n_parts, "id").cache()
     sigs = _signatures_from_shingles(sh, num_hashes)
     cands = lsh_candidates(sigs, bands, num_hashes // bands)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
@@ -328,11 +351,52 @@ def embedding_near_dup_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
+                   local_pair_threshold: int = 200_000) -> DataFrame:
     """Resolve near-dup pairs into clusters → (id, cluster) where cluster is
     the min id of the connected component (min-id label propagation — the
     same fixpoint as iterate.connected_components, inlined here for plain
-    id-pair input)."""
+    id-pair input).
+
+    Distributed/local hybrid (iterate.connected_components discipline):
+    near-dup candidate pair sets are tiny relative to the corpus (LSH
+    keeps them so by construction), so under ``local_pair_threshold`` the
+    closure is a driver union-find whose (id, cluster) map broadcasts
+    back against all_ids — replacing up-to-50 min-propagation rounds
+    with one broadcast join. Pass 0 to force the distributed path."""
+    if local_pair_threshold and pairs.count() <= local_pair_threshold:
+        import pandas as pd
+
+        par: dict = {}
+
+        def find(x):
+            r = x
+            while par.get(r, r) != r:
+                r = par[r]
+            while par.get(x, x) != r:
+                par[x], x = r, par[x]
+            return r
+
+        def py(x):
+            return x.item() if hasattr(x, "item") else x
+
+        ppdf = pairs.select("id_a", "id_b").toPandas()
+        for a, b in zip(ppdf["id_a"], ppdf["id_b"]):
+            a, b = find(py(a)), find(py(b))
+            if a != b:
+                if b < a:
+                    a, b = b, a
+                par[b] = a
+        base = all_ids.select(F.col(all_ids.columns[0]).alias("id"))
+        if not par:
+            return base.withColumn("cluster", F.col("id"))
+        id_t = pairs.schema["id_a"].dataType.simpleString()
+        m = pd.DataFrame([(k, find(k)) for k in par], columns=["id", "_c"])
+        mdf = base.sparkSession.createDataFrame(m, f"id {id_t}, _c {id_t}")
+        return (
+            base.join(F.broadcast(mdf), "id", "left")
+            .select("id", F.coalesce(F.col("_c"), F.col("id")).alias("cluster"))
+        )
     adj = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
