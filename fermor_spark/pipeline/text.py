@@ -38,6 +38,20 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _id_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, tok) exploded tokens, explicitly hash-repartitioned by id:
+    the keyed repartition doubles as the downstream id-window's exchange
+    (same key -> no extra shuffle) and is exempt from AQE partition
+    coalescing, which otherwise shrinks these small-bytes/high-CPU stages
+    to 2 tasks off a single-file scan (same fix as dedup.shingle_table)."""
+    sc = df.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).repartition(n_parts, "id")
+
+
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     chunk_tokens: int = 128, overlap: int = 16) -> DataFrame:
     """Sliding-window token chunking → one row per (id, chunk_index,
@@ -92,10 +106,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the model tables are corpus-sized aggregates, not broadcasts — the
     join shuffles on the bigram key, which AQE skew-handles for stop-word
     prefixes."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-    )
+    toks = _id_tokens(df, id_col, text_col)
     wl = Window.partitionBy("id").orderBy("pos")
     bg = (
         toks.withColumn("nxt", F.lead("tok").over(wl))
@@ -213,10 +224,7 @@ def fingerprint(
     # array-transform formulations (transform over sequence + element_at)
     # re-inline the tokenization per position after Catalyst's projection
     # collapse — quadratic expression evaluation per document.
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-    )
+    toks = _id_tokens(df, id_col, text_col)
     wl = Window.partitionBy("id").orderBy("pos")
     gram_cols = [F.col("tok")] + [F.lead("tok", j).over(wl) for j in range(1, k)]
     h60 = F.conv(
@@ -272,10 +280,7 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     explode → two per-doc aggregations keyed on id (map-side combinable) —
     row-linear, no self-join, no window over the whole corpus.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-    )
+    toks = _id_tokens(df, id_col, text_col)
     tok_stats = toks.groupBy("id").agg(
         F.count("*").alias("n_tokens"),
         F.countDistinct("tok").alias("_d"),
