@@ -131,10 +131,11 @@ def main() -> None:
 
     registry = q.all_queries()
     for name in BENCH_QUERIES:
-        # best of two runs: the first pays codegen/JIT warmup and shared-VM
-        # noise; the second measures the steady-state plan
+        # best of three runs: the first pays codegen/JIT warmup and cache
+        # builds, and the shared VM intermittently steals a whole run —
+        # the minimum measures the steady-state plan
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(registry[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
