@@ -120,8 +120,14 @@ def main() -> None:
 
     # warm the JVM (codegen, JIT, shuffle machinery) on a throwaway job so
     # graph_build measures build throughput, not cold-start — ~4s of the
-    # previous graph_build number was JVM boot
+    # previous graph_build number was JVM boot. Also pre-read every input
+    # table once (untimed): graph_build is a ONE-SHOT measurement (the
+    # fixture caches per session), so cold page-cache reads and shared-VM
+    # disk contention would otherwise land entirely on it.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from fermor_spark.datasets import TABLES, table
+    for t in TABLES:
+        table(spark, SF_DIR, t).count()
 
     t0 = time.perf_counter()
     g = star_graph(spark, SF_DIR)
