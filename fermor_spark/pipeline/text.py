@@ -140,6 +140,9 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     groupBy — array-lambda forms re-inline the tokenization per use after
     projection collapse (quadratic per document).
     """
+    from fermor_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col).alias("id"),
         (
@@ -174,6 +177,9 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     code. A pure column expression — at 100 TB this runs entirely inside
     whole-stage codegen.
     """
+    from fermor_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
