@@ -250,6 +250,8 @@ def ivf_fit_centroids(
         base.withColumn("_h", FF.xxhash64(FF.col("id").cast("string"), FF.lit(seed)))
         .orderBy("_h").limit(n_centroids).select("v").collect()
     )
+    if not init:   # empty corpus -> no centroids to fit
+        return []
     C = np.array([r["v"] for r in init], dtype=np.float64)
 
     for _ in range(iters):
@@ -304,6 +306,9 @@ def ivf_topk(
     C = np.array(centroids if centroids is not None else
                  ivf_fit_centroids(df, id_col, vec_col, n_centroids, iters, seed),
                  dtype=np.float64)
+    if C.size == 0:   # empty corpus -> no centroids -> empty result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cosine double")
     bc = spark.sparkContext.broadcast(C)
 
     def cell_of(prefix_probe: int):
@@ -385,6 +390,8 @@ def semantic_assign(
         centroids = [r["v"] for r in rows]
     if centroid_ids is None:
         centroid_ids = list(range(len(centroids)))
+    if not centroids:   # empty corpus -> no seed centroids -> empty result
+        return spark.createDataFrame([], "id long, cluster long")
     C = np.asarray(centroids, dtype=np.float64)
     cids = np.asarray(centroid_ids)
     bc = spark.sparkContext.broadcast((cids, C))
@@ -417,7 +424,11 @@ def lsh_topk(
     candidate join is an equi-join on (table, bucket): fully shuffled, never
     all-pairs, which is the property that survives a 100× scale-up.
     """
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not first:   # empty corpus -> empty result, stable schema
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cosine double")
+    dim = first[0]["d"]
 
     def bucketize(e: DataFrame, prefix: str) -> DataFrame:
         parts = []

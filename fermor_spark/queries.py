@@ -2828,6 +2828,10 @@ def sketch_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", probs, acc).alias("q"),
         F.count("value").alias("n"),
     ).collect()[0]
+    if row["q"] is None:   # empty input: the contract holds vacuously,
+        # and the oracle's VALUES table still emits one row per prob
+        return spark.createDataFrame([(p, 0, True) for p in probs],
+                                     "prob double, n_rows long, rank_ok boolean")
     qs, n = list(row["q"]), int(row["n"])
     tol = n / acc + 1
     aggs = []

@@ -84,3 +84,24 @@ def test_rows_only_queries_run(spark):
         if name not in oracles:
             df = q(spark, SF_DIR)
             assert df.count() >= 0, name
+
+
+def test_every_query_survives_empty_tables(spark, tmp_path):
+    """Library hardening: every registered query must run (possibly to an
+    empty result) when every input table is empty — no driver-side
+    collect()[0] / shape assumptions may crash on a vacuous corpus."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet') LIMIT 0)"
+            f" TO '{tmp_path}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    failed = []
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, str(tmp_path)).limit(5).collect()
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failed.append((name, str(e).splitlines()[0][:120]))
+    assert not failed, failed
