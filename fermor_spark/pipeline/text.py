@@ -385,3 +385,94 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, token_fmt.format(kind=kind))
     return out.withColumn(f"{text_col}_redacted", red)
+
+
+def bpe_train(df: DataFrame, id_col: str, text_col: str,
+              num_merges: int = 32, end_marker: str = "</w>") -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merge rules on the corpus → ordered list of
+    (left, right) symbol pairs, highest-frequency first — the tokenizer-
+    training step of a data pipeline.
+
+    Classic BPE (Sennrich et al., ACL'16) trains on the WORD-FREQUENCY
+    table, not the raw corpus: the corpus collapses to (word, count) via
+    one groupBy (at 100 TB a few million unique words — model-state scale,
+    not data scale), and every merge iteration is one pair-count
+    aggregation over current segmentations + a 1-row argmax collect. The
+    driver holds only the word table; with very large vocabularies keep
+    it as a DataFrame — here it collects once because tokenizer training
+    state (unique words x counts) is orders of magnitude smaller than the
+    corpus, the same driver-scale argument as the hybrid graph operators.
+
+    Deterministic: ties break on the lexicographically smallest pair.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .collect()
+    )
+    segs = {r["w"]: tuple(r["w"]) + (end_marker,) for r in words}
+    counts = {r["w"]: int(r["c"]) for r in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict = {}
+        for w, seg in segs.items():
+            c = counts[w]
+            for i in range(len(seg) - 1):
+                p = (seg[i], seg[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        (a, b), n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b))
+        ab = a + b
+        for w, seg in list(segs.items()):
+            out, i = [], 0
+            while i < len(seg):
+                if i < len(seg) - 1 and seg[i] == a and seg[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges
+
+
+def bpe_encode_counts(df: DataFrame, id_col: str, text_col: str,
+                      merges: list[tuple[str, str]],
+                      end_marker: str = "</w>") -> DataFrame:
+    """Per-document BPE token count under a FIXED merge-rule list →
+    (id, n_bpe_tokens). Pure column expressions: each word becomes a
+    space-separated symbol string (chars + end marker), each merge rule
+    is one string replace applied in rank order (a left-to-right
+    non-overlapping merge pass), and the final symbol count per word
+    sums per document. SQL-restatable verbatim (nested replace chain),
+    which is what lets the driver oracle-gate the encoder; the trainer
+    is pytest-verified against hand-computed merges.
+
+    Documented delta vs exhaustive BPE application: each rule runs ONE
+    left-to-right pass (replace resumes scanning after a substitution,
+    so on degenerate same-symbol runs like 'aaaa' the segmentation can
+    differ from reapplying the rule to a fixed point). Natural-language
+    words are unaffected; the exactness that matters here is that the
+    Spark expression and the SQL oracle share scan semantics."""
+    word = F.explode(tokens(F.col(text_col))).alias("w")
+    base = df.select(F.col(id_col).alias("id"), word).where(F.col("w") != "")
+    # "h e l l o </w>" with guard spaces so every symbol is " x "-delimited.
+    # per-char via regexp_extract_all: Spark's split("(?!^)") keeps a
+    # trailing empty match at end-of-string (regardless of limit), which
+    # would inject a phantom empty symbol that blocks end-marker merges
+    enc = F.concat(F.lit(" "),
+                   F.concat_ws(" ", F.regexp_extract_all(F.col("w"), F.lit("."), 0)),
+                   F.lit(" " + end_marker + " "))
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    n_sym = F.size(F.split(F.trim(enc), " +"))
+    return (
+        base.select("id", n_sym.alias("_n"))
+        .groupBy("id")
+        .agg(F.sum("_n").cast("long").alias("n_bpe_tokens"))
+    )

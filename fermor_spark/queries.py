@@ -1414,6 +1414,43 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(d, "doc_id", "text")
 
 
+_BPE_RULES = [("t", "h"), ("h", "e"), ("i", "n"), ("e", "r"),
+              ("a", "n"), ("r", "e"), ("o", "n"), ("e", "</w>")]
+_BPE_ENC_SQL = "' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w> '"
+for _a, _b in _BPE_RULES:
+    _BPE_ENC_SQL = f"replace({_BPE_ENC_SQL}, ' {_a} {_b} ', ' {_a}{_b} ')"
+
+
+@query(
+    "text_bpe_token_count",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, u.w AS w
+      FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS u(w)
+      WHERE u.w <> ''
+    )
+    SELECT doc_id AS id,
+           sum(len(regexp_split_to_array(trim({_BPE_ENC_SQL}), ' +')))::BIGINT
+             AS n_bpe_tokens
+    FROM w GROUP BY doc_id
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization count under a fixed 8-rule merge list
+    (pipeline.text.bpe_encode_counts): words become space-delimited
+    symbol strings, each rule is one literal string replace in rank
+    order, symbols are counted per word and summed per document. The
+    oracle restates the identical replace chain (both engines share
+    left-to-right non-overlapping scan semantics — verified on the
+    degenerate same-symbol-run case). The trainer (bpe_train, faithful
+    Sennrich BPE on the word-frequency table) is pytest-verified against
+    hand-computed merges; this gate proves the ENCODER machinery."""
+    from fermor_spark.pipeline.text import bpe_encode_counts
+
+    d = table(spark, sf_dir, "documents")
+    return bpe_encode_counts(d, "doc_id", "text", _BPE_RULES)
+
+
 @query(
     "text_quality",
     r"""
@@ -3170,7 +3207,7 @@ _GATE_PRIORITY = [
     "multimodal_wav_features", "sketch_hll_distinct",
     "sketch_gk_quantiles", "sketch_cms_heavy_hitters",
     "skew_salted_agg_lineitem", "skew_salted_join_brands",
-    "text_chunk_windows", "text_bigram_logprob",
+    "text_chunk_windows", "text_bigram_logprob", "text_bpe_token_count",
     "q8_market_share", "q9_product_profit", "q13_customer_distribution",
     "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q21_waiting_supplier", "q22_idle_customers",

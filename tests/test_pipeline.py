@@ -1074,3 +1074,43 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[1] == exp1
     assert out[2] == exp2
     assert 3 not in out              # no bigrams -> no row
+
+
+def test_bpe_train_hand_computed(spark):
+    from fermor_spark.pipeline.text import bpe_train
+    # Sennrich-style fixture: counts low:5 lower:2 newest:3 widest:1
+    df = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower"),
+         (3, "newest newest newest"), (4, "widest")],
+        "doc_id long, text string")
+    merges = bpe_train(df, "doc_id", "text", num_merges=4)
+    # pair counts: (l,o)=7 ties (o,w)=7 -> lexicographic smallest first;
+    # then (lo,w)=7, (low,</w>)=5, then the 4-count tie resolves to (e,s)
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "s")]
+
+
+def test_bpe_encode_counts_hand_computed(spark):
+    from fermor_spark.pipeline.text import bpe_encode_counts
+    df = spark.createDataFrame([(1, "low lower"), (2, "x")],
+                               "doc_id long, text string")
+    out = {r["id"]: r["n_bpe_tokens"] for r in
+           bpe_encode_counts(df, "doc_id", "text",
+                             [("l", "o"), ("lo", "w")]).collect()}
+    # low -> [low, </w>] = 2 ; lower -> [low, e, r, </w>] = 4
+    assert out[1] == 6
+    # x -> [x, </w>] = 2 (no rule applies)
+    assert out[2] == 2
+
+
+def test_bpe_train_then_encode_compresses(spark, docs):
+    from fermor_spark.pipeline.text import bpe_encode_counts, bpe_train, token_count
+    merges = bpe_train(docs, "doc_id", "text", num_merges=24)
+    assert len(merges) > 0
+    enc = {r["id"]: r["n_bpe_tokens"] for r in
+           bpe_encode_counts(docs, "doc_id", "text", merges).collect()}
+    # BPE tokens are strictly fewer than characters and at least the
+    # whitespace word count (each word is >= 1 token + its end marker)
+    words = {r["id"]: r["n_tokens"] for r in
+             token_count(docs, "doc_id", "text").collect()}
+    for i, n in enc.items():
+        assert n >= words[i]
