@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "g_shortest_path_weighted",
     "text_chunk_windows",
     "skew_salted_join_brands",
+    "text_bigram_logprob",
+    "text_bpe_token_count",
 ]
 
 
