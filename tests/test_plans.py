@@ -100,10 +100,13 @@ def test_lsh_banding_single_scan(spark, registry):
     re-evaluated the signature aggregation once per band per self-join
     side (the 16x recomputation fixed in r5). One Generate node per
     self-join leg, not bands-many signature aggregates."""
-    from fermor_spark.datasets import table
     from fermor_spark.pipeline import dedup
 
-    d = table(spark, SF, "documents")
+    # synthetic input: the documents-table shingle plan may be cached by
+    # other tests, and CacheManager substitution changes the node counts
+    d = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+        "doc_id long, text string")
     sigs = dedup.minhash_signatures(d, "doc_id", "text", 16)
     plan = plan_of(dedup.lsh_candidates(sigs, 8, 2))
     # the md5 signature aggregation must not be replicated per band: with
