@@ -473,3 +473,46 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        levels: int = 127) -> DataFrame:
+    """Symmetric per-vector scalar quantization → (id, scale, qvec
+    ARRAY<INT> in [-levels, levels]) — the 4x storage reduction step of a
+    vector store (float32 → int8 range). Pure column expressions (one
+    array_max + one transform per row — linear, no quadratic expression
+    trap). Per-vector scaling leaves cosine similarity invariant up to
+    rounding, so downstream search quality degrades only by the
+    quantization noise (recall-gated in ann_quantized_topk)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, F.abs)) / F.lit(float(levels)),
+        F.lit(1e-12))
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale, 0).cast("int")).alias("qvec"),
+    )
+
+
+def dequantize_embeddings(qdf: DataFrame) -> DataFrame:
+    """Inverse of quantize_embeddings → (id, embedding ARRAY<DOUBLE>)."""
+    return qdf.select(
+        "id",
+        F.transform(F.col("qvec"),
+                    lambda q: q.cast("double") * F.col("scale")).alias("embedding"),
+    )
+
+
+def quantized_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   levels: int = 127) -> DataFrame:
+    """Exact top-k over the QUANTIZED corpus (float queries) → same schema
+    as brute_force_topk. The accuracy cost of quantization, isolated:
+    candidate generation and ranking are exact, only the corpus vectors
+    carry rounding noise."""
+    deq = dequantize_embeddings(
+        quantize_embeddings(df, id_col, vec_col, levels)
+    ).withColumnRenamed("id", id_col).withColumnRenamed("embedding", vec_col)
+    return brute_force_topk_arrow(deq, queries, k=k, id_col=id_col, vec_col=vec_col)

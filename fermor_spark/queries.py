@@ -1812,6 +1812,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda emb, q: lsh_topk(emb, q, k=5, num_planes=3, num_tables=16))
 
 
+@query("ann_quantized_topk", _ANN_GATE_SQL)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over the int8-RANGE-quantized corpus
+    (pipeline.similarity.quantized_topk): symmetric per-vector scalar
+    quantization (4x storage), exact blocked-BLAS search over the
+    dequantized vectors — driver-gated via the same recall contract as
+    the ANN family. Per-vector scaling leaves cosine invariant, so only
+    rounding noise can cost recall (measured ~1.0 at 127 levels)."""
+    from fermor_spark.pipeline.similarity import quantized_topk
+
+    return _ann_recall_gate(
+        spark, sf_dir, lambda emb, q: quantized_topk(emb, q, k=5))
+
+
 @query("ann_ivf_topk", _ANN_GATE_SQL)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (inverted lists + nprobe exact re-rank) —
@@ -3208,6 +3222,7 @@ _GATE_PRIORITY = [
     "sketch_gk_quantiles", "sketch_cms_heavy_hitters",
     "skew_salted_agg_lineitem", "skew_salted_join_brands",
     "text_chunk_windows", "text_bigram_logprob", "text_bpe_token_count",
+    "ann_quantized_topk",
     "q8_market_share", "q9_product_profit", "q13_customer_distribution",
     "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q21_waiting_supplier", "q22_idle_customers",

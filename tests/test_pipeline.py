@@ -1114,3 +1114,31 @@ def test_bpe_train_then_encode_compresses(spark, docs):
              token_count(docs, "doc_id", "text").collect()}
     for i, n in enc.items():
         assert n >= words[i]
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    import numpy as np
+    rows = [(i, [float(x) for x in np.random.RandomState(i).uniform(-3, 3, 16)])
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = similarity.quantize_embeddings(df)
+    deq = {r["id"]: r["embedding"] for r in
+           similarity.dequantize_embeddings(q).collect()}
+    scales = {r["id"]: r["scale"] for r in q.collect()}
+    qvals = {r["id"]: r["qvec"] for r in q.collect()}
+    for i, vec in rows:
+        assert all(abs(v) <= 127 for v in qvals[i])
+        # symmetric rounding: |x - q*scale| <= scale/2
+        for orig, rec in zip(vec, deq[i]):
+            assert abs(orig - rec) <= scales[i] / 2 + 1e-12, (orig, rec)
+
+
+def test_quantized_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk_arrow(emb, qs, k=5).collect()}
+    quant = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.quantized_topk(emb, qs, k=5).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
