@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "skew_salted_join_brands",
     "text_bigram_logprob",
     "text_bpe_token_count",
+    "ann_quantized_topk",
 ]
 
 

@@ -121,3 +121,15 @@ def test_salted_join_has_no_skew_key_exchange(spark, registry):
     include the salt column so one hot key spreads across tasks."""
     plan = plan_of(registry["skew_salted_join_brands"](spark, SF))
     assert "_salt" in plan
+
+
+def test_ensure_parallelism_semantics(spark):
+    from fermor_spark.session import ensure_parallelism
+
+    low = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
+    spread = ensure_parallelism(low)
+    assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert spread.count() == 100
+    # already-parallel inputs pass through untouched (no extra shuffle)
+    wide = spark.range(100).repartition(64)
+    assert ensure_parallelism(wide) is wide
