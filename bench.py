@@ -138,6 +138,8 @@ def main() -> None:
     g.V.count()
     timings["graph_build"] = round(time.perf_counter() - t0, 3)
 
+    from fermor_spark.session import release_caches
+
     registry = q.all_queries()
     for name in BENCH_QUERIES:
         # best of three runs: the first pays codegen/JIT warmup and cache
@@ -150,6 +152,15 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # cache hygiene BETWEEN queries (never between a query's own three
+        # runs, so its warm state is measured): operators register
+        # query-scoped caches via session.managed_cache; leaving them
+        # accumulating across 40+ queries drove storage eviction that
+        # defeated every later cache (r5: text_fingerprint_overlap measured
+        # 5.2 s best-of-3 vs 0.6 s solo-warm). Each query now warms and
+        # releases its OWN caches — inherited-cache contamination shows up
+        # as its own line instead of mystery noise.
+        release_caches()
 
     _bench_bucketed_traversal(spark, timings)
 
@@ -164,7 +175,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "rounds": {"cc": it.LAST_CC_ROUNDS, "kcore": it.LAST_KCORE_ROUNDS},
+        "rounds": {"cc": it.LAST_CC_ROUNDS, "kcore": it.LAST_KCORE_ROUNDS,
+                   "scc": it.LAST_SCC_ROUNDS, "bf": it.LAST_BF_ROUNDS},
     }))
 
 

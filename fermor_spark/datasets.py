@@ -140,9 +140,15 @@ def star_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     import threading
 
     done: dict = {}
+    errors: list[BaseException] = []
 
     def _cp(key, df):
-        done[key] = df.localCheckpoint(eager=True)
+        # capture worker failures: an exception swallowed here would surface
+        # later as a bare KeyError('e'/'v') with the real cause on stderr
+        try:
+            done[key] = df.localCheckpoint(eager=True)
+        except BaseException as exc:  # noqa: BLE001 — re-raised after join
+            errors.append(exc)
 
     ts = [threading.Thread(target=_cp, args=("e", edges)),
           threading.Thread(target=_cp, args=("v", vertices))]
@@ -150,6 +156,8 @@ def star_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         t.start()
     for t in ts:
         t.join()
+    if errors:
+        raise errors[0]
     g = PropertyGraph.from_dataframes(spark, done["e"], done["v"], cache=False)
     _graph_cache[gkey] = g
     return g

@@ -497,6 +497,12 @@ def connected_components(g: PropertyGraph, labels=None,
     return comp
 
 
+# distributed FW-BW outer rounds of the most recent SCC call — last-call-wins
+# telemetry (same contract as LAST_CC_ROUNDS); 0 = the local finish fired
+# before any flood round
+LAST_SCC_ROUNDS = 0
+
+
 def strongly_connected_components(
     g: PropertyGraph, labels=None, max_outer: int = 64,
     local_edge_threshold: int = 200_000,
@@ -619,6 +625,8 @@ def strongly_connected_components(
             settled.append(g.spark.createDataFrame(rows, "id string, component string"))
         return True
 
+    global LAST_SCC_ROUNDS
+    LAST_SCC_ROUNDS = 0
     settled = []
     open_nodes = g.vertex_ids().withColumn("part", F.lit("0"))
     # fast path: a driver-scale graph skips the trim barrier rounds entirely
@@ -630,6 +638,7 @@ def strongly_connected_components(
             break
         if local_finish(open_nodes, settled):
             break
+        LAST_SCC_ROUNDS = rnd + 1
         pivots = open_nodes.groupBy("part").agg(F.min("id").alias("pivot"))
         nodes = open_nodes.join(pivots, "part")
         fr = flood(fwd, nodes).withColumn("_f", F.lit(1))
@@ -672,6 +681,12 @@ def strongly_connected_components(
 # ------------------------------------------------------------ shortest paths
 
 
+# distributed Bellman-Ford relaxation rounds of the most recent
+# shortest_path_weighted call — last-call-wins telemetry; 0 = the numpy
+# local finish ran instead
+LAST_BF_ROUNDS = 0
+
+
 def shortest_path_weighted(
     g: PropertyGraph,
     sources: Route | DataFrame,
@@ -694,6 +709,8 @@ def shortest_path_weighted(
     bit-identical results (min over identical per-edge sum candidates,
     order-independent), O(diameter) barrier rounds saved. Pass 0 to
     force the distributed path."""
+    global LAST_BF_ROUNDS
+    LAST_BF_ROUNDS = 0
     src_df = sources.df if isinstance(sources, Route) else sources
     adj = _persist(_step_edges(g, labels, direction).select(
         "u", "v", F.coalesce(F.col("w"), F.lit(default_weight)).alias("w")
@@ -749,6 +766,7 @@ def shortest_path_weighted(
         if i > 0:
             dist.unpersist()
         dist = new
+        LAST_BF_ROUNDS = i + 1
         if improved == 0:
             break
     adj.unpersist()
@@ -1147,7 +1165,6 @@ def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500,
         deg_l = {u: len(vs) for u, vs in nbrs.items()}
         q = deque(u for u, d in deg_l.items() if d < k)
         removed = set()
-        rounds_l = 0
         while q:
             u = q.popleft()
             if u in removed:
@@ -1158,7 +1175,7 @@ def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500,
                     deg_l[v] -= 1
                     if deg_l[v] < k:
                         q.append(v)
-        LAST_KCORE_ROUNDS = rounds_l  # no distributed rounds ran
+        LAST_KCORE_ROUNDS = 0  # no distributed rounds ran
         e.unpersist()
         rows = [(u, deg_l[u]) for u in nbrs if u not in removed]
         return g.spark.createDataFrame(rows, "id string, deg long")

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fermor_spark.session import managed_cache
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Keep exactly one row per key (first by order_cols) — deterministic
@@ -80,7 +82,7 @@ def ngram_jaccard_pairs(
     threshold ≥ 0.5 a near-dup pair shares most of its (overwhelmingly
     rare) shingles, so any cap well above 2 is safe.
     """
-    sh = shingle_table(df, id_col, text_col, n).cache()
+    sh = managed_cache(shingle_table(df, id_col, text_col, n))
 
     # global rarity order: document frequency, shingle text as tiebreak
     freq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
@@ -97,8 +99,8 @@ def ngram_jaccard_pairs(
         .withColumn("_n", F.count("*").over(Window.partitionBy("id")))
         .where(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
         .select("id", "sh", "_n")
-        .persist()
     )
+    prefix = managed_cache(prefix)
 
     a = prefix.select(F.col("id").alias("id_a"), "sh", F.col("_n").alias("na"))
     b = prefix.select(F.col("id").alias("id_b"), "sh", F.col("_n").alias("nb"))
@@ -121,7 +123,8 @@ def ngram_jaccard_pairs(
     docsets = sh.groupBy("id").agg(
         F.sort_array(F.collect_list("sh")).alias("arr"),
         F.count("*").alias("n"),
-    ).persist()
+    )
+    docsets = managed_cache(docsets)
     pairs = (
         cands.join(
             docsets.select(
@@ -214,7 +217,7 @@ def minhash_dedup_pairs(
     sc = df.sparkSession.sparkContext
     sh_raw = shingle_table(df, id_col, text_col, shingle_n)
     n_parts = max(sc.defaultParallelism, sh_raw.rdd.getNumPartitions())
-    sh = sh_raw.repartition(n_parts, "id").cache()
+    sh = managed_cache(sh_raw.repartition(n_parts, "id"))
     sigs = _signatures_from_shingles(sh, num_hashes)
     cands = lsh_candidates(sigs, bands, num_hashes // bands)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
@@ -364,7 +367,18 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
     closure is a driver union-find whose (id, cluster) map broadcasts
     back against all_ids — replacing up-to-50 min-propagation rounds
     with one broadcast join. Pass 0 to force the distributed path."""
-    if local_pair_threshold and pairs.count() <= local_pair_threshold:
+    # Probe and fetch in ONE evaluation: pairs is typically the expensive
+    # LSH-verify join, so a count() gate followed by toPandas() would run
+    # the whole upstream pipeline twice. limit(threshold+1) short-circuits
+    # like the other hybrids' probes; len(ppdf) > threshold means the local
+    # path is off the table and the fetched rows are discarded.
+    ppdf = None
+    if local_pair_threshold:
+        ppdf = (pairs.select("id_a", "id_b")
+                .limit(local_pair_threshold + 1).toPandas())
+        if len(ppdf) > local_pair_threshold:
+            ppdf = None
+    if ppdf is not None:
         import pandas as pd
 
         par: dict = {}
@@ -380,7 +394,6 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
         def py(x):
             return x.item() if hasattr(x, "item") else x
 
-        ppdf = pairs.select("id_a", "id_b").toPandas()
         for a, b in zip(ppdf["id_a"], ppdf["id_b"]):
             a, b = find(py(a)), find(py(b))
             if a != b:

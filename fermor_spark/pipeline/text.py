@@ -38,18 +38,36 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Below this much source data the keyed repartition in _id_tokens costs more
+# than it saves: the exchange + 32 tiny per-partition window sorts double the
+# cold plan (measured at sf0.1, 0.6 MB input: 4.33 s with vs 2.18 s without,
+# round 5). Above it, spreading the CPU-heavy exploded-token stage across
+# cores dominates. 64 MB ≈ 2 MB/core on 32 cores — the exchange amortizes.
+_REPARTITION_MIN_BYTES = 64 << 20
+
+
 def _id_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, pos, tok) exploded tokens, explicitly hash-repartitioned by id:
-    the keyed repartition doubles as the downstream id-window's exchange
-    (same key -> no extra shuffle) and is exempt from AQE partition
-    coalescing, which otherwise shrinks these small-bytes/high-CPU stages
-    to 2 tasks off a single-file scan (same fix as dedup.shingle_table)."""
+    """(id, pos, tok) exploded tokens, hash-repartitioned by id ONLY when
+    the source is BOTH under-parallel (single-file scan reading as 1-2
+    partitions) AND large enough to amortize the exchange
+    (_REPARTITION_MIN_BYTES). When it fires, the keyed repartition doubles
+    as the downstream id-window's exchange (same key -> no extra shuffle)
+    and is exempt from AQE partition coalescing, which otherwise shrinks
+    these small-bytes/high-CPU stages to 2 tasks off a single-file scan
+    (same fix as dedup.shingle_table). At real scale inputs already carry
+    thousands of partitions and the gate skips the shuffle entirely."""
+    from fermor_spark.session import estimated_plan_bytes
+
     sc = df.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism, df.rdd.getNumPartitions())
-    return df.select(
+    target = sc.defaultParallelism
+    out = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-    ).repartition(n_parts, "id")
+    )
+    if (df.rdd.getNumPartitions() < target
+            and estimated_plan_bytes(df) >= _REPARTITION_MIN_BYTES):
+        return out.repartition(target, "id")
+    return out
 
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
@@ -260,11 +278,14 @@ def fingerprint_overlap_pairs(
 ) -> DataFrame:
     """Pairs sharing ≥ min_shared winnowing fingerprints → (id_a, id_b, shared).
     Blocking key = the fingerprint value (equi-join), never all-pairs."""
+    from fermor_spark.session import managed_cache
+
     # cache: both self-join legs read this plan — uncached, the whole
-    # winnowing cascade (explode + 3 windows + md5-60 hash) computes twice
-    fp = fingerprint(df, id_col, text_col, **fp_kwargs).select(
+    # winnowing cascade (explode + 3 windows + md5-60 hash) computes twice.
+    # Managed: long-lived sessions release it via session.release_caches().
+    fp = managed_cache(fingerprint(df, id_col, text_col, **fp_kwargs).select(
         "id", F.explode("fingerprints").alias("f")
-    ).cache()
+    ))
     a = fp.select(F.col("id").alias("id_a"), "f")
     b = fp.select(F.col("id").alias("id_b"), "f")
     return (
@@ -388,7 +409,9 @@ def redact_pii(
 
 
 def bpe_train(df: DataFrame, id_col: str, text_col: str,
-              num_merges: int = 32, end_marker: str = "</w>") -> list[tuple[str, str]]:
+              num_merges: int = 32, end_marker: str = "</w>",
+              min_count: int = 1,
+              max_words: int = 2_000_000) -> list[tuple[str, str]]:
     """Train byte-pair-encoding merge rules on the corpus → ordered list of
     (left, right) symbol pairs, highest-frequency first — the tokenizer-
     training step of a data pipeline.
@@ -404,13 +427,36 @@ def bpe_train(df: DataFrame, id_col: str, text_col: str,
     corpus, the same driver-scale argument as the hybrid graph operators.
 
     Deterministic: ties break on the lexicographically smallest pair.
+
+    Driver-size guard (the same threshold discipline as the hybrid graph
+    operators): a noisy web corpus at 100 TB has 10^8-10^9 unique "words"
+    (typos, URLs, hex blobs) — an uncapped collect is a driver OOM.
+    ``min_count`` drops words rarer than the floor BEFORE collecting;
+    this is EXACT for any merge whose winning pair count exceeds the
+    mass removed, because a word with count < min_count can contribute
+    fewer than min_count to any pair and so can never flip an argmax won
+    by a margin above the floor — in practice rare junk words never win
+    merges. ``max_words`` is the hard cap: if the filtered table still
+    exceeds it, raise loudly and tell the caller to raise ``min_count``
+    (collecting a bigger table would OOM silently instead).
     """
-    words = (
+    wq = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w").agg(F.count("*").alias("c"))
-        .collect()
     )
+    if min_count > 1:
+        wq = wq.where(F.col("c") >= min_count)
+    # limit(max_words+1) short-circuits the probe and the fetch into one
+    # evaluation (the dedup_clusters hybrid-gate pattern)
+    words = wq.limit(max_words + 1).collect()
+    if len(words) > max_words:
+        raise ValueError(
+            f"bpe_train: corpus has more than max_words={max_words} unique "
+            f"words above min_count={min_count}; raise min_count (rare words "
+            f"cannot win merges — a frequency floor is standard practice and "
+            f"exact above the floor) or raise max_words explicitly."
+        )
     segs = {r["w"]: tuple(r["w"]) + (end_marker,) for r in words}
     counts = {r["w"]: int(r["c"]) for r in words}
     merges: list[tuple[str, str]] = []

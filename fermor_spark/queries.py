@@ -1359,9 +1359,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 7 = 0
     ),
     c AS (
-      SELECT doc_id, toks, n, i.r AS ci
-      FROM t, range(16) i(r)
-      WHERE i.r < greatest(1, ceil((n - 8) / 16.0))
+      -- chunk count derived from each document's own token count (no
+      -- fixed cap that a long fixture document could silently overflow)
+      SELECT doc_id, toks, n, u AS ci
+      FROM t, unnest(range(0, greatest(1, ceil((n - 8) / 16.0))::BIGINT)) s(u)
     )
     SELECT doc_id AS id, ci::INT AS chunk_index,
            len(toks[ci*16 + 1 : least(ci*16 + 24, n)])::BIGINT AS n_tokens,
@@ -1390,8 +1391,11 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     bg AS (
-      SELECT doc_id, t[i.r+1] || ' ' || t[i.r+2] AS big, t[i.r+1] AS pre
-      FROM d, range(200) i(r) WHERE i.r < len(t) - 1
+      -- per-document bigram positions derived from each document's own
+      -- token count (no fixed cap that a long document could overflow)
+      SELECT doc_id, u.big AS big, u.pre AS pre
+      FROM d, unnest(list_transform(range(1, len(t)),
+             i -> {'big': t[i] || ' ' || t[i+1], 'pre': t[i]})) s(u)
     ),
     bc AS (SELECT big, count(*) AS cb FROM bg GROUP BY big),
     uc AS (SELECT pre, count(*) AS cu FROM bg GROUP BY pre),

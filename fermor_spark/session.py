@@ -46,6 +46,44 @@ def get_spark(
     return spark
 
 
+# --------------------------------------------------------------------------
+# Managed query caches.
+#
+# Several pipeline operators cache an intermediate frame that BOTH legs of a
+# self-join read (winnowing fingerprints, dedup shingle tables): without the
+# cache the whole upstream cascade computes twice inside one action. Those
+# caches are scoped to the QUERY, not the session — in a long-lived session
+# (or the bench harness running 40+ queries back-to-back) unreleased caches
+# accumulate until storage eviction quietly defeats every later cache
+# (measured in round 5: text_fingerprint_overlap's warm run was 0.6 s solo
+# but 5.2 s inside the bench because its cache never survived to the next
+# run). Operators register such caches here; callers that run many queries
+# call release_caches() between them.
+
+_MANAGED_CACHES: list = []
+
+
+def managed_cache(df):
+    """cache() a frame and register it for release_caches()."""
+    df = df.cache()
+    _MANAGED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every managed query cache; returns how many were released.
+    Safe to call at any time — releasing mid-plan only forces a recompute."""
+    n = 0
+    while _MANAGED_CACHES:
+        df = _MANAGED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def ensure_parallelism(df, target: int | None = None):
     """Round-robin repartition ONLY when the plan's scan parallelism sits
     below the session's core count — the single-giant-file fix (a one-file
@@ -59,3 +97,17 @@ def ensure_parallelism(df, target: int | None = None):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def estimated_plan_bytes(df) -> int:
+    """Catalyst's size estimate for a frame (driver-side, no job). Used to
+    gate optional repartitions: a shuffle only pays for itself when there is
+    enough data to spread. Unknown/unavailable stats return a huge number so
+    the scale-safe (repartitioned) path is kept when in doubt."""
+    try:
+        v = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala BigInt to a Python int; fall back to the string
+        # form for any bridge that hands back the raw JVM object
+        return v if isinstance(v, int) else int(v.toString())
+    except Exception:
+        return 1 << 62

@@ -1102,6 +1102,29 @@ def test_bpe_encode_counts_hand_computed(spark):
     assert out[2] == 2
 
 
+def test_bpe_train_size_guard(spark):
+    """The driver-side word-table collect is threshold-gated: over
+    max_words it raises loudly instead of OOMing, and min_count filters
+    rare words before the collect (exact above the floor)."""
+    import pytest
+
+    from fermor_spark.pipeline.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower"),
+         (3, "newest newest newest"), (4, "widest")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_words"):
+        bpe_train(df, "doc_id", "text", max_words=2)
+    # min_count floor drops widest(1) and lower(2); the remaining corpus
+    # low:5 newest:3 still trains the same leading merges
+    merges = bpe_train(df, "doc_id", "text", num_merges=3, min_count=3)
+    assert merges[:3] == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    # the floor can rescue an otherwise-over-cap corpus
+    assert bpe_train(df, "doc_id", "text", num_merges=1,
+                     min_count=3, max_words=2) == [("l", "o")]
+
+
 def test_bpe_train_then_encode_compresses(spark, docs):
     from fermor_spark.pipeline.text import bpe_encode_counts, bpe_train, token_count
     merges = bpe_train(docs, "doc_id", "text", num_merges=24)

@@ -133,3 +133,50 @@ def test_ensure_parallelism_semantics(spark):
     # already-parallel inputs pass through untouched (no extra shuffle)
     wide = spark.range(100).repartition(64)
     assert ensure_parallelism(wide) is wide
+
+
+def test_id_tokens_repartition_gated_by_size(spark, monkeypatch, tmp_path):
+    """_id_tokens only adds its keyed repartition when the source is BOTH
+    under-parallel AND large enough to amortize the exchange — unconditional,
+    it doubled the small-SF winnowing cold plan (r5 bench regression)."""
+    from fermor_spark.pipeline import text as T
+
+    # parquet-backed so Catalyst has a real size estimate (in-memory
+    # LogicalRDDs report unknown size, which conservatively keeps the
+    # scale-safe repartitioned path)
+    spark.createDataFrame(
+        [(i, "a b c d e") for i in range(10)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "docs"))
+    small = spark.read.parquet(str(tmp_path / "docs"))
+    # small under-parallel input: gate must SKIP the repartition
+    plan = T._id_tokens(small, "doc_id", "text")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "RepartitionByExpression" not in plan
+    # same input claimed to be huge: gate must FIRE, hash-keyed on id
+    monkeypatch.setattr(T, "_REPARTITION_MIN_BYTES", 0)
+    plan_big = T._id_tokens(small, "doc_id", "text")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan_big and "id" in plan_big
+    # already-parallel inputs never repartition regardless of size
+    # (still claimed huge via the monkeypatched threshold)
+    wide = small.repartition(64)
+    plan_wide = T._id_tokens(wide, "doc_id", "text")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the input's own round-robin repartition stays; no keyed one is added
+    assert "Repartition 64" in plan_wide
+    assert "RepartitionByExpression" not in plan_wide
+
+
+def test_managed_cache_release(spark):
+    """Operators register query-scoped caches; release_caches() unpersists
+    them all (the long-session / bench cache-hygiene contract)."""
+    from fermor_spark import session as S
+
+    df = spark.range(100)
+    cached = S.managed_cache(df)
+    assert cached.count() == 100
+    assert cached.storageLevel.useMemory
+    n = S.release_caches()
+    assert n >= 1
+    assert not cached.storageLevel.useMemory
+    assert S.release_caches() == 0  # idempotent when empty
