@@ -75,6 +75,10 @@ def _loop_adjacency(g: PropertyGraph, labels, direction: str,
 
 # --------------------------------------------------------------- reachability
 
+# distributed BFS level rounds of the most recent all_reachable call —
+# last-call-wins telemetry; 0 = the driver-local BFS finish ran instead
+LAST_BFS_ROUNDS = 0
+
 
 def all_reachable(
     g: PropertyGraph,
@@ -96,6 +100,8 @@ def all_reachable(
     per-level join+anti-join+checkpoint rounds — BFS is O(diameter)
     barrier rounds distributed, pure overhead on a driver-scale subgraph.
     Pass 0 to force the distributed path (tests cover both)."""
+    global LAST_BFS_ROUNDS
+    LAST_BFS_ROUNDS = 0
     start_df = start.df if isinstance(start, Route) else start
     adj = _loop_adjacency(g, labels, direction)
     if local_edge_threshold and adj.count() <= local_edge_threshold:
@@ -153,6 +159,7 @@ def all_reachable(
         seen = seen.unionByName(nxt)  # union of checkpointed levels
         frontier = nxt
         depth += 1
+        LAST_BFS_ROUNDS = depth
     adj.unpersist()
     if not results:
         return start_df.select("id").withColumn("depth", F.lit(0)).limit(0)

@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 
 from fermor_spark.session import managed_cache
 
+# distributed min-propagation rounds of the most recent dedup_clusters call —
+# last-call-wins telemetry; 0 = the driver union-find finish ran instead
+LAST_CLUSTER_ROUNDS = 0
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Keep exactly one row per key (first by order_cols) — deterministic
@@ -367,6 +371,8 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
     closure is a driver union-find whose (id, cluster) map broadcasts
     back against all_ids — replacing up-to-50 min-propagation rounds
     with one broadcast join. Pass 0 to force the distributed path."""
+    global LAST_CLUSTER_ROUNDS
+    LAST_CLUSTER_ROUNDS = 0
     # Probe and fetch in ONE evaluation: pairs is typically the expensive
     # LSH-verify join, so a count() gate followed by toPandas() would run
     # the whole upstream pipeline twice. limit(threshold+1) short-circuits
@@ -434,6 +440,7 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
         if i > 0:
             comp.unpersist()
         comp = new
+        LAST_CLUSTER_ROUNDS = i + 1
         if changed == 0:
             break
     return comp
