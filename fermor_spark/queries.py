@@ -909,6 +909,178 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(round(l_extendedprice*100)::BIGINT)::BIGINT AS min_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+             min_cents,
+             row_number() OVER (
+               PARTITION BY p_partkey ORDER BY min_cents, s_suppkey
+             ) AS rn
+      FROM cost
+      JOIN part     ON p_partkey = pk AND p_type = 'ECONOMY'
+      JOIN supplier ON s_suppkey = sk
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey AND r_regionkey = 0
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           min_cents / 100.0 AS min_cost
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the driver tables (no partsupp: supply
+    cost becomes the cheapest line total a supplier ever charged for the
+    part, in integer cents). Per ECONOMY part with a region-0 supplier,
+    pick that minimal-cost supplier (ties → min suppkey). The correlated
+    min-subquery of the spec is the same per-part window; all dimension
+    joins broadcast."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_regionkey") == 0)
+    cost = l.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+          .cast("long").alias("min_cents"))
+    j = (
+        cost.join(F.broadcast(p), cost["pk"] == p["p_partkey"])
+        .join(F.broadcast(s), cost["sk"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    w = Window.partitionBy("p_partkey").orderBy("min_cents", "s_suppkey")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                (F.col("min_cents") / 100.0).alias("min_cost"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey AS pk,
+             sum(round(l_extendedprice*100)::BIGINT)::BIGINT AS cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey AND n_regionkey = 1
+      GROUP BY l_partkey
+    ), tot AS (SELECT sum(cents)::BIGINT AS t FROM val)
+    SELECT pk AS p_partkey, cents / 100.0 AS part_value
+    FROM val, tot WHERE cents * 1000 > t
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp: 'stock value' becomes the
+    lineitem revenue a part drew through region-1 suppliers). Parts whose
+    value exceeds 0.1% of the total — the spec's scalar subquery is a
+    1-row aggregate broadcast by crossJoin (the q22 convention); the
+    threshold comparison runs in integer cents (cents·1000 > total)."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    val = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    tot = val.agg(F.sum("cents").cast("long").alias("_t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("cents") * 1000 > F.col("_t"))
+        .select(F.col("pk").alias("p_partkey"),
+                (F.col("cents") / 100.0).alias("part_value"))
+    )
+
+
+@query(
+    "q16_supplier_relationship",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+    JOIN part ON p_partkey = l_partkey AND p_brand <> 'Brand#2'
+    WHERE l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (no partsupp: supplier-part pairs come from
+    distinct lineitem rows; the 'customer complaints' exclusion becomes
+    negative account balance). Distinct supplier count per (brand, type,
+    size) outside one brand; the NOT-IN is a broadcast left-anti join."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#2")
+    bad = table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        l.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    """
+    WITH sq AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk,
+             sum(l_quantity::BIGINT)::BIGINT AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE 'small%'
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ), pt AS (
+      SELECT pk AS pk2, sum(qty)::BIGINT AS total FROM sq GROUP BY pk
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM sq JOIN pt ON pk = pk2 JOIN supplier ON s_suppkey = sk
+    WHERE qty * 2 > total
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp availqty: a supplier is a
+    promotion candidate when it shipped MORE THAN HALF of a 'small%'
+    part's total 1996 volume — the same nested semi-join pipeline:
+    name-filtered parts → date-filtered lineitem aggregate → threshold
+    against a per-part aggregate → distinct suppliers). Integer
+    quantities; threshold via qty·2 > total, never a float fraction."""
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    s = table(spark, sf_dir, "supplier")
+    sq = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    pt = sq.groupBy(F.col("pk").alias("pk2")).agg(
+        F.sum("qty").cast("long").alias("total"))
+    return (
+        sq.join(pt, sq["pk"] == pt["pk2"])
+        .where(F.col("qty") * 2 > F.col("total"))
+        .join(F.broadcast(s), sq["sk"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # event-time windows (batch-checkable analogs of the streaming operators)
 
@@ -2685,6 +2857,44 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_progressive_jpeg",
+    """
+    SELECT doc_id AS media_id,
+           (8 + doc_id % 17)::INT AS width,
+           (8 + doc_id % 13)::INT AS height,
+           1 AS channels,
+           TRUE AS matches_baseline
+    FROM documents WHERE doc_id % 53 = 0
+    """,
+)
+def multimodal_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode contract, driver-gated: per selected
+    doc the same deterministic image is encoded both progressive
+    (spectral selection + successive approximation + refinement scans)
+    and baseline (multimodal.synth_jpeg_pair_table), decoded through the
+    real mapInPandas decode path with pixels, and compared byte-for-byte.
+    The oracle states the dims plus TRUE; the Spark side EARNS the TRUE
+    by the equality join — both encoders quantize identically, so any
+    progressive-scan decode defect breaks the byte equality (the ANN
+    recall-contract pattern). Baseline decode itself is pytest-validated
+    against independently-encoded external fixtures."""
+    from fermor_spark.pipeline import multimodal
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 53 == 0)
+    dec = multimodal.decode_image(
+        multimodal.synth_jpeg_pair_table(d, "doc_id"), with_pixels=True)
+    prog = dec.where(F.col("media_id") % 2 == 0).select(
+        (F.col("media_id") / 2).cast("long").alias("media_id"),
+        "width", "height", "channels", F.col("content").alias("_pc"))
+    base = dec.where(F.col("media_id") % 2 == 1).select(
+        ((F.col("media_id") - 1) / 2).cast("long").alias("media_id"),
+        F.col("content").alias("_bc"))
+    return prog.join(base, "media_id").select(
+        "media_id", "width", "height", "channels",
+        (F.col("_pc") == F.col("_bc")).alias("matches_baseline"))
+
+
+@query(
     "multimodal_y4m_frame_stats",
     """
     WITH d AS (
@@ -3322,6 +3532,11 @@ _GATE_PRIORITY = [
     "g_cc_distributed", "g_scc_distributed", "g_shortest_path_distributed",
     "g_kcore_distributed", "g_reachable_distributed",
     "dedup_clusters_distributed",
+    # r6-new: the TPC-H tail completed (partsupp-free adaptations) and the
+    # progressive-JPEG decode contract
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_relationship", "q20_potential_promotion",
+    "multimodal_progressive_jpeg",
     # changed in r6 — must re-gate: the perf-fix family (repartition gate +
     # managed caches) and the two oracles whose SQL changed (caps removed)
     "text_fingerprint_overlap", "text_repetition", "dedup_clusters_minhash",

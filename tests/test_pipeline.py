@@ -372,452 +372,14 @@ def test_multimodal_gif_decode(spark):
     assert (r["width"], r["height"], r["channels"], r["n_bytes"]) == (4, 3, 3, 36)
 
 
-def _jpeg_bytes(arr, subsample=False, q=8, dri=0):
-    """Test-side baseline JPEG ENCODER (4:4:4 or 4:2:0, optional restart
-    markers) — forward DCT + quant + canonical-Huffman entropy coding with
-    flat custom tables (12 DC symbols @ 4 bits, 162 AC symbols @ 8 bits).
-    An independent inverse of the library decoder's math: a round trip is
-    only near-lossless if both directions follow the spec."""
-    import struct
-
-    import numpy as np
-
-    from fermor_spark.pipeline.multimodal import _JPEG_ZIGZAG, _jpeg_idct_matrix
-
-    T = _jpeg_idct_matrix()
-    zz = np.array(_JPEG_ZIGZAG)
-    gray = arr.ndim == 2
-    h, w = arr.shape[:2]
-    if gray:
-        planes = [arr.astype(np.float64)]
-        factors = [(1, 1)]
-    else:
-        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            def half(p):
-                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
-                            mode="edge")
-                return (ph[0::2, 0::2] + ph[1::2, 0::2]
-                        + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
-            planes = [y, half(cb), half(cr)]
-            factors = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [y, cb, cr]
-            factors = [(1, 1), (1, 1), (1, 1)]
-    hmax = max(f[0] for f in factors)
-    vmax = max(f[1] for f in factors)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # pad every plane to its MCU-aligned size
-    padded = []
-    for p, (fh, fv) in zip(planes, factors):
-        th, tw = mcuy * fv * 8, mcux * fh * 8
-        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
-                             mode="edge"))
-
-    dc_syms = list(range(12))
-    ac_syms = [0x00, 0xF0] + [(r_ << 4) | s for r_ in range(16)
-                              for s in range(1, 11)]
-
-    def dht(tc, th_, counts, syms):
-        body = bytes([(tc << 4) | th_]) + bytes(counts) + bytes(syms)
-        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
-
-    dc_counts = [0] * 16
-    dc_counts[3] = 12       # 12 codes of length 4
-    ac_counts = [0] * 16
-    ac_counts[7] = 162      # 162 codes of length 8
-
-    def build_lut(counts, syms):
-        lut, code, k = {}, 0, 0
-        for ln in range(1, 17):
-            for _ in range(counts[ln - 1]):
-                lut[syms[k]] = (ln, code)
-                code += 1
-                k += 1
-            code <<= 1
-        return lut
-
-    dc_lut = build_lut(dc_counts, dc_syms)
-    ac_lut = build_lut(ac_counts, ac_syms)
-
-    out = bytearray(b"\xff\xd8")
-    qtab = np.full(64, q, dtype=np.uint8)
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab.tobytes()
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + qtab.tobytes()
-    nc = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        fh, fv = factors[ci]
-        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    out += dht(0, 0, dc_counts, dc_syms) + dht(1, 0, ac_counts, ac_syms)
-    if nc == 3:
-        out += dht(0, 1, dc_counts, dc_syms) + dht(1, 1, ac_counts, ac_syms)
-    if dri:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
-    sos = bytes([nc])
-    for ci in range(nc):
-        t = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-
-    acc = [0, 0]  # bits, nbits
-
-    def put(code, ln):
-        acc[0] = (acc[0] << ln) | code
-        acc[1] += ln
-        while acc[1] >= 8:
-            byte = (acc[0] >> (acc[1] - 8)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-            acc[1] -= 8
-            acc[0] &= (1 << acc[1]) - 1
-
-    def flush():
-        if acc[1]:
-            pad = 8 - acc[1]
-            byte = ((acc[0] << pad) | ((1 << pad) - 1)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-            acc[0] = acc[1] = 0
-
-    def category(v):
-        return int(abs(v)).bit_length()
-
-    pred = [0] * nc
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_count and mcu_count % dri == 0:
-                flush()
-                out += bytes([0xFF, 0xD0 + ((mcu_count // dri - 1) % 8)])
-                pred = [0] * nc
-            mcu_count += 1
-            for ci in range(nc):
-                fh, fv = factors[ci]
-                for by_ in range(fv):
-                    for bx in range(fh):
-                        y0 = (my * fv + by_) * 8
-                        x0 = (mx * fh + bx) * 8
-                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
-                        F = T @ blk @ T.T
-                        qc = np.round(F / q).astype(np.int64)
-                        seq = qc.reshape(-1)[zz]
-                        diff = int(seq[0]) - pred[ci]
-                        pred[ci] = int(seq[0])
-                        s = category(diff)
-                        ln, code = dc_lut[s]
-                        put(code, ln)
-                        v = diff if diff >= 0 else diff + (1 << s) - 1
-                        if s:
-                            put(v, s)
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(seq[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                ln, code = ac_lut[0xF0]
-                                put(code, ln)
-                                run -= 16
-                            s = category(v)
-                            ln, code = ac_lut[(run << 4) | s]
-                            put(code, ln)
-                            ev = v if v >= 0 else v + (1 << s) - 1
-                            put(ev, s)
-                            run = 0
-                        if run:
-                            ln, code = ac_lut[0x00]
-                            put(code, ln)
-    flush()
-    out += b"\xff\xd9"
-    return bytes(out)
+# fixture encoders live in the library (the _png_encode convention); keep
+# the historical local names for the tests below
+from fermor_spark.pipeline.multimodal import (  # noqa: E402
+    _jpeg_encode as _jpeg_bytes,
+    _jpeg_prog_encode as _jpeg_prog_bytes,
+)
 
 
-def _jpeg_prog_bytes(arr, q=8, subsample=False, al=1, bands=((1, 5), (6, 63))):
-    """Test-side PROGRESSIVE JPEG encoder (SOF2): interleaved DC-first scan
-    at bit plane ``al``, per-component spectral-selection AC scans at
-    ``al``, then (when al>0) DC/AC refinement scans down to bit plane 0 —
-    exercising successive approximation, EOB runs, ZRL-in-refinement and
-    correction bits. An independent inverse of the library's progressive
-    decoder, built from the T.81 annex G encoding procedures."""
-    import struct
-
-    import numpy as np
-
-    from fermor_spark.pipeline.multimodal import _JPEG_ZIGZAG, _jpeg_idct_matrix
-
-    T = _jpeg_idct_matrix()
-    zz = np.array(_JPEG_ZIGZAG)
-    gray = arr.ndim == 2
-    h, w = arr.shape[:2]
-    if gray:
-        planes = [arr.astype(np.float64)]
-        factors = [(1, 1)]
-    else:
-        r_, g, b_ = (arr[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r_ + 0.587 * g + 0.114 * b_
-        cb = -0.168736 * r_ - 0.331264 * g + 0.5 * b_ + 128.0
-        cr = 0.5 * r_ - 0.418688 * g - 0.081312 * b_ + 128.0
-        if subsample:
-            def half(p):
-                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
-                            mode="edge")
-                return (ph[0::2, 0::2] + ph[1::2, 0::2]
-                        + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
-            planes = [y, half(cb), half(cr)]
-            factors = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [y, cb, cr]
-            factors = [(1, 1), (1, 1), (1, 1)]
-    nc = len(planes)
-    hmax = max(f[0] for f in factors)
-    vmax = max(f[1] for f in factors)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # quantized zigzag coefficient grids, MCU-padded (DC scan covers the
-    # padded grid; AC scans cover only the component's own block grid)
-    blocks, nblk = [], []
-    for p, (fh, fv) in zip(planes, factors):
-        th_, tw = mcuy * fv * 8, mcux * fh * 8
-        pp = np.pad(p, ((0, th_ - p.shape[0]), (0, tw - p.shape[1])),
-                    mode="edge")
-        grid = np.zeros((th_ // 8, tw // 8, 64), dtype=np.int64)
-        for by in range(th_ // 8):
-            for bx in range(tw // 8):
-                blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-                Fq = np.round((T @ blk @ T.T) / q).astype(np.int64)
-                grid[by, bx] = Fq.reshape(-1)[zz]
-        blocks.append(grid)
-        cw = -(-(w * fh) // hmax)
-        chh = -(-(h * fv) // vmax)
-        nblk.append((-(-chh // 8), -(-cw // 8)))
-
-    # flat canonical Huffman tables (the _jpeg_bytes convention, plus the
-    # EOBn symbols 0x10..0xE0 progressive scans need for EOB runs > 1)
-    dc_syms = list(range(12))
-    ac_syms = ([0x00, 0xF0] + [r_ << 4 for r_ in range(1, 15)]
-               + [(r_ << 4) | s for r_ in range(16) for s in range(1, 11)])
-    dc_counts = [0] * 16
-    dc_counts[3] = 12
-    ac_counts = [0] * 16
-    ac_counts[7] = 176
-
-    def build_lut(counts, syms):
-        lut, code, k = {}, 0, 0
-        for ln in range(1, 17):
-            for _ in range(counts[ln - 1]):
-                lut[syms[k]] = (ln, code)
-                code += 1
-                k += 1
-            code <<= 1
-        return lut
-
-    dc_lut = build_lut(dc_counts, dc_syms)
-    ac_lut = build_lut(ac_counts, ac_syms)
-
-    def dht(tc, th2, counts, syms):
-        body = bytes([(tc << 4) | th2]) + bytes(counts) + bytes(syms)
-        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    qtab = np.full(64, q, dtype=np.uint8)
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab.tobytes()
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + qtab.tobytes()
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        fh, fv = factors[ci]
-        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
-    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
-    out += dht(0, 0, dc_counts, dc_syms) + dht(1, 0, ac_counts, ac_syms)
-    if nc == 3:
-        out += dht(0, 1, dc_counts, dc_syms) + dht(1, 1, ac_counts, ac_syms)
-
-    acc = [0, 0]
-
-    def put(code, ln):
-        if ln == 0:
-            return
-        acc[0] = (acc[0] << ln) | (code & ((1 << ln) - 1))
-        acc[1] += ln
-        while acc[1] >= 8:
-            byte = (acc[0] >> (acc[1] - 8)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-            acc[1] -= 8
-            acc[0] &= (1 << acc[1]) - 1
-
-    def flush():
-        if acc[1]:
-            pad = 8 - acc[1]
-            byte = ((acc[0] << pad) | ((1 << pad) - 1)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-            acc[0] = acc[1] = 0
-
-    def sos(comp_list, ss, se, ah, al_):
-        body = bytes([len(comp_list)])
-        for ci, td, ta in comp_list:
-            body += bytes([ci + 1, (td << 4) | ta])
-        body += bytes([ss, se, (ah << 4) | al_])
-        out.extend(b"\xff\xda" + struct.pack(">H", len(body) + 2) + body)
-
-    def category(v):
-        return int(abs(v)).bit_length()
-
-    # ---- scan 1: DC first, interleaved, bit plane al ----
-    sos([(ci, 0 if ci == 0 else 1, 0) for ci in range(nc)], 0, 0, 0, al)
-    pred = [0] * nc
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(nc):
-                fh, fv = factors[ci]
-                lut = dc_lut
-                for by in range(fv):
-                    for bx in range(fh):
-                        dc = int(blocks[ci][my * fv + by, mx * fh + bx, 0])
-                        t = dc >> al      # arithmetic shift, two's complement
-                        diff = t - pred[ci]
-                        pred[ci] = t
-                        s = category(diff)
-                        ln, code = lut[s]
-                        put(code, ln)
-                        if s:
-                            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    flush()
-
-    # ---- AC first scans: per component, per spectral band, bit plane al ----
-    for ci in range(nc):
-        lut = ac_lut
-        rows, cols = nblk[ci]
-        for (ss_, se_) in bands:
-            sos([(ci, 0, 0 if ci == 0 else 1)], ss_, se_, 0, al)
-            eobrun = [0]
-
-            def flush_eob():
-                if eobrun[0]:
-                    r_ = eobrun[0].bit_length() - 1
-                    ln, code = lut[r_ << 4]
-                    put(code, ln)
-                    if r_:
-                        put(eobrun[0] - (1 << r_), r_)
-                    eobrun[0] = 0
-
-            for by in range(rows):
-                for bx in range(cols):
-                    seq = blocks[ci][by, bx]
-                    vals = [int(np.sign(seq[k])) * (abs(int(seq[k])) >> al)
-                            for k in range(ss_, se_ + 1)]
-                    if not any(vals):
-                        eobrun[0] += 1
-                        continue
-                    flush_eob()
-                    run = 0
-                    last_nz = max(i for i, v in enumerate(vals) if v)
-                    for i, v in enumerate(vals):
-                        if i > last_nz:
-                            eobrun[0] += 1
-                            break
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            ln, code = lut[0xF0]
-                            put(code, ln)
-                            run -= 16
-                        s = category(v)
-                        ln, code = lut[(run << 4) | s]
-                        put(code, ln)
-                        put(v if v >= 0 else v + (1 << s) - 1, s)
-                        run = 0
-            flush_eob()
-            flush()
-
-    # ---- refinement scans down to bit plane 0 ----
-    for plane_al in range(al - 1, -1, -1):
-        ah_ = plane_al + 1
-        # DC refine: one raw bit per block, interleaved
-        sos([(ci, 0, 0) for ci in range(nc)], 0, 0, ah_, plane_al)
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(nc):
-                    fh, fv = factors[ci]
-                    for by in range(fv):
-                        for bx in range(fh):
-                            dc = int(blocks[ci][my * fv + by, mx * fh + bx, 0])
-                            put((dc >> plane_al) & 1, 1)
-        flush()
-        # AC refine per component per band (T.81 G.1.2.3 encoding)
-        for ci in range(nc):
-            lut = ac_lut
-            rows, cols = nblk[ci]
-            for (ss_, se_) in bands:
-                sos([(ci, 0, 0 if ci == 0 else 1)], ss_, se_, ah_, plane_al)
-                eobrun = [0]
-                corr = []      # correction bits buffered across EOB blocks
-
-                def flush_eob_r():
-                    if eobrun[0]:
-                        r_ = eobrun[0].bit_length() - 1
-                        ln, code = lut[r_ << 4]
-                        put(code, ln)
-                        if r_:
-                            put(eobrun[0] - (1 << r_), r_)
-                        eobrun[0] = 0
-                    while corr:
-                        put(corr.pop(0), 1)
-
-                for by in range(rows):
-                    for bx in range(cols):
-                        seq = blocks[ci][by, bx]
-                        absv = [abs(int(seq[k])) >> plane_al
-                                for k in range(ss_, se_ + 1)]
-                        eobpos = -1
-                        for i, t in enumerate(absv):
-                            if t == 1:
-                                eobpos = i
-                        r_ = 0
-                        br = []
-                        for i, t in enumerate(absv):
-                            if t == 0:
-                                r_ += 1
-                                continue
-                            while r_ > 15 and i <= eobpos:
-                                flush_eob_r()
-                                ln, code = lut[0xF0]
-                                put(code, ln)
-                                r_ -= 16
-                                while br:
-                                    put(br.pop(0), 1)
-                            if t > 1:
-                                br.append(t & 1)
-                                continue
-                            flush_eob_r()
-                            ln, code = lut[(r_ << 4) | 1]
-                            put(code, ln)
-                            put(1 if int(seq[ss_ + i]) >= 0 else 0, 1)
-                            while br:
-                                put(br.pop(0), 1)
-                            r_ = 0
-                        if r_ > 0 or br:
-                            eobrun[0] += 1
-                            corr.extend(br)
-                flush_eob_r()
-                flush()
-
-    out += b"\xff\xd9"
-    return bytes(out)
 
 
 def test_multimodal_jpeg_progressive_roundtrip():
