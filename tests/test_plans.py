@@ -82,6 +82,26 @@ def test_dim_joins_broadcast(spark, registry):
     assert p.count("BroadcastHashJoin") >= 3
 
 
+def test_tpch_r6_tail_plan_shapes(spark, registry):
+    """The r6 TPC-H completions: dimension joins broadcast, predicates
+    pushed to the scans, no cartesian/nested-loop product anywhere (q11's
+    scalar-aggregate crossJoin is a broadcast of a 1-row frame — it plans
+    as BroadcastNestedLoopJoin by construction and is exempt)."""
+    for name in ("q2_min_cost_supplier", "q16_supplier_relationship",
+                 "q20_potential_promotion"):
+        plan = plan_of(registry[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "PushedFilters: [" in plan, name
+        assert plan.count("BroadcastHashJoin") >= 1, name
+    p11 = plan_of(registry["q11_important_stock"](spark, SF))
+    assert "CartesianProduct" not in p11
+    # the only nested-loop is the broadcast 1-row total (the q22 pattern);
+    # formatted explain prints each node twice (tree + detail section)
+    assert p11.count("BroadcastNestedLoopJoin") <= 2
+    assert "PushedFilters: [" in p11
+
+
 def test_tpch_tail_no_sort_merge_or_cartesian(spark, registry):
     """The 8 r5 TPC-H shapes must compile to broadcast/equi joins with
     pushed filters — no SortMergeJoin at toy SF (AQE downgrades), and
