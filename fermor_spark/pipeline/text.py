@@ -297,6 +297,43 @@ def fingerprint_overlap_pairs(
     )
 
 
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    top_n: int = 3, round_digits: int = 6) -> DataFrame:
+    """Top-n TF-IDF terms per document → (id, term, tf, score, rank) — the
+    keyword-extraction / topic-signal step of a curation pipeline.
+
+    score = tf · ln(N / df_t) with raw counts and the plain (unsmoothed)
+    idf — every quantity is an exact integer until the single final ln,
+    so the DuckDB oracle restates it verbatim. Ties break on term text
+    ascending (deterministic across engines). Terms appearing in every
+    document score 0 but still rank (ln 1 = 0), matching the oracle.
+
+    Scale shape: one token explode → per-(id, term) count (map-side
+    combinable) → document-frequency aggregate joined back on the term
+    key → per-document top-n window. The DF table is corpus vocabulary —
+    at 100 TB it shuffles on the term key (AQE skew-handles stopwords);
+    N is a 1-row aggregate broadcast by crossJoin. No all-pairs step,
+    no driver state."""
+    toks = _id_tokens(df, id_col, text_col).where(F.col("tok") != "")
+    tf = toks.groupBy("id", F.col("tok").alias("term")).agg(
+        F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = df.select(F.col(id_col).alias("id")).distinct().agg(
+        F.count("*").alias("_n"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score",
+                    F.round(F.col("tf") * F.log(F.col("_n") / F.col("_df")),
+                            round_digits))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .select("id", "term", "tf", "score", "rank")
+    )
+
+
 def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens, dup_token_frac, top_bigram_frac) — repetition-based
     quality signals (the Gopher-rules family: heavily repetitive documents

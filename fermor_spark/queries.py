@@ -1590,6 +1590,41 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(d, "doc_id", "text")
 
 
+@query(
+    "text_tfidf_topterms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, u AS term
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents), unnest(t) s(u)
+      WHERE u <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dft AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+    SELECT doc_id AS id, term, tf, score, rank FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(nd * 1.0 / dfc), 6) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(nd * 1.0 / dfc), 6) DESC, tf.term
+             ) AS rank
+      FROM tf JOIN dft USING (term), n
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (pipeline.text.tfidf_top_terms):
+    keyword extraction with raw-count tf and plain ln(N/df) idf — exact
+    integers until one final ln, rounded at 6 dp on both sides, ties on
+    term text. The oracle restates the whole computation."""
+    from fermor_spark.pipeline.text import tfidf_top_terms
+
+    d = table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", top_n=3).select(
+        F.col("id"), "term", "tf", "score", "rank")
+
+
 _BPE_RULES = [("t", "h"), ("h", "e"), ("i", "n"), ("e", "r"),
               ("a", "n"), ("r", "e"), ("o", "n"), ("e", "</w>")]
 _BPE_ENC_SQL = "' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w> '"
@@ -3536,7 +3571,7 @@ _GATE_PRIORITY = [
     # progressive-JPEG decode contract
     "q2_min_cost_supplier", "q11_important_stock",
     "q16_supplier_relationship", "q20_potential_promotion",
-    "multimodal_progressive_jpeg",
+    "multimodal_progressive_jpeg", "text_tfidf_topterms",
     # changed in r6 — must re-gate: the perf-fix family (repartition gate +
     # managed caches) and the two oracles whose SQL changed (caps removed)
     "text_fingerprint_overlap", "text_repetition", "dedup_clusters_minhash",

@@ -159,6 +159,27 @@ def test_fingerprint_overlap(planted):
     assert (1, 3) in got
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    from math import log
+
+    from fermor_spark.pipeline.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana shared"), (2, "banana cherry shared"),
+         (3, "cherry cherry cherry shared")],
+        "doc_id long, text string")
+    rows = tfidf_top_terms(df, "doc_id", "text", top_n=2).collect()
+    got = {(r["id"], r["rank"]): (r["term"], r["tf"], r["score"]) for r in rows}
+    # doc 1: apple tf=2 df=1 -> 2·ln3 ; banana tf=1 df=2 -> ln1.5
+    assert got[(1, 1)] == ("apple", 2, round(2 * log(3), 6))
+    assert got[(1, 2)] == ("banana", 1, round(log(1.5), 6))
+    # doc 3: cherry tf=3 df=2 -> 3·ln1.5 ; then 'shared' (df=3 -> score 0)
+    assert got[(3, 1)] == ("cherry", 3, round(3 * log(1.5), 6))
+    assert got[(3, 2)] == ("shared", 1, 0.0)
+    # ubiquitous terms score exactly 0 (plain idf, ln 1)
+    assert all(s == 0.0 for (i, rk), (t, tf, s) in got.items() if t == "shared")
+
+
 def test_multimodal_decode_stub(spark):
     rows = [
         (1, "image", bytes([10, 20, 30, 40]), {"source": "s1", "mime": "image/png"}),
