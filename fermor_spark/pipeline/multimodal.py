@@ -1228,13 +1228,15 @@ def _jpeg_encode(arr, subsample=False, q=8, dri=0):
     return bytes(out)
 
 
-def _jpeg_prog_encode(arr, q=8, subsample=False, al=1, bands=((1, 5), (6, 63))):
+def _jpeg_prog_encode(arr, q=8, subsample=False, al=1,
+                      bands=((1, 5), (6, 63)), dri=0):
     """Fixture/oracle-side PROGRESSIVE JPEG encoder (SOF2): interleaved
     DC-first scan at bit plane ``al``, per-component spectral-selection
     AC scans at ``al``, then (when al>0) DC/AC refinement scans down to
     bit plane 0 — successive approximation, EOB runs, ZRL-in-refinement
     and correction bits, built from the T.81 annex G encoding
-    procedures. Encodes the SAME quantized coefficients as _jpeg_encode
+    procedures; ``dri`` emits restart markers every dri MCUs/blocks in
+    every scan. Encodes the SAME quantized coefficients as _jpeg_encode
     at equal q, so the two decodes must agree pixel-exactly."""
     import struct
 
@@ -1358,14 +1360,27 @@ def _jpeg_prog_encode(arr, q=8, subsample=False, al=1, bands=((1, 5), (6, 63))):
         body += bytes([ss, se, (ah << 4) | al_])
         out.extend(b"\xff\xda" + struct.pack(">H", len(body) + 2) + body)
 
+    if dri:
+        out.extend(b"\xff\xdd" + struct.pack(">HH", 4, dri))
+
+    def rst(unit):
+        # byte-align and emit RSTn at the decoder's unit % dri boundaries
+        flush()
+        out.extend(bytes([0xFF, 0xD0 + ((unit // dri - 1) % 8)]))
+
     def category(v):
         return int(abs(v)).bit_length()
 
     # ---- scan 1: DC first, interleaved, bit plane al ----
     sos([(ci, 0 if ci == 0 else 1, 0) for ci in range(nc)], 0, 0, 0, al)
     pred = [0] * nc
+    unit = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and unit and unit % dri == 0:
+                rst(unit)
+                pred = [0] * nc
+            unit += 1
             for ci in range(nc):
                 fh, fv = factors[ci]
                 lut = dc_lut
@@ -1399,8 +1414,13 @@ def _jpeg_prog_encode(arr, q=8, subsample=False, al=1, bands=((1, 5), (6, 63))):
                         put(eobrun[0] - (1 << r_), r_)
                     eobrun[0] = 0
 
+            unit = 0
             for by in range(rows):
                 for bx in range(cols):
+                    if dri and unit and unit % dri == 0:
+                        flush_eob()
+                        rst(unit)
+                    unit += 1
                     seq = blocks[ci][by, bx]
                     vals = [int(np.sign(seq[k])) * (abs(int(seq[k])) >> al)
                             for k in range(ss_, se_ + 1)]
@@ -1434,8 +1454,12 @@ def _jpeg_prog_encode(arr, q=8, subsample=False, al=1, bands=((1, 5), (6, 63))):
         ah_ = plane_al + 1
         # DC refine: one raw bit per block, interleaved
         sos([(ci, 0, 0) for ci in range(nc)], 0, 0, ah_, plane_al)
+        unit = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if dri and unit and unit % dri == 0:
+                    rst(unit)
+                unit += 1
                 for ci in range(nc):
                     fh, fv = factors[ci]
                     for by in range(fv):
@@ -1463,8 +1487,13 @@ def _jpeg_prog_encode(arr, q=8, subsample=False, al=1, bands=((1, 5), (6, 63))):
                     while corr:
                         put(corr.pop(0), 1)
 
+                unit = 0
                 for by in range(rows):
                     for bx in range(cols):
+                        if dri and unit and unit % dri == 0:
+                            flush_eob_r()
+                            rst(unit)
+                        unit += 1
                         seq = blocks[ci][by, bx]
                         absv = [abs(int(seq[k])) >> plane_al
                                 for k in range(ss_, se_ + 1)]

@@ -433,6 +433,7 @@ def test_multimodal_jpeg_progressive_roundtrip():
         (smooth(21, 19, 3), {"subsample": True}, 14.0),
         (smooth(16, 16), {"al": 2}, 4.0),                      # 2 refine rounds
         (noisy, {"bands": ((1, 2), (3, 8), (9, 63))}, 60.0),   # EOB/ZRL heavy
+        (smooth(32, 24, 3), {"subsample": True, "dri": 2}, 14.0),  # restarts
     ]
     for arr, kw, tol in cases:
         enc = _jpeg_prog_bytes(arr, **kw)

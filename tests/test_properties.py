@@ -99,3 +99,36 @@ def test_reachable_closed_under_step(spark, edges):
              iterate.all_reachable(g, g.get_vertex(start), include_start=True).collect()}
     step = g.get_vertices(sorted(reach)).out("l").id_set()
     assert step <= reach
+
+
+# ---- progressive JPEG: pure-Python property (no Spark session needed) ----
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seedv=st.integers(min_value=0, max_value=2**31 - 1),
+    q=st.sampled_from([4, 8, 16]),
+    al=st.integers(min_value=0, max_value=2),
+    dri=st.sampled_from([0, 1, 3]),
+)
+def test_progressive_jpeg_equals_baseline_decode(w, h, seedv, q, al, dri):
+    """For ANY image content, size, quant step, successive-approximation
+    depth and restart interval, decoding the progressive encoding must be
+    byte-identical to decoding the baseline encoding: both encoders emit
+    the same quantized coefficients, so the decodes can only diverge if a
+    progressive scan path (spectral bands, refinement correction bits,
+    EOB runs, restarts) mis-decodes."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import (
+        _jpeg_decode, _jpeg_encode, _jpeg_prog_encode)
+
+    arr = np.random.RandomState(seedv).randint(
+        0, 256, size=(h, w), dtype=np.uint8)
+    base = _jpeg_decode(_jpeg_encode(arr, q=q))
+    prog = _jpeg_decode(_jpeg_prog_encode(arr, q=q, al=al, dri=dri))
+    assert base not in (None, "compressed")
+    assert prog not in (None, "compressed")
+    assert prog[:3] == base[:3] == (w, h, 1)
+    assert prog[3] == base[3]
