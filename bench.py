@@ -71,6 +71,16 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "text_bpe_token_count",
     "ann_quantized_topk",
+    # r6 additions: TPC-H completions, TF-IDF, the progressive-JPEG decode
+    # contract, and one forced-distributed hybrid leg (the local-finish
+    # hybrids' distributed rounds otherwise never appear at bench SF)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "text_tfidf_topterms",
+    "multimodal_progressive_jpeg",
+    "g_cc_distributed",
 ]
 
 
