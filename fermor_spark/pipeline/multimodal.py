@@ -618,8 +618,6 @@ def _jpeg_decode(b: bytes):
     and YCbCr (3) supported."""
     import struct
 
-    import numpy as np
-
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     qt: dict = {}
