@@ -132,3 +132,69 @@ def test_progressive_jpeg_equals_baseline_decode(w, h, seedv, q, al, dri):
     assert prog not in (None, "compressed")
     assert prog[:3] == base[:3] == (w, h, 1)
     assert prog[3] == base[3]
+
+
+# ---- text pipeline invariants over random corpora ----
+
+word = st.integers(min_value=0, max_value=30).map(lambda i: f"w{i}")
+docs_strategy = st.lists(
+    st.lists(word, min_size=1, max_size=60).map(" ".join),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=docs_strategy,
+       chunk=st.integers(min_value=4, max_value=24),
+       overlap=st.integers(min_value=0, max_value=3))
+def test_chunking_covers_every_token_in_order(spark, texts, chunk, overlap):
+    """chunk_documents invariants for any corpus/window/overlap: (a) chunk 0
+    starts at token 0 and consecutive chunks advance by exactly
+    chunk-overlap tokens; (b) concatenating each chunk's non-overlapped
+    prefix reconstructs the document; (c) every chunk except the last is
+    full-size; (d) no chunk is fully contained in its predecessor."""
+    from fermor_spark.pipeline.text import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    step = chunk - overlap
+    rows = chunk_documents(df, "doc_id", "text",
+                           chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], {})[r["chunk_index"]] = r
+    for i, t in enumerate(texts):
+        toks = t.split()
+        chunks = by_doc[i]
+        n = len(chunks)
+        assert sorted(chunks) == list(range(n))
+        rebuilt = []
+        for ci in range(n):
+            ctoks = chunks[ci]["chunk_text"].split()
+            assert ctoks == toks[ci * step: ci * step + chunk]
+            assert chunks[ci]["n_tokens"] == len(ctoks)
+            if ci < n - 1:
+                assert len(ctoks) == chunk
+            rebuilt.extend(ctoks if ci == n - 1 else ctoks[:step])
+        # full coverage in order (the last chunk may re-cover the tail)
+        assert rebuilt[:len(toks)] == toks[:len(rebuilt)]
+        assert ci * step < len(toks)  # last window not inside predecessor
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=docs_strategy, capacity=st.integers(min_value=3, max_value=40))
+def test_pack_sequences_layout_invariants(spark, texts, capacity):
+    """pack_sequences for any corpus/capacity: offsets stay in
+    [0, capacity); documents are laid end-to-end in id order (each start
+    equals the previous start + its token count); bin_id is exactly
+    tokens_before DIV capacity."""
+    from fermor_spark.pipeline.text import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = sorted(pack_sequences(df, "doc_id", "text", capacity).collect(),
+                  key=lambda r: r["id"])
+    before = 0
+    for r in rows:
+        assert 0 <= r["bin_offset"] < capacity
+        assert r["bin_id"] == before // capacity
+        assert r["bin_offset"] == before % capacity
+        before += r["n_tokens"]
