@@ -3446,6 +3446,40 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_streaming_tumbling",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT window_start, event_type, n_events, total_value
+    FROM agg, mx
+    WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    """,
+)
+def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured-Streaming execution, driver-gated: the events
+    parquet is read as a FILE-SOURCE STREAM, watermarked tumbling-window
+    counts run in APPEND mode, and trigger=availableNow drains everything
+    into a memory sink (streaming.run_to_memory). Append mode emits
+    exactly the windows the final watermark (max ts − 2 h) has closed —
+    the oracle restates that horizon relationally (window end ≤
+    watermark). This is the one gate row where the state store, watermark
+    advancement and no-data flush batch actually execute; the other
+    events_* rows gate the batch-equivalent plans."""
+    import hashlib
+
+    from fermor_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    name = "gate_stream_tumbling_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(S.tumbling_counts(ev), name, output_mode="append")
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------------
 # distributed-leg gate rows for the hybrid operators.
 #
@@ -3572,6 +3606,7 @@ _GATE_PRIORITY = [
     "q2_min_cost_supplier", "q11_important_stock",
     "q16_supplier_relationship", "q20_potential_promotion",
     "multimodal_progressive_jpeg", "text_tfidf_topterms",
+    "events_streaming_tumbling",
     # changed in r6 — must re-gate: the perf-fix family (repartition gate +
     # managed caches) and the two oracles whose SQL changed (caps removed)
     "text_fingerprint_overlap", "text_repetition", "dedup_clusters_minhash",
