@@ -3480,6 +3480,34 @@ def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "events_streaming_user_state",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator under the gate: per-user running
+    totals via applyInPandasWithState (streaming.running_user_totals) in
+    update mode, drained with availableNow into a memory sink. The state
+    counters are monotone, so max-per-user over the emitted updates is the
+    final state — which must equal the plain batch aggregate the oracle
+    states. Exercises the Python arbitrary-state path (GroupState get/
+    update, Arrow batch iteration) end-to-end, not just built-in windows."""
+    import hashlib
+
+    from fermor_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    name = "gate_stream_state_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(S.running_user_totals(ev), name, output_mode="update")
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 4).alias("total_value"))
+
+
 # --------------------------------------------------------------------------
 # distributed-leg gate rows for the hybrid operators.
 #
@@ -3606,7 +3634,7 @@ _GATE_PRIORITY = [
     "q2_min_cost_supplier", "q11_important_stock",
     "q16_supplier_relationship", "q20_potential_promotion",
     "multimodal_progressive_jpeg", "text_tfidf_topterms",
-    "events_streaming_tumbling",
+    "events_streaming_tumbling", "events_streaming_user_state", "events_streaming_user_state",
     # changed in r6 — must re-gate: the perf-fix family (repartition gate +
     # managed caches) and the two oracles whose SQL changed (caps removed)
     "text_fingerprint_overlap", "text_repetition", "dedup_clusters_minhash",
