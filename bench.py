@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "text_tfidf_topterms",
     "multimodal_progressive_jpeg",
     "g_cc_distributed",
+    # real Structured-Streaming execution (availableNow drain to memory):
+    # state store + watermark + no-data flush batch, not the batch analog
+    "events_streaming_tumbling",
 ]
 
 
