@@ -173,9 +173,14 @@ def self_join_within(events: DataFrame, minutes: int = 10,
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
-                  timeout_sec: int = 120):
+                  timeout_sec: int = 300):
     """Test/backfill helper: drain all available input into an in-memory
-    table and stop. Returns the SparkSession-queryable table name."""
+    table and stop. Returns the SparkSession-queryable table name.
+
+    Raises instead of returning a PARTIAL table when the drain outlives
+    ``timeout_sec`` — awaitTermination(timeout) returns False without
+    raising, and a silently-partial memory table corrupts any downstream
+    comparison (the driver gate reads this table)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -183,7 +188,12 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    done = q.awaitTermination(timeout_sec)
+    if not done:
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain '{name}' still running after {timeout_sec}s — "
+            f"memory table would be partial")
     return name
 
 
