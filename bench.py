@@ -189,7 +189,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rounds": {"cc": it.LAST_CC_ROUNDS, "kcore": it.LAST_KCORE_ROUNDS,
-                   "scc": it.LAST_SCC_ROUNDS, "bf": it.LAST_BF_ROUNDS},
+                   "scc": it.LAST_SCC_ROUNDS, "bf": it.LAST_BF_ROUNDS,
+                   "bfs": it.LAST_BFS_ROUNDS},
     }))
 
 
