@@ -929,8 +929,10 @@ def _jpeg_prog_scan(b, pos, hdr, comps, coefs, nblk, huff, dri, mcux, mcuy):
     scomp = []
     for ci in range(ns):
         cid, tt = hdr[1 + 2 * ci:3 + 2 * ci]
-        idx = next(i for i, c in enumerate(comps) if c["id"] == cid)
-        scomp.append((idx, tt >> 4, tt & 0x0F))
+        matches = [i for i, c in enumerate(comps) if c["id"] == cid]
+        if not matches:   # corrupted SOS: unknown component id — a bare
+            raise ValueError("SOS references unknown component")
+        scomp.append((matches[0], tt >> 4, tt & 0x0F))
     ss, se, ahal = hdr[1 + 2 * ns], hdr[2 + 2 * ns], hdr[3 + 2 * ns]
     ah, al = ahal >> 4, ahal & 0x0F
     if se > 63 or ss > se:

@@ -198,3 +198,29 @@ def test_pack_sequences_layout_invariants(spark, texts, capacity):
         assert r["bin_id"] == before // capacity
         assert r["bin_offset"] == before % capacity
         before += r["n_tokens"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(seedv=st.integers(min_value=0, max_value=2**31 - 1),
+       n_flips=st.integers(min_value=1, max_value=12))
+def test_jpeg_decode_never_raises_on_corruption(seedv, n_flips):
+    """Robustness: random byte corruption of a valid progressive JPEG must
+    degrade to None / 'compressed' / a decoded tuple — never an exception
+    (decode_image feeds untrusted bytes straight into the decoder)."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _jpeg_decode, _jpeg_prog_encode
+
+    rng = np.random.RandomState(seedv)
+    arr = rng.randint(0, 256, size=(13, 11), dtype=np.uint8)
+    good = bytearray(_jpeg_prog_encode(arr, dri=2))
+    for _ in range(n_flips):
+        good[rng.randint(0, len(good))] = rng.randint(0, 256)
+    got = _jpeg_decode(bytes(good))
+    assert got is None or got == "compressed" or (
+        isinstance(got, tuple) and len(got) == 4)
+    # truncations at any prefix length are equally non-raising
+    cut = rng.randint(0, len(good))
+    got2 = _jpeg_decode(bytes(good[:cut]))
+    assert got2 is None or got2 == "compressed" or (
+        isinstance(got2, tuple) and len(got2) == 4)
