@@ -2856,6 +2856,50 @@ def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_sink_roundtrip",
+    """
+    WITH b AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS bkt
+      FROM documents
+    )
+    SELECT CASE WHEN bkt < 800000 THEN 'train'
+                WHEN bkt < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def pipeline_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SINK round trip under the gate: split-tag the documents,
+    WRITE them as parquet partitioned by (split, lang) with bounded file
+    sizes (pipeline.sink.write_corpus), read the directory back, and
+    re-aggregate. The counts only match the sample_split_counts oracle if
+    the partitioned write preserved every row AND the directory-key
+    partition columns round-tripped exactly — the write side of the
+    pipeline, not just its plans."""
+    import shutil
+    import tempfile
+
+    from fermor_spark.pipeline.sample import hash_split
+    from fermor_spark.pipeline.sink import read_corpus, write_corpus
+
+    d = table(spark, sf_dir, "documents")
+    s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                   seed="split")
+    tmp = tempfile.mkdtemp(prefix="fermor_sink_gate_")
+    path = f"{tmp}/corpus"
+    write_corpus(s, path, partition_by=("split", "lang"),
+                 max_records_per_file=10_000)
+    back = read_corpus(spark, path, schema=s.schema).groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    rows = back.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
+@query(
     "multimodal_png_roundtrip",
     """
     WITH d AS (
@@ -3634,7 +3678,8 @@ _GATE_PRIORITY = [
     "q2_min_cost_supplier", "q11_important_stock",
     "q16_supplier_relationship", "q20_potential_promotion",
     "multimodal_progressive_jpeg", "text_tfidf_topterms",
-    "events_streaming_tumbling", "events_streaming_user_state", "events_streaming_user_state",
+    "events_streaming_tumbling", "events_streaming_user_state",
+    "pipeline_sink_roundtrip", "events_streaming_user_state",
     # changed in r6 — must re-gate: the perf-fix family (repartition gate +
     # managed caches) and the two oracles whose SQL changed (caps removed)
     "text_fingerprint_overlap", "text_repetition", "dedup_clusters_minhash",
