@@ -11,4 +11,4 @@ All operators are DataFrame-in → DataFrame-out, shuffle-conscious
 (hash families are md5/xxhash64 over seed-prefixed inputs).
 """
 
-from fermor_spark.pipeline import dedup, similarity, text, multimodal  # noqa: F401
+from fermor_spark.pipeline import dedup, multimodal, similarity, sink, text  # noqa: F401
