@@ -3552,6 +3552,36 @@ def events_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("total_value"), 4).alias("total_value"))
 
 
+@query(
+    "events_streaming_self_join",
+    """
+    SELECT a.user_id, a.event_id AS first_event_id,
+           b.event_id AS second_event_id,
+           date_diff('second', a.ts, b.ts)::BIGINT AS gap_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.user_id <= 50 AND b.user_id <= 50
+    """,
+)
+def events_streaming_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval self-join under the gate: both join sides are
+    watermarked file-source streams; inner joins emit matches as both
+    sides arrive (the watermark bounds state eviction, not emission), so
+    an availableNow drain holds exactly the batch interval join the
+    oracle states. Completes the real-execution streaming trio: built-in
+    windows, Python arbitrary state, and the dual-state-store join."""
+    import hashlib
+
+    from fermor_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir).where(F.col("user_id") <= 50)
+    name = "gate_stream_join_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(S.self_join_within(ev, minutes=10), name,
+                    output_mode="append")
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------------
 # distributed-leg gate rows for the hybrid operators.
 #
@@ -3679,7 +3709,7 @@ _GATE_PRIORITY = [
     "q16_supplier_relationship", "q20_potential_promotion",
     "multimodal_progressive_jpeg", "text_tfidf_topterms",
     "events_streaming_tumbling", "events_streaming_user_state",
-    "pipeline_sink_roundtrip", "events_streaming_user_state",
+    "pipeline_sink_roundtrip", "events_streaming_self_join", "events_streaming_user_state",
     # changed in r6 — must re-gate: the perf-fix family (repartition gate +
     # managed caches) and the two oracles whose SQL changed (caps removed)
     "text_fingerprint_overlap", "text_repetition", "dedup_clusters_minhash",
