@@ -282,6 +282,28 @@ def resize_image_raw(df: DataFrame, out_w: int, out_h: int,
     return df.mapInPandas(run, schema)
 
 
+
+# Decoders of UNTRUSTED bytes must degrade to None on any parse failure —
+# decode_image / frame_sample map whole Arrow batches, so one corrupt
+# payload raising would fail the entire Spark task. The inner bodies keep
+# their targeted handlers; this is the contract-enforcing belt (found by
+# the corruption fuzz in tests/test_properties.py).
+def _none_on_malformed(fn):
+    import functools
+    import struct
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (ValueError, IndexError, KeyError, TypeError, OverflowError,
+                struct.error, zlib.error):
+            return None
+    return wrapped
+
+
+@_none_on_malformed
 def _png_decode(b: bytes):
     """REAL pure-Python/numpy PNG decode → (width, height, channels,
     pixel_bytes) or None on malformed input.
@@ -322,6 +344,8 @@ def _png_decode(b: bytes):
         return None
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0 or w == 0 or h == 0:
+        return None
+    if w * h > (1 << 26):   # corrupt-header memory-bomb guard (64M px)
         return None
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_i)
     if nch is None or depth not in (1, 2, 4, 8, 16):
@@ -423,6 +447,7 @@ def _png_decode(b: bytes):
     return w, h, nch, img.tobytes()
 
 
+@_none_on_malformed
 def _gif_decode(b: bytes):
     """REAL pure-Python GIF decode (first frame) → (width, height, 3,
     rgb_bytes) or None. GIF's LZW is self-contained bit unpacking — no
@@ -438,6 +463,8 @@ def _gif_decode(b: bytes):
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     W, H, packed, bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    if W * H > (1 << 26):
+        return None
     pos = 13
     gct = None
     if packed & 0x80:
@@ -603,6 +630,7 @@ def _jpeg_parse_dht(data, huff) -> None:
         huff[(tc, th)] = lut
 
 
+@_none_on_malformed
 def _jpeg_decode(b: bytes):
     """REAL pure-Python/numpy JPEG decode → (width, height, channels,
     bytes) | None | 'compressed' (arithmetic/lossless/hierarchical, which
@@ -778,6 +806,8 @@ def _jpeg_scan(b, pos, w, h, comps, sos, qt, huff, dri):
     vmax = max(c["v"] for c in comps)
     if hmax not in (1, 2) or vmax not in (1, 2):
         return None
+    if w * h > (1 << 26):
+        return None
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     T = _jpeg_idct_matrix()
@@ -850,6 +880,8 @@ def _jpeg_progressive(b, pos, w, h, comps, qt, huff, dri):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax not in (1, 2) or vmax not in (1, 2):
+        return None
+    if w * h > (1 << 26):
         return None
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
@@ -1758,6 +1790,7 @@ def synth_png_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
+@_none_on_malformed
 def _y4m_frames(b: bytes, every_n: int, max_frames: int):
     """REAL pure-Python YUV4MPEG2 (Y4M) frame extraction → (width, height,
     [(source_frame_index, y_plane_bytes)]) or None. Y4M is the standard
@@ -1780,7 +1813,7 @@ def _y4m_frames(b: bytes, every_n: int, max_frames: int):
             h = int(tok[1:])
         elif tok.startswith(b"C"):
             chroma = tok[1:].decode("ascii", "replace")
-    if not w or not h:
+    if not w or not h or w < 0 or h < 0 or w * h > (1 << 26):
         return None
     ysize = w * h
     half_w, half_h = (w + 1) // 2, (h + 1) // 2

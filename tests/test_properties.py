@@ -202,25 +202,41 @@ def test_pack_sequences_layout_invariants(spark, texts, capacity):
 
 @settings(max_examples=30, deadline=None)
 @given(seedv=st.integers(min_value=0, max_value=2**31 - 1),
-       n_flips=st.integers(min_value=1, max_value=12))
-def test_jpeg_decode_never_raises_on_corruption(seedv, n_flips):
-    """Robustness: random byte corruption of a valid progressive JPEG must
-    degrade to None / 'compressed' / a decoded tuple — never an exception
-    (decode_image feeds untrusted bytes straight into the decoder)."""
+       n_flips=st.integers(min_value=1, max_value=12),
+       kind=st.sampled_from(["jpg", "png", "gif", "y4m"]))
+def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
+    """Robustness: random byte corruption/truncation of any valid media
+    payload must degrade to None / 'compressed' / a decoded value — never
+    an exception (decode_image / frame_sample map whole Arrow batches of
+    untrusted bytes; one raising payload would fail the Spark task).
+    The r6 fuzz found real escapes in all four decoders — StopIteration
+    on corrupt progressive SOS headers, reshape/unpack/int-parse
+    ValueErrors — now caught by the _none_on_malformed contract."""
     import numpy as np
 
-    from fermor_spark.pipeline.multimodal import _jpeg_decode, _jpeg_prog_encode
+    from fermor_spark.pipeline.multimodal import (
+        _gif_decode, _jpeg_decode, _jpeg_prog_encode, _png_decode,
+        _png_encode, _y4m_frames)
 
     rng = np.random.RandomState(seedv)
-    arr = rng.randint(0, 256, size=(13, 11), dtype=np.uint8)
-    good = bytearray(_jpeg_prog_encode(arr, dri=2))
+    arr = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    if kind == "jpg":
+        good = bytearray(_jpeg_prog_encode(arr[:, :, 0], dri=2))
+        dec = _jpeg_decode
+    elif kind == "png":
+        good = bytearray(_png_encode(arr))
+        dec = _png_decode
+    elif kind == "gif":
+        from test_pipeline import _gif_bytes
+        good = bytearray(_gif_bytes(arr[:, :, 0] % 16,
+                                    [(i, i, i) for i in range(16)]))
+        dec = _gif_decode
+    else:
+        good = bytearray(b"YUV4MPEG2 W7 H9 C420\n" + b"FRAME\n"
+                         + bytes(9 * 7) + bytes(2 * 5 * 4))
+        dec = lambda b: _y4m_frames(b, 1, 4)  # noqa: E731
     for _ in range(n_flips):
         good[rng.randint(0, len(good))] = rng.randint(0, 256)
-    got = _jpeg_decode(bytes(good))
-    assert got is None or got == "compressed" or (
-        isinstance(got, tuple) and len(got) == 4)
-    # truncations at any prefix length are equally non-raising
-    cut = rng.randint(0, len(good))
-    got2 = _jpeg_decode(bytes(good[:cut]))
-    assert got2 is None or got2 == "compressed" or (
-        isinstance(got2, tuple) and len(got2) == 4)
+    for payload in (bytes(good), bytes(good[:rng.randint(0, len(good))])):
+        got = dec(payload)
+        assert got is None or got == "compressed" or isinstance(got, tuple)
