@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "text_tfidf_topterms",
     "multimodal_progressive_jpeg",
     "g_cc_distributed",
+    # r7 additions: the remaining forced-distributed hybrid legs, so every
+    # hybrid's distributed path carries perf telemetry (their LAST_*_ROUNDS
+    # land in the "rounds" block because they run AFTER the local-finish
+    # hybrids of the same family)
+    "g_scc_distributed",
+    "g_kcore_distributed",
     # real Structured-Streaming execution (availableNow drain to memory):
     # state store + watermark + no-data flush batch, not the batch analog
     "events_streaming_tumbling",
@@ -155,14 +161,23 @@ def main() -> None:
 
     registry = q.all_queries()
     for name in BENCH_QUERIES:
-        # best of three runs: the first pays codegen/JIT warmup and cache
-        # builds, and the shared VM intermittently steals a whole run —
-        # the minimum measures the steady-state plan
+        # one UNTIMED warm-up run, then best of three timed runs. Best-of-N
+        # is defined to measure the steady-state plan, but r6 proved N=3
+        # alone doesn't reach it under the shared VM: the warm-up run pays
+        # codegen/Arrow-worker spin-up AND the query's managed-cache
+        # materialization, which for the cache-building ANN/dedup family ate
+        # runs 1-2 outright (driver-recorded 8.04/5.33/2.69 s for
+        # ann_nearest_neighbor_all/dedup_minhash_lsh/ann_topk_cosine vs
+        # 1.27/1.63/0.78 s measured steady states — run sequences like
+        # 16.4 -> 11.2 -> 1.6 never warmed within three runs). The timed
+        # minimum still absorbs shared-VM interference.
         best = None
-        for _ in range(3):
+        for i in range(4):
             t0 = time.perf_counter()
             _force(registry[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
+            if i == 0:
+                continue  # warm-up: codegen + cache build, never recorded
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         # cache hygiene BETWEEN queries (never between a query's own three

@@ -660,6 +660,9 @@ def _jpeg_decode(b: bytes):
             if b[pos] != 0xFF:
                 return None
             marker = b[pos + 1]
+            if marker == 0xFF:      # T.81 B.1.1.2 fill byte before a marker
+                pos += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
@@ -897,6 +900,9 @@ def _jpeg_progressive(b, pos, w, h, comps, qt, huff, dri):
             if b[pos] != 0xFF:
                 return None
             marker = b[pos + 1]
+            if marker == 0xFF:      # T.81 B.1.1.2 fill byte before a marker
+                pos += 1
+                continue
             if marker == 0xD9:          # EOI
                 break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -915,12 +921,19 @@ def _jpeg_progressive(b, pos, w, h, comps, qt, huff, dri):
                 _jpeg_prog_scan(b, scan_start, data, comps, coefs, nblk,
                                 huff, dri, mcux, mcuy)
                 # entropy data holds no bare markers (0xFF is stuffed /
-                # RSTn): the next segment starts at the first other marker
+                # RSTn): the next segment starts at the first other marker.
+                # T.81 B.1.1.2 allows any number of 0xFF fill bytes before
+                # a marker id — skip runs of 0xFF so we stop on the LAST
+                # one (the marker's own prefix), not a bare fill byte
                 p = scan_start
                 while p + 1 < len(b):
-                    if (b[p] == 0xFF and b[p + 1] != 0x00
-                            and not 0xD0 <= b[p + 1] <= 0xD7):
-                        break
+                    if b[p] == 0xFF:
+                        nxt = b[p + 1]
+                        if nxt == 0xFF:      # fill byte — keep scanning
+                            p += 1
+                            continue
+                        if nxt != 0x00 and not 0xD0 <= nxt <= 0xD7:
+                            break
                     p += 1
                 pos = p
                 continue

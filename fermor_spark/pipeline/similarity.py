@@ -141,7 +141,17 @@ def brute_force_topk_arrow(
                     mask = cids != qid
                     cand_ids = cids[mask]
                     cand_sims = sims[mask]
-                    # block-local top-k by (cosine desc, neighbor id asc)
+                    # block-local top-k by (cosine desc, neighbor id asc):
+                    # O(n) argpartition to the k-th cosine, widened to keep
+                    # every boundary tie, then an exact k-sized lexsort —
+                    # a full O(n log n) sort of a 4096-row block per query
+                    # row is the kernel's hot spot at production block sizes
+                    if len(cand_sims) > k:
+                        kth = cand_sims[
+                            np.argpartition(-cand_sims, k - 1)[k - 1]]
+                        keep = np.flatnonzero(cand_sims >= kth)
+                        cand_ids = cand_ids[keep]
+                        cand_sims = cand_sims[keep]
                     order = np.lexsort((cand_ids, -cand_sims))[:k]
                     out_q.extend([qid] * len(order))
                     out_n.extend(cand_ids[j] for j in order)

@@ -105,3 +105,20 @@ def test_every_query_survives_empty_tables(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 - collecting all failures
             failed.append((name, str(e).splitlines()[0][:120]))
     assert not failed, failed
+
+
+def test_gate_priority_hygiene():
+    """The driver gate records only the first 50 registry rows, ordered by
+    _GATE_PRIORITY — a duplicate silently shrinks the window (dict
+    construction dedups), and an unregistered name silently wastes a slot.
+    The rotation math (120 queries / 50-row window / 3-round cycle) only
+    holds if the list is exactly 50 unique registered names."""
+    from fermor_spark import queries as q
+
+    gp = q._GATE_PRIORITY
+    assert len(set(gp)) == len(gp), "duplicate names in _GATE_PRIORITY"
+    assert len(gp) == 50, "gate priority list must fill the 50-row window"
+    reg = q.all_queries()
+    unknown = [k for k in gp if k not in reg]
+    assert not unknown, f"unregistered names in _GATE_PRIORITY: {unknown}"
+    assert list(reg)[:50] == gp, "priority head must be the gate window"

@@ -240,3 +240,39 @@ def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
     for payload in (bytes(good), bytes(good[:rng.randint(0, len(good))])):
         got = dec(payload)
         assert got is None or got == "compressed" or isinstance(got, tuple)
+
+
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker.
+    Entropy data never contains a bare 0xFF followed by a segment-marker id
+    (0xFF is stuffed as 0xFF00 or is an RSTn), so injecting an extra 0xFF
+    before every DQT/DHT/SOF/SOS/EOI marker yields a legal stream with fill
+    bytes at every segment boundary — including BETWEEN progressive scans,
+    where the inter-scan marker search previously stopped on the bare fill
+    byte, misparsed the segment length, and degraded the file to None
+    (ADVICE r6 #3)."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import (
+        _jpeg_decode, _jpeg_encode, _jpeg_prog_encode)
+
+    seg_markers = {0xC0, 0xC2, 0xC4, 0xD9, 0xDA, 0xDB, 0xDD}
+
+    def inject_fill(b: bytes) -> bytes:
+        out = bytearray()
+        p = 0
+        while p < len(b):
+            if p + 1 < len(b) and b[p] == 0xFF and b[p + 1] in seg_markers:
+                out += b"\xff\xff"          # two fill bytes, then the marker
+            out.append(b[p])
+            p += 1
+        return bytes(out)
+
+    arr = np.random.RandomState(7).randint(0, 256, size=(17, 13),
+                                           dtype=np.uint8)
+    for enc in (_jpeg_encode(arr, q=8),
+                _jpeg_prog_encode(arr, q=8, al=1, dri=2)):
+        clean = _jpeg_decode(enc)
+        filled = _jpeg_decode(inject_fill(enc))
+        assert clean not in (None, "compressed")
+        assert filled == clean

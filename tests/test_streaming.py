@@ -142,3 +142,42 @@ def test_streaming_curation_matches_batch(spark):
     )
     exp = {(r["doc_id"], r["split"]) for r in batch.select("doc_id", "split").collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_running_totals_multibatch_negative_values(spark, tmp_path):
+    """ADVICE r6 #2 scenario: a multi-batch drain over data whose values go
+    NEGATIVE makes per-user totals non-monotone across update emissions, so
+    aggregating max(n_events) and max(total_value) independently pairs a
+    stale max total with the final count. The gate's max_by pairing (select
+    the total from the update row carrying the max n_events — the final
+    state row, since counts are strictly monotone) must match the batch sum."""
+    import pandas as pd
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    batches = [
+        pd.DataFrame({"user_id": [1, 2], "value": [10.0, 3.0]}),
+        pd.DataFrame({"user_id": [1, 2], "value": [-5.0, 4.0]}),
+        pd.DataFrame({"user_id": [1], "value": [-2.0]}),
+    ]
+    for i, pdf in enumerate(batches):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(src / f"b{i}"))
+    sdf = (spark.readStream.schema("user_id long, value double")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src) + "/*"))
+    out = _drain(spark, streaming.running_user_totals(sdf),
+                 "t_running_negative", mode="update")
+    # multiple update emissions per user must exist for the test to bite
+    assert out.where(F.col("user_id") == 1).count() > 1
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+           for r in out.groupBy("user_id").agg(
+               F.max("n_events").alias("n_events"),
+               F.round(F.max_by("total_value", "n_events"), 4)
+               .alias("total_value")).collect()}
+    assert got == {1: (3, 3.0), 2: (2, 7.0)}
+    # the independent-max pairing the gate moved OFF of is provably wrong here
+    bad = {r["user_id"]: round(r["mx"], 4)
+           for r in out.groupBy("user_id").agg(
+               F.max("total_value").alias("mx")).collect()}
+    assert bad[1] == 10.0  # stale max total != final state total 3.0
