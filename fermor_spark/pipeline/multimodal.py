@@ -1,30 +1,42 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Three tiers of codec support, honestly delineated:
+Codec support matrix, honestly delineated (REAL = pure-Python/numpy decode
+in this module, no external codec library; STUB = raises
+``NotImplementedError`` unless ``fake=True`` supplies a deterministic fake):
 
-* REAL, no external deps: ``parse_image_header`` (PNG/GIF/BMP/JPEG
-  dimensions from container bytes), ``decode_image`` for PPM/PGM/BMP
-  (pure-numpy pixel decode), PNG (full zlib inflate + scanline unfilter +
-  bit unpack via ``_png_decode`` — all five filters, depths 1-16, color
-  types 0/2/3/4/6, Adam7), GIF (``_gif_decode`` — pure-Python LZW,
-  global/local palettes, interlace), AND JPEG (``_jpeg_decode`` —
-  baseline SOF0/1 and PROGRESSIVE SOF2: canonical Huffman, DC-diff/
-  AC-run-length entropy decode, spectral selection + successive
-  approximation with AC correction bits and EOB runs, dequant + 8x8
-  IDCT, 4:2:0/4:2:2 upsampling, restart markers; validated against
-  independently-encoded fixtures), ``_png_encode`` (fixture/oracle
-  encoder), ``frame_sample`` on Y4M payloads (``_y4m_frames`` —
-  uncompressed YUV4MPEG2 luma-plane extraction), ``decode_wav``
-  (RIFF/WAVE PCM header + numpy sample statistics), ``resize_image_raw``
-  (nearest-neighbor resize of raw interleaved arrays via numpy indexing).
-* STUBBED behind ``fake=True`` where the env lacks the codec library:
-  ``decode_image`` on ARITHMETIC-coded/lossless/hierarchical JPEG (needs
-  PIL/opencv; Huffman baseline AND progressive are real), and
-  ``frame_sample`` on compressed video containers — video support is
-  Y4M-ONLY (uncompressed YUV4MPEG2); mp4/webm/mkv need ffmpeg. The
-  Spark-side machinery — schemas, batching, partition sizing, UDF
-  signatures, row explosion — is real and tested either way.
+======================  ==========================================  ======
+Format / variant        Decoder                                     Status
+======================  ==========================================  ======
+PNG (all 5 filters,     ``_png_decode`` (zlib inflate + unfilter    REAL
+depths 1-16, color      + bit unpack, Adam7 interlace)
+types 0/2/3/4/6)
+GIF 87a/89a             ``_gif_decode`` (LZW, global/local           REAL
+                        palettes, interlace)
+BMP / PPM / PGM         ``decode_image`` inline (raw raster)         REAL
+JPEG baseline SOF0/1    ``_jpeg_scan`` (canonical Huffman, dequant,  REAL
+                        8x8 IDCT, 4:2:0/4:2:2 upsample, restarts)
+JPEG progressive SOF2   ``_jpeg_progressive`` (spectral selection,   REAL
+                        successive approximation + AC refinement,
+                        EOB runs, restart markers)
+JPEG lossless SOF3,     ``_jpeg_lossless_scan`` (annex-H predictors  REAL
+8-bit single-comp       1-7, point transform, restarts; encoder
+                        ``_jpeg_lossless_encode`` for fixtures)
+JPEG lossless SOF3,     returns "compressed" (needs a 16-bit pixel   STUB
+>8-bit / multi-comp     contract / external codec)
+JPEG arithmetic /       returns "compressed" (needs PIL/opencv)      STUB
+hierarchical (SOF5-15
+ex. 7,11)
+WAV (RIFF PCM)          ``decode_wav`` + FFT features                REAL
+Y4M (YUV4MPEG2)         ``_y4m_frames`` luma-plane frame sample      REAL
+mp4 / webm / mkv        compressed containers need ffmpeg            STUB
+======================  ==========================================  ======
+
+``parse_image_header`` sniffs PNG/GIF/BMP/all-SOFn-JPEG dimensions without
+decoding. ``_png_encode``/``_jpeg_encode``/``_jpeg_prog_encode``/
+``_jpeg_lossless_encode`` are fixture/oracle encoders. The Spark-side
+machinery — schemas, batching, partition sizing, UDF signatures, row
+explosion — is real and tested for every row above, stubbed or not.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning skips them unless projected; ``repartition_for_payload`` right-sizes
@@ -654,6 +666,7 @@ def _jpeg_decode(b: bytes):
     w = h = 0
     dri = 0
     progressive = False
+    lossless = False
     pos = 2
     try:
         while pos + 4 <= len(b):
@@ -672,7 +685,8 @@ def _jpeg_decode(b: bytes):
                 _jpeg_parse_dqt(data, qt)
             elif marker == 0xC4:    # DHT
                 _jpeg_parse_dht(data, huff)
-            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 baseline,
+                # SOF2 progressive, SOF3 lossless
                 _prec, h, w = struct.unpack(">BHH", data[0:5])
                 nc = data[5]
                 comps = []
@@ -681,12 +695,18 @@ def _jpeg_decode(b: bytes):
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                                   "tq": tq})
                 progressive = marker == 0xC2
-            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                lossless = marker == 0xC3
+            elif marker in (0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return "compressed"   # arithmetic / lossless / hierarchical
+                return "compressed"   # arithmetic / hierarchical
             elif marker == 0xDD:    # DRI
                 dri = struct.unpack(">H", data[:2])[0]
             elif marker == 0xDA:    # SOS → entropy-coded data follows
+                if lossless:
+                    # predictor+Huffman only (T.81 annex H) — no DCT/quant
+                    return _jpeg_lossless_scan(
+                        b, pos + 2 + seg_len, w, h, comps, data, huff,
+                        dri, _prec)
                 if progressive:
                     # hand the whole remaining segment stream (this scan +
                     # later DHT/DQT/DRI/SOS segments) to the multi-scan walker
@@ -773,6 +793,77 @@ def _jpeg_bitreader(b, pos):
         bitbuf[2] = p + 2
 
     return getbits, decode_huff, restart
+
+
+def _jpeg_lossless_scan(b, pos, w, h, comps, hdr, huff, dri, prec):
+    """Decode a LOSSLESS (SOF3, T.81 annex H) scan: no DCT, no quantization
+    — each sample is a Huffman-coded difference from a neighbor prediction
+    (predictors 1-7 over Ra/Rb/Rc, point transform Pt). Supported: 8-bit
+    single-component raster scans (the common grayscale shape); deeper
+    precisions and interleaved multi-component lossless still return
+    "compressed" (they need a 16-bit pixel contract / external codecs).
+
+    Prediction boundary rules (H.1.2.1): the first sample of the scan and
+    the first sample after a restart use the default 1 << (P-1-Pt); the
+    rest of the first row predicts from Ra; the first column predicts from
+    Rb; elsewhere the scan-header predictor Sv applies. Reconstruction is
+    modulo 2**16."""
+    import numpy as np
+
+    ns = hdr[0]
+    if ns != 1 or len(comps) != 1 or prec != 8:
+        return "compressed"
+    td = hdr[2] >> 4
+    sv = hdr[1 + 2 * ns]            # Ss field = predictor selector
+    pt = hdr[3 + 2 * ns] & 0x0F     # Al field = point transform
+    lut = huff.get((0, td))
+    if lut is None or not 1 <= sv <= 7 or pt >= prec:
+        return None
+    getbits, decode_huff, restart = _jpeg_bitreader(b, pos)
+    default = 1 << (prec - 1 - pt)
+    out = np.zeros((h, w), dtype=np.int32)
+    o = out  # local alias for the hot loop
+    count = 0
+    reset = True
+    for y in range(h):
+        row = o[y]
+        up = o[y - 1] if y else None
+        for x in range(w):
+            if dri and count and count % dri == 0:
+                restart()
+                reset = True
+            count += 1
+            s = decode_huff(lut)
+            if s == 16:             # H.1.2.2: SSSS=16 → diff 32768, no bits
+                diff = 32768
+            else:
+                diff = _jpeg_extend(getbits(s), s) if s else 0
+            if reset:
+                px = default
+                reset = False
+            elif y == 0:
+                px = int(row[x - 1])
+            elif x == 0:
+                px = int(up[x])
+            else:
+                ra, rb, rc = int(row[x - 1]), int(up[x]), int(up[x - 1])
+                if sv == 1:
+                    px = ra
+                elif sv == 2:
+                    px = rb
+                elif sv == 3:
+                    px = rc
+                elif sv == 4:
+                    px = ra + rb - rc
+                elif sv == 5:
+                    px = ra + ((rb - rc) >> 1)
+                elif sv == 6:
+                    px = rb + ((ra - rc) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+            row[x] = (px + diff) & 0xFFFF
+    px_bytes = (out.astype(np.uint16) << pt).astype(np.uint8).tobytes()
+    return w, h, 1, px_bytes
 
 
 def _jpeg_color(w, h, comps, hmax, vmax, planes):
@@ -1579,6 +1670,93 @@ def _jpeg_prog_encode(arr, q=8, subsample=False, al=1,
     return bytes(out)
 
 
+def _jpeg_lossless_encode(arr, predictor=1, pt=0, dri=0):
+    """LOSSLESS (SOF3) grayscale 8-bit encoder — the fixture/oracle side of
+    the annex-H decoder: decode(encode(a)) must reproduce a exactly for
+    Pt=0, and (a >> Pt) << Pt for a nonzero point transform. Emits a fixed
+    12-category DC-style Huffman table, the scan-header predictor in Ss and
+    Pt in Al, restart markers every `dri` samples, and 0xFF-stuffed
+    entropy data; mirrors the boundary/restart prediction rules of
+    _jpeg_lossless_scan."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape
+    s = (arr.astype(np.int32) >> pt)
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    dc_counts = [0] * 16
+    dc_counts[3] = 12               # 12 codes of length 4, symbols 0-11
+    dc_syms = list(range(12))
+    body = bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+    out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([1, 1, 0x00, predictor, 0, pt & 0x0F])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    lut = {}
+    code = 0
+    for k in range(12):             # all codes are length 4 here
+        lut[k] = (4, code)
+        code += 1
+
+    acc = [0, 0]
+
+    def put(c, ln):
+        acc[0] = (acc[0] << ln) | c
+        acc[1] += ln
+        while acc[1] >= 8:
+            byte = (acc[0] >> (acc[1] - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            acc[1] -= 8
+            acc[0] &= (1 << acc[1]) - 1
+
+    def flush():
+        if acc[1]:
+            pad = 8 - acc[1]
+            byte = ((acc[0] << pad) | ((1 << pad) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            acc[0] = acc[1] = 0
+
+    default = 1 << (8 - 1 - pt)
+    count = 0
+    reset = True
+    for y in range(h):
+        for x in range(w):
+            if dri and count and count % dri == 0:
+                flush()
+                out += bytes([0xFF, 0xD0 + ((count // dri - 1) % 8)])
+                reset = True
+            count += 1
+            if reset:
+                px = default
+                reset = False
+            elif y == 0:
+                px = int(s[y, x - 1])
+            elif x == 0:
+                px = int(s[y - 1, x])
+            else:
+                ra, rb, rc = int(s[y, x - 1]), int(s[y - 1, x]), int(s[y - 1, x - 1])
+                px = (ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+                      rb + ((ra - rc) >> 1), (ra + rb) >> 1)[predictor - 1]
+            diff = int(s[y, x]) - px
+            cat = abs(diff).bit_length()
+            ln, c = lut[cat]
+            put(c, ln)
+            if cat:
+                put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _png_encode(arr, filter_mode: str = "mixed") -> bytes:
     """REAL pure-Python PNG encoder (8-bit, non-interlaced) for fixtures and
     the synthetic round-trip oracle: arr is uint8 (h, w) or (h, w, ch),
@@ -1710,11 +1888,12 @@ def decode_image(df: DataFrame, fake: bool = False,
                 got = decode_one(bytes(c)) if c is not None else None
                 if got == "compressed" and not fake:
                     raise NotImplementedError(
-                        "arithmetic/lossless/hierarchical JPEG decode "
-                        "requires PIL/opencv, unavailable in this "
-                        "environment (Huffman baseline and progressive "
-                        "decode natively); pass fake=True for the "
-                        "deterministic stub")
+                        "arithmetic/hierarchical JPEG (and >8-bit or "
+                        "multi-component lossless) decode requires "
+                        "PIL/opencv, unavailable in this environment "
+                        "(Huffman baseline, progressive, and 8-bit "
+                        "grayscale lossless decode natively); pass "
+                        "fake=True for the deterministic stub")
                 if got in ("compressed", None) and fake and c is not None:
                     got = (((c[0] if len(c) else 0) % 64) + 1,
                            ((c[1] if len(c) > 1 else 0) % 64) + 1, 3, c)
@@ -1765,6 +1944,37 @@ def synth_jpeg_pair_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     * np.cos((yy + mid % 3) / 5.0), 0, 255).astype(np.uint8)
                 ids.extend([2 * mid, 2 * mid + 1])
                 blobs.extend([_jpeg_prog_encode(arr), _jpeg_encode(arr)])
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["image"] * len(ids),
+                "content": blobs, "meta": [{}] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_lossless_jpeg_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per input id, ONE media row holding a deterministic grayscale image
+    encoded as LOSSLESS JPEG (SOF3, annex H) with per-id-varied predictor
+    (1 + id % 7) and restart interval (id % 4; 0 = none). Lossless decode
+    reproduces pixels EXACTLY, so the decoded pixel_sum has the same
+    closed form as the input grid — the oracle can state the sum itself,
+    a stronger contract than the progressive pair's equality bit.
+
+    Image: width = 4 + id % 15, height = 4 + id % 11,
+    pixel (y, x) = (id*37 + y*19 + x*7) % 256."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 15, 4 + mid % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((mid * 37 + yy * 19 + xx * 7) % 256).astype(np.uint8)
+                ids.append(mid)
+                blobs.append(_jpeg_lossless_encode(
+                    arr, predictor=1 + mid % 7, dri=mid % 4))
             yield pd.DataFrame({
                 "media_id": ids, "kind": ["image"] * len(ids),
                 "content": blobs, "meta": [{}] * len(ids),

@@ -2974,6 +2974,39 @@ def multimodal_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_lossless_jpeg",
+    """
+    WITH d AS (
+      SELECT doc_id, (4 + doc_id % 15) AS w, (4 + doc_id % 11) AS h
+      FROM documents WHERE doc_id % 71 = 0
+    )
+    SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+           1 AS channels,
+           sum((doc_id*37 + y.r*19 + x.r*7) % 256)::BIGINT AS pixel_sum
+    FROM d, range(15) y(r), range(19) x(r)
+    WHERE y.r < d.h AND x.r < d.w
+    GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_lossless_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS (SOF3) JPEG decode contract, driver-gated: per selected doc
+    a closed-form pixel grid is encoded lossless with per-id-varied
+    annex-H predictor and restart interval
+    (multimodal.synth_lossless_jpeg_table), decoded through the real
+    mapInPandas decode path with pixels, and the decoded pixel_sum is
+    returned. Lossless decode must reproduce pixels EXACTLY, so the
+    oracle states the sum's closed form directly — any predictor,
+    restart, or entropy defect shifts the sum. Reference has no
+    multimodal surface; training-data-pipeline extension scope."""
+    from fermor_spark.pipeline import multimodal
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 71 == 0)
+    dec = multimodal.decode_image(
+        multimodal.synth_lossless_jpeg_table(d, "doc_id"), with_pixels=True)
+    return dec.select("media_id", "width", "height", "channels", "pixel_sum")
+
+
+@query(
     "multimodal_y4m_frame_stats",
     """
     WITH d AS (
@@ -3725,11 +3758,14 @@ _GATE_PRIORITY = [
     # max_by pairing, and the JPEG walkers gained fill-byte tolerance
     "ann_topk_cosine", "ann_nearest_neighbor_all",
     "events_streaming_user_state", "multimodal_progressive_jpeg",
-    # (3) 23 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    # new in r7 — a registered query is gated the round it lands:
+    "multimodal_lossless_jpeg",
+    # (3) 22 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 24 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 25 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
-    # part_name_prefixes) stay <=2 old and head the r8 window
+    # part_name_prefixes, cube_lineitem_flags) stay <=2 old and head the
+    # r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region", "g_both_neighbors_nation",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
@@ -3738,7 +3774,7 @@ _GATE_PRIORITY = [
     "median_price_by_status", "monthly_revenue", "multimodal_png_roundtrip",
     "multimodal_wav_features", "multimodal_y4m_frame_stats",
     "top3_orders_per_customer", "rollup_order_totals", "sample_split_counts",
-    "pipeline_curation_funnel", "cube_lineitem_flags",
+    "pipeline_curation_funnel",
 ]
 
 

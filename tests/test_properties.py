@@ -203,7 +203,7 @@ def test_pack_sequences_layout_invariants(spark, texts, capacity):
 @settings(max_examples=30, deadline=None)
 @given(seedv=st.integers(min_value=0, max_value=2**31 - 1),
        n_flips=st.integers(min_value=1, max_value=12),
-       kind=st.sampled_from(["jpg", "png", "gif", "y4m"]))
+       kind=st.sampled_from(["jpg", "jpg_lossless", "png", "gif", "y4m"]))
 def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
     """Robustness: random byte corruption/truncation of any valid media
     payload must degrade to None / 'compressed' / a decoded value — never
@@ -215,13 +215,17 @@ def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
     import numpy as np
 
     from fermor_spark.pipeline.multimodal import (
-        _gif_decode, _jpeg_decode, _jpeg_prog_encode, _png_decode,
-        _png_encode, _y4m_frames)
+        _gif_decode, _jpeg_decode, _jpeg_lossless_encode, _jpeg_prog_encode,
+        _png_decode, _png_encode, _y4m_frames)
 
     rng = np.random.RandomState(seedv)
     arr = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
     if kind == "jpg":
         good = bytearray(_jpeg_prog_encode(arr[:, :, 0], dri=2))
+        dec = _jpeg_decode
+    elif kind == "jpg_lossless":
+        good = bytearray(_jpeg_lossless_encode(arr[:, :, 0], predictor=4,
+                                               dri=3))
         dec = _jpeg_decode
     elif kind == "png":
         good = bytearray(_png_encode(arr))
@@ -276,3 +280,32 @@ def test_jpeg_fill_bytes_before_markers_tolerated():
         filled = _jpeg_decode(inject_fill(enc))
         assert clean not in (None, "compressed")
         assert filled == clean
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seedv=st.integers(min_value=0, max_value=2**31 - 1),
+    predictor=st.integers(min_value=1, max_value=7),
+    pt=st.integers(min_value=0, max_value=2),
+    dri=st.sampled_from([0, 1, 3]),
+)
+def test_lossless_jpeg_roundtrip_exact(w, h, seedv, predictor, pt, dri):
+    """LOSSLESS (SOF3) contract: decode(encode(a)) must be BYTE-EXACT for
+    any image content, size, annex-H predictor (1-7), point transform and
+    restart interval — with Pt>0 the reproduction target is (a>>Pt)<<Pt
+    (the point transform drops low bits by definition; the entropy path
+    itself is exact)."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import (
+        _jpeg_decode, _jpeg_lossless_encode)
+
+    arr = np.random.RandomState(seedv).randint(
+        0, 256, size=(h, w), dtype=np.uint8)
+    got = _jpeg_decode(_jpeg_lossless_encode(arr, predictor=predictor,
+                                             pt=pt, dri=dri))
+    assert got not in (None, "compressed")
+    assert got[:3] == (w, h, 1)
+    assert got[3] == ((arr >> pt) << pt).astype(np.uint8).tobytes()
