@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "text_tfidf_topterms",
     "multimodal_progressive_jpeg",
     "multimodal_lossless_jpeg",
+    "dedup_duplicated_spans",
     "g_cc_distributed",
     # r7 additions: the remaining forced-distributed hybrid legs, so every
     # hybrid's distributed path carries perf telemetry (their LAST_*_ROUNDS

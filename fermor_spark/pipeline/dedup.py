@@ -446,6 +446,79 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,
     return comp
 
 
+def duplicated_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 20, min_count: int = 2, min_span: int = 0,
+) -> DataFrame:
+    """EXACT-SUBSTRING duplicate spans (the ESD operator of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022)
+    re-expressed Spark-first: instead of a monolithic suffix array, anchor
+    on character k-grams — a position p is DUPLICATED when the k-gram
+    starting at p occurs >= min_count times across the whole corpus
+    (repeats inside the same document count, matching the paper's
+    any-repeat semantics), and maximal runs of consecutive duplicated
+    positions merge into spans [span_start, span_end) with
+    span_end = last_pos + k. Any duplicated substring of length >= k is
+    covered exactly by one reported span.
+
+    Returns (doc_id, span_start, span_end, span_len), spans of length
+    < min_span dropped.
+
+    Scale shape (100 TB): 100% JVM column expressions — k-gram explosion
+    via sequence+explode (row-linear in corpus characters, no UDF), one
+    keyed count-shuffle on the k-gram hash (map-side partial combine), one
+    hash-join of positions against the duplicated-gram set, and one
+    per-document window merge (partitioned by doc). Positions group on
+    xxhash64(gram) rather than the gram string to keep shuffle rows at 8
+    bytes/key; a collision marking a unique gram duplicated has
+    probability ~n^2/2^65 — negligible against the sampling noise of any
+    downstream use, and the DuckDB oracle (which groups on the raw gram)
+    driver-gates the equivalence at test scale."""
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .where(F.length("_t") >= k)
+    )
+    grams = base.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.length("_t") - k)).alias("pos"),
+        "_t",
+    ).select(
+        "_id", "pos",
+        F.xxhash64(F.expr(f"substring(_t, pos + 1, {k})")).alias("_gh"),
+    )
+    # the gram table feeds BOTH the count aggregate and the position join;
+    # without a cache Catalyst re-scans and re-explodes the corpus twice.
+    # (id, pos, hash) is 24 bytes/row — far smaller than the text it came
+    # from — and MEMORY_AND_DISK spills rather than evicting at scale
+    grams = managed_cache(grams)
+    dup = (
+        grams.groupBy("_gh").agg(F.count("*").alias("_cnt"))
+        .where(F.col("_cnt") >= min_count)
+        .select("_gh")
+    )
+    pos = grams.join(dup, "_gh").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = (
+        pos.withColumn(
+            "_brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0))
+            .otherwise(F.lit(1)))
+        .withColumn("_run", F.sum("_brk").over(w))
+    )
+    spans = (
+        runs.groupBy("_id", "_run")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + k).alias("span_end"))
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"))
+    )
+    if min_span > 0:
+        spans = spans.where(F.col("span_len") >= min_span)
+    return spans
+
+
 def contamination_pairs(
     train: DataFrame, bench: DataFrame,
     train_id: str = "doc_id", train_text: str = "text",

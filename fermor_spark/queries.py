@@ -1692,6 +1692,49 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_duplicated_spans",
+    """
+    WITH g AS (
+      SELECT doc_id, p.r AS pos, substr(text, p.r + 1, 20) AS gram
+      FROM documents, range(600) p(r)
+      WHERE p.r <= length(text) - 20
+    ),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+    r AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM r
+    )
+    SELECT doc_id, min(pos)::BIGINT AS span_start,
+           (max(pos) + 20)::BIGINT AS span_end,
+           (max(pos) + 20 - min(pos))::BIGINT AS span_len
+    FROM runs GROUP BY doc_id, run_id
+    """,
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. ESD, suffix-array
+    semantics re-expressed as k-gram anchoring — pipeline.dedup.
+    duplicated_spans): maximal character spans whose every 20-gram repeats
+    somewhere in the corpus. FULL-COMPUTATION oracle: DuckDB re-derives the
+    spans from raw text with the identical gram/merge semantics (grouping
+    on the gram itself where the Spark side groups on xxhash64 for 8-byte
+    shuffle keys). Training-data-pipeline extension scope; no reference
+    counterpart."""
+    from fermor_spark.pipeline.dedup import duplicated_spans
+
+    d = table(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", k=20, min_count=2)
+
+
+@query(
     "dedup_exact",
     """
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -3759,19 +3802,19 @@ _GATE_PRIORITY = [
     "ann_topk_cosine", "ann_nearest_neighbor_all",
     "events_streaming_user_state", "multimodal_progressive_jpeg",
     # new in r7 — a registered query is gated the round it lands:
-    "multimodal_lossless_jpeg",
-    # (3) 22 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "multimodal_lossless_jpeg", "dedup_duplicated_spans",
+    # (3) 21 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 25 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 26 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
-    # part_name_prefixes, cube_lineitem_flags) stay <=2 old and head the
-    # r8 window
+    # part_name_prefixes, cube_lineitem_flags, monthly_revenue) stay <=2
+    # old and head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region", "g_both_neighbors_nation",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
     "events_asof_prior_click", "events_range_nearby_counts",
-    "median_price_by_status", "monthly_revenue", "multimodal_png_roundtrip",
+    "median_price_by_status", "multimodal_png_roundtrip",
     "multimodal_wav_features", "multimodal_y4m_frame_stats",
     "top3_orders_per_customer", "rollup_order_totals", "sample_split_counts",
     "pipeline_curation_funnel",

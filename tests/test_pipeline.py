@@ -1085,3 +1085,38 @@ def test_quantized_topk_recall(spark):
              for r in similarity.quantized_topk(emb, qs, k=5).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_duplicated_spans_semantics(spark):
+    """ESD k-gram span semantics on a hand-built corpus: a shared 12-char
+    substring between two docs yields exactly one maximal span per doc
+    covering it (with k=8: duplicated positions 0..4 merge to [0, 12));
+    a doc with no repeated 8-gram yields no span; an in-document repeat
+    (the paper's any-repeat semantics) is also caught."""
+    import pandas as pd
+
+    from fermor_spark.pipeline.dedup import duplicated_spans
+
+    shared = "ABCDEFGHIJKL"                      # 12 chars, shared by 1+2
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            shared + "xqzwvu1743",               # span [0, 12)
+            "mmnnoo" + shared,                   # span [6, 18)
+            "zyxwvutsrqpon0123456",              # unique: no spans
+            "PPQQRRSS--PPQQRRSS--",              # self-repeat "PPQQRRSS--"
+        ],
+    }))
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_len)
+           for r in duplicated_spans(docs, k=8).collect()}
+    assert (1, 0, 12, 12) in got
+    assert (2, 6, 18, 18 - 6) in got
+    assert not any(t[0] == 3 for t in got)
+    # doc 4: "PPQQRRSS--" appears at 0 and 10; 8-grams at pos 0..2 equal
+    # 8-grams at pos 10..12 -> duplicated positions {0,1,2,10,11,12} merge
+    # into [0,10) and [10,20)
+    assert (4, 0, 10, 10) in got and (4, 10, 20, 10) in got
+    assert len([t for t in got if t[0] == 4]) == 2
+    # min_span filter drops the length-10 self-repeat spans, keeps the 12s
+    short = duplicated_spans(docs, k=8, min_span=11).collect()
+    assert {(r.doc_id, r.span_len) for r in short} == {(1, 12), (2, 12)}
