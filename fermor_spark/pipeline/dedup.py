@@ -519,6 +519,29 @@ def duplicated_spans(
     return spans
 
 
+def span_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 20, min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-character coverage — the DECISION metric on
+    top of duplicated_spans (drop or trim documents whose duplicated
+    fraction exceeds a policy threshold, the usual corpus-curation rule
+    paired with ESD). Returns every document of length >= k with
+    (doc_id, n_chars, dup_chars, dup_frac); documents with no duplicated
+    span report 0. Spans are maximal and non-overlapping by construction,
+    so dup_chars is a plain sum of span lengths."""
+    spans = duplicated_spans(df, id_col, text_col, k=k, min_count=min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").alias("dup_chars"))
+    docs = df.select(id_col, F.length(text_col).alias("n_chars")).where(
+        F.col("n_chars") >= k)
+    return docs.join(per_doc, id_col, "left").select(
+        id_col, "n_chars",
+        F.coalesce(F.col("dup_chars"), F.lit(0)).alias("dup_chars"),
+        F.round(F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("n_chars"),
+                4).alias("dup_frac"))
+
+
 def contamination_pairs(
     train: DataFrame, bench: DataFrame,
     train_id: str = "doc_id", train_text: str = "text",

@@ -1735,6 +1735,53 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_coverage",
+    """
+    WITH g AS (
+      SELECT doc_id, p.r AS pos, substr(text, p.r + 1, 20) AS gram
+      FROM documents, range(600) p(r)
+      WHERE p.r <= length(text) - 20
+    ),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+    r AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM r
+    ),
+    spans AS (
+      SELECT doc_id, max(pos) + 20 - min(pos) AS span_len
+      FROM runs GROUP BY doc_id, run_id
+    ),
+    agg AS (SELECT doc_id, sum(span_len) AS dup_chars
+            FROM spans GROUP BY doc_id)
+    SELECT t.doc_id, length(t.text)::BIGINT AS n_chars,
+           coalesce(agg.dup_chars, 0)::BIGINT AS dup_chars,
+           round(coalesce(agg.dup_chars, 0) / length(t.text), 4) AS dup_frac
+    FROM documents t LEFT JOIN agg USING (doc_id)
+    WHERE length(t.text) >= 20
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-character fraction (pipeline.dedup.
+    span_coverage) — the corpus-curation decision metric layered on the
+    ESD spans: drop/trim docs whose dup_frac exceeds policy. Oracle
+    re-derives the whole span pipeline then aggregates, left-joined so
+    clean documents report 0."""
+    from fermor_spark.pipeline.dedup import span_coverage
+
+    d = table(spark, sf_dir, "documents")
+    return span_coverage(d, "doc_id", "text", k=20, min_count=2)
+
+
+@query(
     "dedup_exact",
     """
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -3803,18 +3850,19 @@ _GATE_PRIORITY = [
     "events_streaming_user_state", "multimodal_progressive_jpeg",
     # new in r7 — a registered query is gated the round it lands:
     "multimodal_lossless_jpeg", "dedup_duplicated_spans",
-    # (3) 21 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "dedup_span_coverage",
+    # (3) 20 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 26 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 27 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
-    # part_name_prefixes, cube_lineitem_flags, monthly_revenue) stay <=2
-    # old and head the r8 window
+    # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
+    # median_price_by_status) stay <=2 old and head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region", "g_both_neighbors_nation",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
     "events_asof_prior_click", "events_range_nearby_counts",
-    "median_price_by_status", "multimodal_png_roundtrip",
+    "multimodal_png_roundtrip",
     "multimodal_wav_features", "multimodal_y4m_frame_stats",
     "top3_orders_per_customer", "rollup_order_totals", "sample_split_counts",
     "pipeline_curation_funnel",

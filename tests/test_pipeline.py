@@ -1120,3 +1120,26 @@ def test_duplicated_spans_semantics(spark):
     # min_span filter drops the length-10 self-repeat spans, keeps the 12s
     short = duplicated_spans(docs, k=8, min_span=11).collect()
     assert {(r.doc_id, r.span_len) for r in short} == {(1, 12), (2, 12)}
+
+
+def test_span_coverage_decision_metric(spark):
+    """span_coverage reports EVERY doc of length >= k: duplicated docs
+    carry sum-of-span lengths, clean docs report 0 (left-join semantics),
+    and sub-k docs are excluded (no k-gram can exist)."""
+    import pandas as pd
+
+    from fermor_spark.pipeline.dedup import span_coverage
+
+    shared = "ABCDEFGHIJKL"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [shared + "xqzwvu1743",          # 22 chars, 12 dup
+                 "mmnnoo" + shared,              # 18 chars, 12 dup
+                 "zyxwvutsrqpon0123456",         # clean
+                 "tiny"],                        # < k: excluded
+    }))
+    got = {r.doc_id: (r.n_chars, r.dup_chars, r.dup_frac)
+           for r in span_coverage(docs, k=8).collect()}
+    assert got == {1: (22, 12, round(12 / 22, 4)),
+                   2: (18, 12, round(12 / 18, 4)),
+                   3: (20, 0, 0.0)}
