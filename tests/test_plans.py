@@ -200,3 +200,22 @@ def test_managed_cache_release(spark):
     assert n >= 1
     assert not cached.storageLevel.useMemory
     assert S.release_caches() == 0  # idempotent when empty
+
+
+def test_duplicated_spans_plan_contract(spark, registry):
+    """ESD span plan must stay 100% JVM (no Python eval node — the gram
+    explosion is sequence+explode, not a UDF), read only (doc_id, text)
+    from the documents scan, and push the length(text) >= k filter down
+    as a data filter. Shuffles are bounded: gram-hash count aggregate,
+    per-doc window, and (at test scale) a broadcast of the dup-gram set."""
+    from fermor_spark.session import release_caches
+
+    p = plan_of(registry["dedup_duplicated_spans"](spark, SF))
+    release_caches()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "mapInPandas" not in p and "FlatMapGroupsInPandas" not in p
+    scan_schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan_schemas and all(
+        "lang" not in ln and "source" not in ln and "n_chars" not in ln
+        for ln in scan_schemas)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
