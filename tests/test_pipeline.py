@@ -189,8 +189,8 @@ def test_multimodal_decode_stub(spark):
     decoded = {r["media_id"]: r for r in multimodal.decode_image(df, fake=True).collect()}
     assert decoded[1]["width"] == 11 and decoded[1]["height"] == 21
     assert decoded[1]["n_bytes"] == 4
-    # PNG/GIF/baseline-JPEG/progressive-JPEG are decoded for real now; only
-    # ARITHMETIC-coded jpeg (SOF9) stays stubbed without fake=True
+    # PNG/GIF/baseline/progressive/lossless-JPEG are decoded for real now;
+    # only ARITHMETIC-coded jpeg (SOF9) stays stubbed without fake=True
     arith = (b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
              + b"\xff\xd9")
     jpg = multimodal.media_table(
