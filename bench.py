@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "text_tfidf_topterms",
     "multimodal_progressive_jpeg",
     "multimodal_lossless_jpeg",
+    "multimodal_video_metadata",
     "dedup_duplicated_spans",
     "g_cc_distributed",
     # r7 additions: the remaining forced-distributed hybrid legs, so every

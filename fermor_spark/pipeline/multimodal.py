@@ -2109,6 +2109,339 @@ def frame_sample(df: DataFrame, every_n: int = 2, max_frames: int = 4,
     return df.mapInPandas(run, FRAME_SCHEMA)
 
 
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("container", T.StringType()),   # y4m | avi | mp4
+    T.StructField("codec", T.StringType()),       # fourcc / 'rawvideo'
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+])
+
+
+@_none_on_malformed
+def _y4m_meta(b: bytes):
+    """Y4M header + frame-count walk (offset arithmetic, no pixel reads)."""
+    if not b.startswith(b"YUV4MPEG2"):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    fps = None
+    chroma = "420"
+    for tok in b[9:nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            chroma = tok[1:].decode("ascii", "replace")
+        elif tok.startswith(b"F"):
+            num, den = tok[1:].split(b":")
+            if int(den):
+                fps = int(num) / int(den)
+    if not w or not h or w < 0 or h < 0 or w * h > (1 << 26):
+        return None
+    ysize = w * h
+    half_w, half_h = (w + 1) // 2, (h + 1) // 2
+    if chroma.startswith("420"):
+        csize = 2 * half_w * half_h
+    elif chroma.startswith("422"):
+        csize = 2 * half_w * h
+    elif chroma.startswith("444"):
+        csize = 2 * ysize
+    elif chroma.startswith("mono"):
+        csize = 0
+    else:
+        return None
+    pos, n = nl + 1, 0
+    while pos < len(b) and b[pos:pos + 5] == b"FRAME":
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + ysize + csize > len(b):
+            break
+        n += 1
+        pos = fnl + 1 + ysize + csize
+    dur = round(n / fps, 6) if fps else None
+    return ("y4m", "rawvideo", w, h, n, 1, dur)
+
+
+@_none_on_malformed
+def _avi_meta(b: bytes):
+    """AVI (RIFF) header walk: avih for dims/frame count/timing, the first
+    'vids' strh for the codec fourcc. Little-endian per RIFF; chunk sizes
+    are padded to even offsets."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    width = height = None
+    n_frames = None
+    us_per_frame = 0
+    n_streams = 0
+    codec = None
+
+    def walk(start, end, depth=0):
+        nonlocal width, height, n_frames, us_per_frame, n_streams, codec
+        pos = start
+        while pos + 8 <= end and depth < 8:
+            ck, sz = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+            body = pos + 8
+            if body + sz > end:
+                break
+            if ck == b"LIST":
+                walk(body + 4, body + sz, depth + 1)   # skip list type
+            elif ck == b"avih" and sz >= 40:
+                (us_per_frame, _, _, _, n_frames, _, n_streams, _,
+                 width, height) = struct.unpack("<10I", b[body:body + 40])
+            elif ck == b"strh" and sz >= 8 and codec is None:
+                if b[body:body + 4] == b"vids":
+                    fcc = b[body + 4:body + 8]
+                    codec = ("rawvideo" if fcc in (b"DIB ", b"\x00" * 4)
+                             else fcc.decode("ascii", "replace").strip())
+            pos = body + sz + (sz & 1)
+
+    walk(12, min(len(b), 12 + struct.unpack("<I", b[4:8])[0]))
+    if width is None:
+        return None
+    dur = (round(n_frames * us_per_frame / 1e6, 6)
+           if n_frames and us_per_frame else None)
+    return ("avi", codec, width, height, n_frames, n_streams, dur)
+
+
+@_none_on_malformed
+def _mp4_meta(b: bytes):
+    """ISO-BMFF (mp4/mov) box walk: mvhd for duration, per-trak tkhd dims
+    (16.16 fixed point), hdlr to find the video track, its stsd entry
+    format as the codec fourcc, and the stts sample-count sum as n_frames.
+    Big-endian throughout; container boxes recursed, leaf boxes decoded.
+    Header-only — mdat is never touched."""
+    import struct
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def boxes(start, end):
+        pos = start
+        while pos + 8 <= end:
+            sz = struct.unpack(">I", b[pos:pos + 4])[0]
+            typ = b[pos + 4:pos + 8]
+            body = pos + 8
+            if sz == 1:     # 64-bit largesize
+                if pos + 16 > end:
+                    return
+                sz = struct.unpack(">Q", b[pos + 8:pos + 16])[0]
+                body = pos + 16
+            elif sz == 0:   # to end of enclosing box
+                sz = end - pos
+            if sz < 8 or pos + sz > end:
+                return
+            yield typ, body, pos + sz
+            pos += sz
+
+    timescale = duration = None
+    width = height = None
+    n_frames = None
+    n_tracks = 0
+    codec = None
+
+    def scan_trak(start, end, ctx):
+        """Collect this trak's handler/dims/codec/frame count into ctx."""
+        for typ, body, bend in boxes(start, end):
+            if typ in containers:
+                scan_trak(body, bend, ctx)
+            elif typ == b"tkhd":
+                w16, h16 = struct.unpack(">II", b[bend - 8:bend])
+                if w16 and h16:
+                    ctx["dims"] = (w16 >> 16, h16 >> 16)
+            elif typ == b"hdlr":
+                ctx["handler"] = b[body + 8:body + 12]
+            elif typ == b"stsd":
+                n_entries = struct.unpack(">I", b[body + 4:body + 8])[0]
+                if n_entries:
+                    ctx["codec"] = b[body + 12:body + 16].decode(
+                        "ascii", "replace")
+            elif typ == b"stts":
+                cnt = struct.unpack(">I", b[body + 4:body + 8])[0]
+                total = 0
+                for i in range(min(cnt, 1 << 16)):
+                    total += struct.unpack(
+                        ">I", b[body + 8 + 8 * i:body + 12 + 8 * i])[0]
+                ctx["n_frames"] = total
+
+    def walk(start, end):
+        nonlocal timescale, duration, width, height, n_frames, n_tracks, codec
+        for typ, body, bend in boxes(start, end):
+            if typ == b"trak":
+                n_tracks += 1
+                ctx = {}
+                scan_trak(body, bend, ctx)
+                # codec/dims/frames come from the VIDEO track specifically
+                if ctx.get("handler") == b"vide" and codec is None:
+                    codec = ctx.get("codec")
+                    width, height = ctx.get("dims", (None, None))
+                    n_frames = ctx.get("n_frames")
+            elif typ in containers:
+                walk(body, bend)
+            elif typ == b"mvhd":
+                ver = b[body]
+                if ver == 1:
+                    timescale = struct.unpack(">I", b[body + 20:body + 24])[0]
+                    duration = struct.unpack(">Q", b[body + 24:body + 32])[0]
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", b[body + 12:body + 20])
+
+    walk(0, len(b))
+    dur = (round(duration / timescale, 6)
+           if duration is not None and timescale else None)
+    return ("mp4", codec, width, height, n_frames, n_tracks or None, dur)
+
+
+def _avi_encode(w, h, n_frames, fps=25, codec=b"MJPG"):
+    """Minimal spec-valid AVI fixture: RIFF(AVI ) with hdrl(avih +
+    strl(strh vids + strf BITMAPINFOHEADER)) and a movi list of n_frames
+    placeholder '00dc' chunks (1 byte each — metadata parsing never reads
+    frame bodies)."""
+    import struct
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    def lst(four, body):
+        return chunk(b"LIST", four + body)
+
+    avih = struct.pack("<10I16x", int(1e6 / fps), 0, 0, 0, n_frames, 0, 1,
+                       0, w, h)
+    strh = struct.pack("<4s4sI2HII4I8x", b"vids", codec, 0, 0, 0, 0, 1, fps,
+                       0, n_frames, 0)
+    strf = struct.pack("<I2i2H6I", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b"\x00")
+                                 for _ in range(n_frames)))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4_encode(w, h, n_frames, timescale=1000, duration=None,
+                codec=b"avc1", with_audio=False):
+    """Minimal spec-valid ISO-BMFF fixture: ftyp + moov(mvhd +
+    trak(tkhd + mdia(hdlr 'vide' + minf(stbl(stsd + stts)))) [+ an audio
+    trak when with_audio, placed FIRST to prove track selection]) + a
+    1-byte mdat. Duration defaults to n_frames * 40 timescale units."""
+    import struct
+
+    if duration is None:
+        duration = n_frames * 40
+
+    def box(typ, body):
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    def trak(handler, fourcc, tw, th, frames):
+        tkhd = box(b"tkhd", struct.pack(">I", 0x7) + bytes(12)
+                   + struct.pack(">I", 1) + bytes(4)
+                   + struct.pack(">I", duration) + bytes(8)
+                   + struct.pack(">4H", 0, 0, 0x0100, 0) + bytes(36)
+                   + struct.pack(">II", tw << 16, th << 16))
+        hdlr = box(b"hdlr", bytes(8) + handler + bytes(12) + b"\x00")
+        entry = struct.pack(">I", 16) + fourcc + bytes(8)
+        stsd = box(b"stsd", struct.pack(">II", 0, 1) + entry)
+        stts = box(b"stts", struct.pack(">IIII", 0, 1, frames, 40))
+        stbl = box(b"stbl", stsd + stts)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", hdlr + minf)
+        return box(b"trak", tkhd + mdia)
+
+    mvhd = box(b"mvhd", struct.pack(">I", 0) + bytes(8)
+               + struct.pack(">II", timescale, duration) + bytes(80))
+    traks = b""
+    if with_audio:
+        traks += trak(b"soun", b"mp4a", 0, 0, 0)
+    traks += trak(b"vide", codec, w, h, n_frames)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", b"\x00")
+
+
+def synth_video_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic video container per input row, cycling
+    id % 3 over the three supported containers with closed-form metadata
+    (oracle-restatable in SQL):
+
+    * 0 → Y4M   : w = 4 + id % 9, h = 2 + id % 7, frames = 2 + id % 5,
+                  25 fps (duration = frames / 25), codec 'rawvideo'
+    * 1 → AVI   : w = 16 * (1 + id % 5), h = 8 * (1 + id % 7),
+                  frames = 10 + id % 20, 25 fps, codec 'MJPG'
+    * 2 → MP4   : w = 32 * (1 + id % 4), h = 16 * (1 + id % 6),
+                  frames = 5 + id % 15, timescale 1000 / delta 40
+                  (duration = frames * 0.04 s), codec 'avc1', PLUS an
+                  audio track first (n_tracks = 2, proves the metadata
+                  pass picks the video track)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                kind = mid % 3
+                if kind == 0:
+                    w, h, nf = 4 + mid % 9, 2 + mid % 7, 2 + mid % 5
+                    ysz, csz = w * h, 2 * (((w + 1) // 2) * ((h + 1) // 2))
+                    out = [b"YUV4MPEG2 W%d H%d F25:1 C420\n" % (w, h)]
+                    for fi in range(nf):
+                        y = (np.arange(ysz, dtype=np.int64) * 13
+                             + mid * 31 + fi * 97) % 256
+                        out.append(b"FRAME\n" + y.astype(np.uint8).tobytes()
+                                   + bytes(csz))
+                    blob = b"".join(out)
+                elif kind == 1:
+                    blob = _avi_encode(16 * (1 + mid % 5), 8 * (1 + mid % 7),
+                                       10 + mid % 20)
+                else:
+                    blob = _mp4_encode(32 * (1 + mid % 4), 16 * (1 + mid % 6),
+                                       5 + mid % 15, with_audio=True)
+                ids.append(mid)
+                blobs.append(blob)
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["video"] * len(ids),
+                "content": blobs, "meta": [{}] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def video_metadata(df: DataFrame) -> DataFrame:
+    """Container-metadata pass over video BINARY columns — the cheap
+    header-only scan a 100 TB multimodal pipeline runs BEFORE any decode
+    (route/filter/budget by dims, duration, codec without touching frame
+    data). REAL pure-Python parsers for Y4M (header + frame walk), AVI
+    (RIFF avih/strh), and ISO-BMFF mp4/mov (box walk: mvhd, tkhd, stsd,
+    stts — mdat never read); unrecognized or malformed payloads yield a
+    null-field row, never an error. No codec library involved: metadata
+    lives in container structure, so no stub is needed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in VIDEO_META_SCHEMA.fields}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                c = bytes(c) if c is not None else b""
+                got = _y4m_meta(c) or _avi_meta(c) or _mp4_meta(c)
+                got = got or (None,) * 7
+                rows["media_id"].append(mid)
+                for f, v in zip(
+                        ["container", "codec", "width", "height",
+                         "n_frames", "n_tracks", "duration_s"], got):
+                    rows[f].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
 def synth_y4m_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic synthetic Y4M clip per input row → MEDIA_SCHEMA rows.
 

@@ -3097,6 +3097,47 @@ def multimodal_lossless_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'y4m' WHEN 1 THEN 'avi'
+                ELSE 'mp4' END AS container,
+           CASE doc_id % 3 WHEN 0 THEN 'rawvideo' WHEN 1 THEN 'MJPG'
+                ELSE 'avc1' END AS codec,
+           (CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 9
+                 WHEN 1 THEN 16 * (1 + doc_id % 5)
+                 ELSE 32 * (1 + doc_id % 4) END)::INT AS width,
+           (CASE doc_id % 3 WHEN 0 THEN 2 + doc_id % 7
+                 WHEN 1 THEN 8 * (1 + doc_id % 7)
+                 ELSE 16 * (1 + doc_id % 6) END)::INT AS height,
+           (CASE doc_id % 3 WHEN 0 THEN 2 + doc_id % 5
+                 WHEN 1 THEN 10 + doc_id % 20
+                 ELSE 5 + doc_id % 15 END)::BIGINT AS n_frames,
+           (CASE doc_id % 3 WHEN 2 THEN 2 ELSE 1 END)::INT AS n_tracks,
+           round(CASE doc_id % 3
+                 WHEN 0 THEN (2 + doc_id % 5) / 25.0
+                 WHEN 1 THEN ((10 + doc_id % 20) * 40000) / 1000000.0
+                 ELSE ((5 + doc_id % 15) * 40) / 1000.0 END, 6) AS duration_s
+    FROM documents WHERE doc_id % 59 = 0
+    """,
+)
+def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-metadata extraction across all three supported video
+    containers, driver-gated: per selected doc a spec-valid Y4M / AVI /
+    ISO-BMFF mp4 fixture with closed-form metadata is synthesized
+    (multimodal.synth_video_table — the mp4 carries an audio track FIRST,
+    so n_tracks=2 and the video-track fields only match if the box walk
+    selects by hdlr='vide', not file order), then parsed by
+    multimodal.video_metadata's header-only walkers. The oracle restates
+    every field's closed form. No codec library involved — container
+    metadata is structural, so nothing here is stubbed."""
+    from fermor_spark.pipeline import multimodal
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 59 == 0)
+    return multimodal.video_metadata(multimodal.synth_video_table(d, "doc_id"))
+
+
+@query(
     "multimodal_y4m_frame_stats",
     """
     WITH d AS (
@@ -3850,13 +3891,14 @@ _GATE_PRIORITY = [
     "events_streaming_user_state", "multimodal_progressive_jpeg",
     # new in r7 — a registered query is gated the round it lands:
     "multimodal_lossless_jpeg", "dedup_duplicated_spans",
-    "dedup_span_coverage",
-    # (3) 20 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "dedup_span_coverage", "multimodal_video_metadata",
+    # (3) 19 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 27 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 28 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
-    # median_price_by_status) stay <=2 old and head the r8 window
+    # median_price_by_status, rollup_order_totals) stay <=2 old and head
+    # the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region", "g_both_neighbors_nation",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
@@ -3864,7 +3906,7 @@ _GATE_PRIORITY = [
     "events_asof_prior_click", "events_range_nearby_counts",
     "multimodal_png_roundtrip",
     "multimodal_wav_features", "multimodal_y4m_frame_stats",
-    "top3_orders_per_customer", "rollup_order_totals", "sample_split_counts",
+    "top3_orders_per_customer", "sample_split_counts",
     "pipeline_curation_funnel",
 ]
 

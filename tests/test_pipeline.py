@@ -1143,3 +1143,28 @@ def test_span_coverage_decision_metric(spark):
     assert got == {1: (22, 12, round(12 / 22, 4)),
                    2: (18, 12, round(12 / 18, 4)),
                    3: (20, 0, 0.0)}
+
+
+def test_video_metadata_three_containers(spark):
+    """video_metadata parses all three containers header-only: Y4M (frame
+    walk), AVI (avih/strh), mp4 (box walk, video-track selection with an
+    audio trak FIRST); malformed payloads produce null-field rows, never
+    errors."""
+    rows = [
+        (1, "video", multimodal._avi_encode(64, 48, 12), {}),
+        (2, "video", multimodal._mp4_encode(128, 96, 10, with_audio=True), {}),
+        (3, "video", b"YUV4MPEG2 W6 H4 F25:1 C420\n"
+         + (b"FRAME\n" + bytes(24 + 12)) * 3, {}),
+        (4, "video", b"garbage not a container", {}),
+    ]
+    df = multimodal.media_table(spark, rows)
+    got = {r.media_id: r for r in multimodal.video_metadata(df).collect()}
+    assert (got[1].container, got[1].codec, got[1].width, got[1].height,
+            got[1].n_frames, got[1].n_tracks, got[1].duration_s) == (
+        "avi", "MJPG", 64, 48, 12, 1, 0.48)
+    assert (got[2].container, got[2].codec, got[2].width, got[2].height,
+            got[2].n_frames, got[2].n_tracks, got[2].duration_s) == (
+        "mp4", "avc1", 128, 96, 10, 2, 0.4)
+    assert (got[3].container, got[3].codec, got[3].width, got[3].height,
+            got[3].n_frames) == ("y4m", "rawvideo", 6, 4, 3)
+    assert got[4].container is None and got[4].width is None

@@ -203,7 +203,8 @@ def test_pack_sequences_layout_invariants(spark, texts, capacity):
 @settings(max_examples=30, deadline=None)
 @given(seedv=st.integers(min_value=0, max_value=2**31 - 1),
        n_flips=st.integers(min_value=1, max_value=12),
-       kind=st.sampled_from(["jpg", "jpg_lossless", "png", "gif", "y4m"]))
+       kind=st.sampled_from(["jpg", "jpg_lossless", "png", "gif", "y4m",
+                             "avi_meta", "mp4_meta"]))
 def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
     """Robustness: random byte corruption/truncation of any valid media
     payload must degrade to None / 'compressed' / a decoded value — never
@@ -215,7 +216,8 @@ def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
     import numpy as np
 
     from fermor_spark.pipeline.multimodal import (
-        _gif_decode, _jpeg_decode, _jpeg_lossless_encode, _jpeg_prog_encode,
+        _avi_encode, _avi_meta, _gif_decode, _jpeg_decode,
+        _jpeg_lossless_encode, _jpeg_prog_encode, _mp4_encode, _mp4_meta,
         _png_decode, _png_encode, _y4m_frames)
 
     rng = np.random.RandomState(seedv)
@@ -235,6 +237,12 @@ def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
         good = bytearray(_gif_bytes(arr[:, :, 0] % 16,
                                     [(i, i, i) for i in range(16)]))
         dec = _gif_decode
+    elif kind == "avi_meta":
+        good = bytearray(_avi_encode(9, 7, 4))
+        dec = _avi_meta
+    elif kind == "mp4_meta":
+        good = bytearray(_mp4_encode(9, 7, 4, with_audio=True))
+        dec = _mp4_meta
     else:
         good = bytearray(b"YUV4MPEG2 W7 H9 C420\n" + b"FRAME\n"
                          + bytes(9 * 7) + bytes(2 * 5 * 4))
