@@ -28,6 +28,10 @@ JPEG arithmetic /       returns "compressed" (needs PIL/opencv)      STUB
 hierarchical (SOF5-15
 ex. 7,11)
 WAV (RIFF PCM)          ``decode_wav`` + FFT features                REAL
+Audio METADATA          ``audio_metadata`` — WAV fmt/data math,      REAL
+(wav / flac / mp3)      FLAC STREAMINFO bit unpack, MP3 ID3-skip
+                        + layer-III frame-header walk; header-only
+FLAC / MP3 samples      frame/sample DECODE needs codec libraries    STUB
 Y4M (YUV4MPEG2)         ``_y4m_frames`` luma-plane frame sample      REAL
 mp4 / webm / mkv        compressed containers need ffmpeg            STUB
 ======================  ==========================================  ======
@@ -2140,9 +2144,9 @@ def _y4m_meta(b: bytes):
         elif tok.startswith(b"C"):
             chroma = tok[1:].decode("ascii", "replace")
         elif tok.startswith(b"F"):
-            num, den = tok[1:].split(b":")
-            if int(den):
-                fps = int(num) / int(den)
+            fnum, fden = (int(x) for x in tok[1:].split(b":"))
+            if fden and fnum:
+                fps = (fnum, fden)
     if not w or not h or w < 0 or h < 0 or w * h > (1 << 26):
         return None
     ysize = w * h
@@ -2164,7 +2168,7 @@ def _y4m_meta(b: bytes):
             break
         n += 1
         pos = fnl + 1 + ysize + csize
-    dur = round(n / fps, 6) if fps else None
+    dur = _dur6(n * fps[1], fps[0]) if fps else None
     return ("y4m", "rawvideo", w, h, n, 1, dur)
 
 
@@ -2206,8 +2210,8 @@ def _avi_meta(b: bytes):
     walk(12, min(len(b), 12 + struct.unpack("<I", b[4:8])[0]))
     if width is None:
         return None
-    dur = (round(n_frames * us_per_frame / 1e6, 6)
-           if n_frames and us_per_frame else None)
+    dur = ((n_frames * us_per_frame) / 1e6
+           if n_frames and us_per_frame else None)  # exact integer us
     return ("avi", codec, width, height, n_frames, n_streams, dur)
 
 
@@ -2296,7 +2300,7 @@ def _mp4_meta(b: bytes):
                         ">II", b[body + 12:body + 20])
 
     walk(0, len(b))
-    dur = (round(duration / timescale, 6)
+    dur = (_dur6(duration, timescale)
            if duration is not None and timescale else None)
     return ("mp4", codec, width, height, n_frames, n_tracks or None, dur)
 
@@ -2409,6 +2413,224 @@ def synth_video_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({
                 "media_id": ids, "kind": ["video"] * len(ids),
+                "content": blobs, "meta": [{}] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _dur6(n, rate):
+    """Duration in seconds at 6-decimal precision via EXACT integer
+    half-up rounding of microseconds — float round() is banker's in
+    Python and half-away in SQL engines, so a tie like 1061/16000 s
+    (= 66312.5 us) would hash-mismatch any float-rounded oracle. The
+    oracle-side equivalent is round(n * 1000000.0 / rate) / 1000000.0
+    (SQL round() is half-up for positives, and fixture magnitudes stay
+    well inside float-exact integer range)."""
+    if not rate or n is None:
+        return None
+    us = (2 * n * 1000000 + rate) // (2 * rate)
+    return us / 1e6
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("container", T.StringType()),   # wav | flac | mp3
+    T.StructField("codec", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bits", T.IntegerType()),       # null where undefined (mp3)
+    T.StructField("n_samples", T.LongType()),     # per channel
+    T.StructField("duration_s", T.DoubleType()),
+])
+
+
+@_none_on_malformed
+def _wav_audio_meta(b: bytes):
+    """RIFF/WAVE header math only — fmt fields + data chunk LENGTH (the
+    sample bytes are never materialized, unlike decode_wav)."""
+    import struct
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, rate, ch, bits, dlen = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        clen = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
+            bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+        elif cid == b"data":
+            dlen = min(clen, len(b) - i - 8)
+        i += 8 + clen + (clen & 1)
+    if rate is None or dlen is None or not bits or not rate:
+        return None
+    ch = max(ch, 1)
+    n = dlen // (max(bits // 8, 1) * ch)
+    return ("wav", f"pcm{bits}", rate, ch, bits, n, _dur6(n, rate))
+
+
+@_none_on_malformed
+def _flac_meta(b: bytes):
+    """FLAC STREAMINFO metadata block: sample rate (20 bits), channels
+    (3 bits + 1), bits per sample (5 bits + 1), total samples (36 bits) —
+    audio frames never touched (their decode would need libFLAC)."""
+    if len(b) < 42 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        blen = int.from_bytes(b[pos + 1:pos + 4], "big")
+        body = b[pos + 4:pos + 4 + blen]
+        if (hdr & 0x7F) == 0 and blen >= 34:        # STREAMINFO
+            v = int.from_bytes(body[10:18], "big")
+            rate = v >> 44
+            ch = ((v >> 41) & 0x7) + 1
+            bps = ((v >> 36) & 0x1F) + 1
+            total = v & ((1 << 36) - 1)
+            if not rate:
+                return None
+            dur = _dur6(total, rate) if total else None
+            return ("flac", "flac", rate, ch, bps, total or None, dur)
+        if hdr & 0x80:                              # last-metadata flag
+            break
+        pos += 4 + blen
+    return None
+
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000],     # MPEG-1
+              2: [22050, 24000, 16000],     # MPEG-2
+              0: [11025, 12000, 8000]}      # MPEG-2.5
+
+
+@_none_on_malformed
+def _mp3_meta(b: bytes):
+    """MP3 (MPEG layer III) frame-header walk: skip ID3v2, then count
+    frames via the header-only size formula — exact duration from
+    frames x samples-per-frame / rate. Frame PAYLOAD decode needs a codec
+    library; headers are structural."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        sz = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        pos = 10 + sz
+    rate = None
+    ch = None
+    frames = 0
+    spf = 0
+    while pos + 4 <= len(b) and frames < (1 << 17):
+        h = int.from_bytes(b[pos:pos + 4], "big")
+        if (h >> 21) != 0x7FF:
+            break
+        ver = (h >> 19) & 0x3                     # 3=MPEG1, 2=MPEG2, 0=2.5
+        layer = (h >> 17) & 0x3                   # 1 = layer III
+        br_i = (h >> 12) & 0xF
+        sr_i = (h >> 10) & 0x3
+        pad = (h >> 9) & 0x1
+        mode = (h >> 6) & 0x3
+        if ver == 1 or layer != 1 or br_i in (0, 15) or sr_i == 3:
+            break
+        rates = _MP3_RATES[ver]
+        bitrate = (_MP3_BITRATES_V1L3 if ver == 3
+                   else _MP3_BITRATES_V2L3)[br_i] * 1000
+        rate = rates[sr_i]
+        spf = 1152 if ver == 3 else 576
+        ch = 1 if mode == 3 else 2
+        fsz = (144 if ver == 3 else 72) * bitrate // rate + pad
+        if fsz < 4:
+            break
+        frames += 1
+        pos += fsz
+    if not frames:
+        return None
+    n = frames * spf
+    return ("mp3", "mp3", rate, ch, None, n, _dur6(n, rate))
+
+
+def _flac_encode_meta(rate, channels, bps, total_samples):
+    """FLAC fixture: fLaC magic + a single (last) STREAMINFO block — all
+    an audio-metadata pass reads. No audio frames follow."""
+    v = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) \
+        | (total_samples & ((1 << 36) - 1))
+    body = (4096).to_bytes(2, "big") * 2 + bytes(6) \
+        + v.to_bytes(8, "big") + bytes(16)
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _mp3_encode_meta(n_frames, br_i=9, sr_i=0):
+    """MP3 fixture: n_frames spec-valid MPEG-1 layer-III frame headers
+    (bitrate index br_i, sample-rate index sr_i, no padding, mono) with
+    zeroed payloads sized by the header formula."""
+    rate = _MP3_RATES[3][sr_i]
+    bitrate = _MP3_BITRATES_V1L3[br_i] * 1000
+    fsz = 144 * bitrate // rate
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) \
+        | (br_i << 12) | (sr_i << 10) | (3 << 6)
+    frame = h.to_bytes(4, "big") + bytes(fsz - 4)
+    return frame * n_frames
+
+
+def audio_metadata(df: DataFrame) -> DataFrame:
+    """Header-only audio metadata pass (the audio twin of video_metadata):
+    container/codec/rate/channels/bit depth/per-channel samples/duration
+    for WAV (RIFF fmt + data length math), FLAC (STREAMINFO bit unpack),
+    and MP3 (ID3 skip + frame-header walk with the layer-III size
+    formula). No sample decode anywhere — unrecognized or malformed
+    payloads yield a null-field row, never an error."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_META_SCHEMA.fields}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                c = bytes(c) if c is not None else b""
+                got = _wav_audio_meta(c) or _flac_meta(c) or _mp3_meta(c)
+                got = got or (None,) * 7
+                rows["media_id"].append(mid)
+                for f, v in zip(
+                        ["container", "codec", "sample_rate", "channels",
+                         "bits", "n_samples", "duration_s"], got):
+                    rows[f].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+def synth_audio_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic audio container per input row, cycling
+    id % 3 with closed-form metadata (oracle-restatable in SQL):
+
+    * 0 → WAV : rate = 8000 * (1 + id % 4), mono 16-bit,
+                n = 500 + id % 300 samples (silence payload)
+    * 1 → FLAC: rate = [8000, 16000, 22050, 44100][id % 4],
+                channels = 1 + id % 2, 16-bit, total = 1000 + id % 5000
+    * 2 → MP3 : MPEG-1 layer III, 44100 Hz, 128 kbps mono,
+                frames = 3 + id % 40 (n = frames * 1152)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                kind = mid % 3
+                if kind == 0:
+                    n = 500 + mid % 300
+                    blob = _wav_encode(np.zeros(n, dtype=np.int16),
+                                       8000 * (1 + mid % 4))
+                elif kind == 1:
+                    blob = _flac_encode_meta(
+                        [8000, 16000, 22050, 44100][mid % 4],
+                        1 + mid % 2, 16, 1000 + mid % 5000)
+                else:
+                    blob = _mp3_encode_meta(3 + mid % 40)
+                ids.append(mid)
+                blobs.append(blob)
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["audio"] * len(ids),
                 "content": blobs, "meta": [{}] * len(ids),
             })
 

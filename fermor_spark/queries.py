@@ -3097,6 +3097,48 @@ def multimodal_lossless_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_metadata",
+    """
+    WITH m AS (
+      SELECT doc_id, doc_id % 3 AS k,
+             CASE doc_id % 3 WHEN 0 THEN 8000 * (1 + doc_id % 4)
+                  WHEN 1 THEN (CASE doc_id % 4 WHEN 0 THEN 8000
+                               WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                               ELSE 44100 END)
+                  ELSE 44100 END AS rate,
+             CASE doc_id % 3 WHEN 0 THEN 500 + doc_id % 300
+                  WHEN 1 THEN 1000 + doc_id % 5000
+                  ELSE (3 + doc_id % 40) * 1152 END AS n
+      FROM documents WHERE doc_id % 61 = 0
+    )
+    SELECT doc_id AS media_id,
+           CASE k WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                ELSE 'mp3' END AS container,
+           CASE k WHEN 0 THEN 'pcm16' WHEN 1 THEN 'flac'
+                ELSE 'mp3' END AS codec,
+           rate::INT AS sample_rate,
+           (CASE k WHEN 1 THEN 1 + doc_id % 2 ELSE 1 END)::INT AS channels,
+           (CASE k WHEN 2 THEN NULL ELSE 16 END)::INT AS bits,
+           n::BIGINT AS n_samples,
+           round(n * 1000000.0 / rate) / 1000000.0 AS duration_s
+    FROM m
+    """,
+)
+def multimodal_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header-only audio metadata across WAV (RIFF fmt + data-length
+    math), FLAC (STREAMINFO bit unpack), and MP3 (ID3 skip + layer-III
+    frame-header walk), driver-gated: spec-valid fixtures with closed-form
+    metadata per container (multimodal.synth_audio_table) parsed by
+    multimodal.audio_metadata; the oracle restates every field. Sample
+    decode is untouched (MP3/FLAC frame decode needs codec libraries) —
+    metadata is container structure, so nothing here is stubbed."""
+    from fermor_spark.pipeline import multimodal
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 61 == 0)
+    return multimodal.audio_metadata(multimodal.synth_audio_table(d, "doc_id"))
+
+
+@query(
     "multimodal_video_metadata",
     """
     SELECT doc_id AS media_id,
@@ -3892,13 +3934,14 @@ _GATE_PRIORITY = [
     # new in r7 — a registered query is gated the round it lands:
     "multimodal_lossless_jpeg", "dedup_duplicated_spans",
     "dedup_span_coverage", "multimodal_video_metadata",
-    # (3) 19 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "multimodal_audio_metadata",
+    # (3) 18 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 28 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 29 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
-    # median_price_by_status, rollup_order_totals) stay <=2 old and head
-    # the r8 window
+    # median_price_by_status, rollup_order_totals, sample_split_counts)
+    # stay <=2 old and head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region", "g_both_neighbors_nation",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
@@ -3906,7 +3949,7 @@ _GATE_PRIORITY = [
     "events_asof_prior_click", "events_range_nearby_counts",
     "multimodal_png_roundtrip",
     "multimodal_wav_features", "multimodal_y4m_frame_stats",
-    "top3_orders_per_customer", "sample_split_counts",
+    "top3_orders_per_customer",
     "pipeline_curation_funnel",
 ]
 

@@ -1168,3 +1168,40 @@ def test_video_metadata_three_containers(spark):
     assert (got[3].container, got[3].codec, got[3].width, got[3].height,
             got[3].n_frames) == ("y4m", "rawvideo", 6, 4, 3)
     assert got[4].container is None and got[4].width is None
+
+
+def test_audio_metadata_three_containers(spark):
+    """audio_metadata parses WAV/FLAC/MP3 headers without sample decode;
+    an ID3v2-tagged MP3 and a malformed payload are handled."""
+    import numpy as np
+
+    rows = [
+        (1, "audio", multimodal._wav_encode(
+            np.zeros(700, dtype=np.int16), 16000), {}),
+        (2, "audio", multimodal._flac_encode_meta(44100, 2, 16, 123456), {}),
+        (3, "audio", b"ID3\x04\x00\x00\x00\x00\x00\x05" + bytes(5)
+         + multimodal._mp3_encode_meta(4), {}),
+        (4, "audio", b"not audio at all", {}),
+    ]
+    df = multimodal.media_table(spark, rows)
+    got = {r.media_id: r for r in multimodal.audio_metadata(df).collect()}
+    assert (got[1].container, got[1].codec, got[1].sample_rate,
+            got[1].channels, got[1].bits, got[1].n_samples,
+            got[1].duration_s) == ("wav", "pcm16", 16000, 1, 16, 700, 0.04375)
+    assert (got[2].container, got[2].sample_rate, got[2].channels,
+            got[2].n_samples, got[2].duration_s) == (
+        "flac", 44100, 2, 123456, round(123456 / 44100 + 5e-7, 6))
+    assert (got[3].container, got[3].sample_rate, got[3].bits,
+            got[3].n_samples) == ("mp3", 44100, None, 4 * 1152)
+    assert got[4].container is None and got[4].sample_rate is None
+
+
+def test_duration_rounding_is_half_up_exact():
+    """The 6-decimal duration must use exact integer HALF-UP rounding:
+    1061 samples at 16000 Hz is exactly 66312.5 us — float round() gives
+    66312 (banker's), while every SQL oracle rounds half-away to 66313.
+    This is the r7 tie that hash-mismatched the gate before _dur6."""
+    from fermor_spark.pipeline.multimodal import _dur6, _flac_encode_meta, _flac_meta
+
+    assert _dur6(1061, 16000) == 0.066313
+    assert _flac_meta(_flac_encode_meta(16000, 2, 16, 1061))[6] == 0.066313

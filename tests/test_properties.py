@@ -204,7 +204,8 @@ def test_pack_sequences_layout_invariants(spark, texts, capacity):
 @given(seedv=st.integers(min_value=0, max_value=2**31 - 1),
        n_flips=st.integers(min_value=1, max_value=12),
        kind=st.sampled_from(["jpg", "jpg_lossless", "png", "gif", "y4m",
-                             "avi_meta", "mp4_meta"]))
+                             "avi_meta", "mp4_meta", "flac_meta",
+                             "mp3_meta"]))
 def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
     """Robustness: random byte corruption/truncation of any valid media
     payload must degrade to None / 'compressed' / a decoded value — never
@@ -216,9 +217,10 @@ def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
     import numpy as np
 
     from fermor_spark.pipeline.multimodal import (
-        _avi_encode, _avi_meta, _gif_decode, _jpeg_decode,
-        _jpeg_lossless_encode, _jpeg_prog_encode, _mp4_encode, _mp4_meta,
-        _png_decode, _png_encode, _y4m_frames)
+        _avi_encode, _avi_meta, _flac_encode_meta, _flac_meta, _gif_decode,
+        _jpeg_decode, _jpeg_lossless_encode, _jpeg_prog_encode, _mp3_meta,
+        _mp3_encode_meta, _mp4_encode, _mp4_meta, _png_decode, _png_encode,
+        _y4m_frames)
 
     rng = np.random.RandomState(seedv)
     arr = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
@@ -243,6 +245,12 @@ def test_decoders_never_raise_on_corruption(seedv, n_flips, kind):
     elif kind == "mp4_meta":
         good = bytearray(_mp4_encode(9, 7, 4, with_audio=True))
         dec = _mp4_meta
+    elif kind == "flac_meta":
+        good = bytearray(_flac_encode_meta(22050, 2, 16, 9999))
+        dec = _flac_meta
+    elif kind == "mp3_meta":
+        good = bytearray(_mp3_encode_meta(5))
+        dec = _mp3_meta
     else:
         good = bytearray(b"YUV4MPEG2 W7 H9 C420\n" + b"FRAME\n"
                          + bytes(9 * 7) + bytes(2 * 5 * 4))
