@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "multimodal_lossless_jpeg",
     "multimodal_video_metadata",
     "multimodal_audio_metadata",
+    "pipeline_jsonl_roundtrip",
     "dedup_duplicated_spans",
     "g_cc_distributed",
     # r7 additions: the remaining forced-distributed hybrid legs, so every

@@ -51,3 +51,40 @@ def read_corpus(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.parquet(path)
+
+
+def write_corpus_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = ("split",),
+    compression: str | None = "gzip",
+    max_records_per_file: int | None = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write a corpus as JSON Lines — the interchange format LLM-corpus
+    tooling consumes (one JSON object per line). Same scale rules as the
+    parquet sink: partition columns become pruned directory keys, file
+    sizes are bounded WITHOUT a shuffle, each task writes its own rows.
+    gzip (splittable-enough at bounded file sizes; files roll at
+    max_records_per_file) keeps text corpora ~5-10x smaller on the wire.
+    Parquet remains the internal format — JSONL is the export/ingest
+    boundary."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def read_corpus_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """Read a JSONL corpus directory (or any newline-delimited JSON tree,
+    e.g. an external dataset drop). Passing ``schema`` skips the inference
+    scan — REQUIRED practice at 100 TB (schema inference reads every file
+    twice) and the only well-defined behavior for empty partitions."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

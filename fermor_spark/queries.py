@@ -2990,6 +2990,46 @@ def pipeline_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_jsonl_roundtrip",
+    """
+    SELECT lang, count(*) AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           sum(doc_id)::BIGINT AS sum_ids
+    FROM documents GROUP BY lang
+    """,
+)
+def pipeline_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus EXPORT/INGEST round trip under the gate: write the
+    documents as gzip JSON Lines partitioned by lang
+    (pipeline.sink.write_corpus_jsonl), read the tree back with an
+    explicit schema (read_corpus_jsonl), and aggregate count + text
+    length + id checksum per lang. Matching the oracle (the same
+    aggregate over the source table) proves every row survived the JSON
+    encode/decode — including text escaping — and the directory-key
+    partition column recovered exactly. JSONL is the interchange boundary
+    LLM-corpus tooling consumes; parquet stays the internal format."""
+    import shutil
+    import tempfile
+
+    from fermor_spark.pipeline.sink import (read_corpus_jsonl,
+                                            write_corpus_jsonl)
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="fermor_jsonl_gate_")
+    path = f"{tmp}/corpus"
+    write_corpus_jsonl(d, path, partition_by=("lang",),
+                       max_records_per_file=10_000)
+    back = read_corpus_jsonl(spark, path, schema=d.schema).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_text_chars"),
+        F.sum("doc_id").alias("sum_ids"))
+    rows = back.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
+@query(
     "multimodal_png_roundtrip",
     """
     WITH d AS (
@@ -3934,14 +3974,14 @@ _GATE_PRIORITY = [
     # new in r7 — a registered query is gated the round it lands:
     "multimodal_lossless_jpeg", "dedup_duplicated_spans",
     "dedup_span_coverage", "multimodal_video_metadata",
-    "multimodal_audio_metadata",
-    # (3) 18 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "multimodal_audio_metadata", "pipeline_jsonl_roundtrip",
+    # (3) 17 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 29 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 30 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
-    # median_price_by_status, rollup_order_totals, sample_split_counts)
-    # stay <=2 old and head the r8 window
+    # median_price_by_status, rollup_order_totals, sample_split_counts,
+    # top3_orders_per_customer) stay <=2 old and head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region", "g_both_neighbors_nation",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
@@ -3949,7 +3989,6 @@ _GATE_PRIORITY = [
     "events_asof_prior_click", "events_range_nearby_counts",
     "multimodal_png_roundtrip",
     "multimodal_wav_features", "multimodal_y4m_frame_stats",
-    "top3_orders_per_customer",
     "pipeline_curation_funnel",
 ]
 

@@ -1205,3 +1205,22 @@ def test_duration_rounding_is_half_up_exact():
 
     assert _dur6(1061, 16000) == 0.066313
     assert _flac_meta(_flac_encode_meta(16000, 2, 16, 1061))[6] == 0.066313
+
+
+def test_jsonl_roundtrip_exact_text(spark, tmp_path):
+    """JSONL export/ingest must round-trip text EXACTLY — including the
+    characters JSON must escape (quotes, backslashes, newlines, tabs,
+    unicode) — and recover the partition column from directory keys."""
+    from fermor_spark.pipeline.sink import read_corpus_jsonl, write_corpus_jsonl
+
+    rows = [
+        (1, 'he said "hi"\nand left\ttab', "en"),
+        (2, "backslash \\ and / slash é中文", "zh"),
+        (3, "", "en"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "jsonl")
+    write_corpus_jsonl(d, path, partition_by=("lang",), compression="gzip")
+    back = read_corpus_jsonl(spark, path, schema=d.schema)
+    got = sorted((r.doc_id, r.text, r.lang) for r in back.collect())
+    assert got == sorted(rows)
