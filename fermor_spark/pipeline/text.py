@@ -188,6 +188,90 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The published Gopher corpus-quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", table A1) as pure JVM column
+    expressions — the standard rule set web-scale curation applies before
+    any model-based filtering:
+
+    * 50 <= word count <= 100,000
+    * 3 <= mean word length <= 10
+    * symbol-to-word ratio ('#' or '...') <= 0.1
+    * < 90% of lines start with a bullet; < 30% end with an ellipsis
+    * >= 80% of words contain an alphabetic character
+    * >= 2 of {the, be, to, of, and, that, have, with} present
+
+    Every threshold comparison is INTEGERIZED (e.g. mean-length >= 3 is
+    sum_len >= 3*n) so `passes` has no float boundary; displayed ratios
+    round half-up in integer space (floor(x*1e4 + 0.5)/1e4 — engine-
+    agnostic, unlike round()). Explode-then-aggregate like quality_score:
+    doc-level line/symbol stats evaluate once, token stats in one groupBy.
+    """
+    from fermor_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("-", "*", "\u2022")))
+    ellipsis = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).endswith("...")
+        | F.rtrim(ln).endswith("\u2026")))
+    symbols = (
+        (F.length(t) - F.length(F.regexp_replace(t, "#", "")))
+        + F.floor((F.length(t)
+                   - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3)
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("_nl"),
+        bullet.alias("_bl"),
+        ellipsis.alias("_el"),
+        symbols.cast("long").alias("_sym"),
+        F.explode(F.filter(tokens(t), lambda x: F.length(x) > 0)).alias("tok"),
+    )
+    agg = exploded.groupBy("id", "_nl", "_bl", "_el", "_sym").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("tok")).alias("tot_len"),
+        F.sum(F.when(F.col("tok").rlike("[A-Za-z]"), 1).otherwise(0))
+        .alias("n_alpha"),
+        F.count_distinct(
+            F.when(F.lower(F.col("tok")).isin(GOPHER_STOPWORDS),
+                   F.lower(F.col("tok")))).alias("stop_hits"),
+    )
+    n, nl = F.col("n"), F.greatest(F.col("_nl"), F.lit(1))
+
+    def r4(x):
+        # half-up in integer space: identical in every engine, unlike
+        # round() (banker's in Python, half-away in SQL)
+        return F.floor(x * 10000 + F.lit(0.5)) / 10000
+
+    passes = (
+        (n >= 50) & (n <= 100000)
+        & (F.col("tot_len") >= 3 * n) & (F.col("tot_len") <= 10 * n)
+        & (10 * F.col("_sym") <= n)
+        & (10 * F.col("_bl") < 9 * nl)
+        & (10 * F.col("_el") < 3 * nl)
+        & (5 * F.col("n_alpha") >= 4 * n)
+        & (F.col("stop_hits") >= 2)
+    )
+    return agg.select(
+        "id",
+        n.cast("long").alias("n_words"),
+        r4(F.col("tot_len") * 1.0 / n).alias("mean_word_len"),
+        r4(F.col("n_alpha") * 1.0 / n).alias("frac_alpha_words"),
+        F.col("stop_hits").cast("int").alias("stop_hits"),
+        r4(F.col("_sym") * 1.0 / n).alias("symbol_ratio"),
+        r4(F.col("_bl") * 1.0 / nl).alias("frac_bullet_lines"),
+        r4(F.col("_el") * 1.0 / nl).alias("frac_ellipsis_lines"),
+        passes.alias("passes"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, lang, lang_score): argmax over per-language stopword-hit ratios.
 

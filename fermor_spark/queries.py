@@ -1663,6 +1663,67 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_gopher_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS ws,
+             string_split(text, chr(10)) AS ls
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             len(ws) AS n,
+             list_sum(list_transform(ws, x -> length(x))) AS tot_len,
+             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(['the','be','to','of','and','that','have',
+                              'with'],
+                 s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+               AS stop_hits,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               AS sym,
+             greatest(len(ls), 1) AS nl,
+             len(list_filter(ls,
+                 l -> substr(ltrim(l), 1, 1) IN ('-', '*', chr(8226))))
+               AS bl,
+             len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+                                   OR rtrim(l) LIKE '%' || chr(8230)))
+               AS el
+      FROM w WHERE len(ws) > 0
+    )
+    SELECT doc_id AS id,
+           n::BIGINT AS n_words,
+           floor(tot_len * 1.0 / n * 10000 + 0.5) / 10000 AS mean_word_len,
+           floor(n_alpha * 1.0 / n * 10000 + 0.5) / 10000
+             AS frac_alpha_words,
+           stop_hits::INT AS stop_hits,
+           floor(sym * 1.0 / n * 10000 + 0.5) / 10000 AS symbol_ratio,
+           floor(bl * 1.0 / nl * 10000 + 0.5) / 10000 AS frac_bullet_lines,
+           floor(el * 1.0 / nl * 10000 + 0.5) / 10000
+             AS frac_ellipsis_lines,
+           (n >= 50 AND n <= 100000 AND tot_len >= 3*n AND tot_len <= 10*n
+            AND 10*sym <= n AND 10*bl < 9*nl AND 10*el < 3*nl
+            AND 5*n_alpha >= 4*n AND stop_hits >= 2) AS passes
+    FROM a
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher corpus-quality rule set (Rae et al. 2021,
+    table A1) over the documents table — pipeline.text.gopher_quality.
+    FULL-COMPUTATION oracle: DuckDB re-derives every statistic and rule
+    with identical integerized threshold comparisons (no float boundary
+    in `passes`) and the same engine-agnostic half-up display rounding
+    (floor(x*1e4+0.5)/1e4). Training-data-pipeline extension scope."""
+    from fermor_spark.pipeline.text import gopher_quality
+
+    d = table(spark, sf_dir, "documents")
+    return gopher_quality(d, "doc_id", "text")
+
+
+@query(
     "text_quality",
     r"""
     WITH t AS (
@@ -3975,15 +4036,17 @@ _GATE_PRIORITY = [
     "multimodal_lossless_jpeg", "dedup_duplicated_spans",
     "dedup_span_coverage", "multimodal_video_metadata",
     "multimodal_audio_metadata", "pipeline_jsonl_roundtrip",
-    # (3) 17 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "text_gopher_quality",
+    # (3) 16 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 30 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 31 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
     # median_price_by_status, rollup_order_totals, sample_split_counts,
-    # top3_orders_per_customer) stay <=2 old and head the r8 window
+    # top3_orders_per_customer, g_both_neighbors_nation) stay <=2 old and
+    # head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
-    "g_out_nation", "g_2hop_region", "g_both_neighbors_nation",
+    "g_out_nation", "g_2hop_region",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
     "events_asof_prior_click", "events_range_nearby_counts",

@@ -1224,3 +1224,31 @@ def test_jsonl_roundtrip_exact_text(spark, tmp_path):
     back = read_corpus_jsonl(spark, path, schema=d.schema)
     got = sorted((r.doc_id, r.text, r.lang) for r in back.collect())
     assert got == sorted(rows)
+
+
+def test_gopher_quality_rules(spark):
+    """Hand-computed Gopher rule checks: a healthy doc passes; too-short,
+    bullet-dominated, ellipsis-heavy, and symbol-heavy docs fail exactly
+    the rule they violate; stopword presence counts DISTINCT hits."""
+    base = ("the quick brown fox and that dog have fun with energy to "
+            "spare of course be good ")
+    rows = [
+        (1, base * 5),                          # 85 words, all rules pass
+        (2, "short text"),                      # < 50 words
+        (3, "- a\n- b\n- c\nplain " + base * 4),  # 3/5 bullet lines: passes
+        (4, ("- x\n" * 19) + base * 4),         # 19/20 bullet lines: fails
+        (5, base * 4 + " ####" * 40),           # symbol ratio > 0.1
+        (6, ("so... " * 30) + "\n" + base * 4), # '...' symbols but 2 lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from fermor_spark.pipeline.text import gopher_quality
+
+    got = {r.id: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert got[1].passes and got[1].stop_hits == 8
+    assert got[1].n_words == 85
+    assert not got[2].passes and got[2].n_words == 2
+    assert got[3].passes and got[3].frac_bullet_lines == 0.75
+    assert not got[4].passes and got[4].frac_bullet_lines == 0.95
+    assert not got[5].passes and got[5].symbol_ratio > 0.1
+    # doc 6: 30 ellipsis occurrences /(30*1 + 68+...) words — symbol rule
+    assert not got[6].passes
