@@ -208,9 +208,18 @@ def test_duplicated_spans_plan_contract(spark, registry):
     from the documents scan, and push the length(text) >= k filter down
     as a data filter. Shuffles are bounded: gram-hash count aggregate,
     per-doc window, and (at test scale) a broadcast of the dup-gram set."""
+    from fermor_spark.pipeline.dedup import duplicated_spans
     from fermor_spark.session import release_caches
 
-    p = plan_of(registry["dedup_duplicated_spans"](spark, SF))
+    # the contract pins the operator's plan against the PARQUET SCAN, but
+    # Spark's cache manager substitutes any matching plan fragment with an
+    # earlier test's cached full-schema InMemoryRelation (cache lookup is
+    # plan-based, not object-based) — clear the cache so the explain is
+    # deterministic under any test order; cached fixtures elsewhere
+    # degrade to lazy recompute, not breakage
+    spark.catalog.clearCache()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(duplicated_spans(d, "doc_id", "text", k=20))
     release_caches()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "mapInPandas" not in p and "FlatMapGroupsInPandas" not in p
