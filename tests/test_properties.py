@@ -325,3 +325,74 @@ def test_lossless_jpeg_roundtrip_exact(w, h, seedv, predictor, pt, dri):
     assert got not in (None, "compressed")
     assert got[:3] == (w, h, 1)
     assert got[3] == ((arr >> pt) << pt).astype(np.uint8).tobytes()
+
+
+@settings(max_examples=12, deadline=None)
+@given(seedv=st.integers(min_value=0, max_value=2**31 - 1),
+       k=st.sampled_from([3, 5, 8]))
+def test_duplicated_spans_match_bruteforce(spark, seedv, k):
+    """ESD spans must equal a brute-force O(n^2) reference on random
+    corpora with planted repeats: mark every position whose k-gram occurs
+    >= 2 times corpus-wide, merge consecutive runs, compare exactly."""
+    import random
+
+    from fermor_spark.pipeline.dedup import duplicated_spans
+
+    rng = random.Random(seedv)
+    alpha = "abcd"
+    shared = "".join(rng.choice(alpha) for _ in range(rng.randint(k, 15)))
+    docs = []
+    for i in range(5):
+        body = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        if rng.random() < 0.7:
+            at = rng.randint(0, len(body))
+            body = body[:at] + shared + body[at:]
+        docs.append((i, body))
+
+    # brute force
+    from collections import Counter
+    grams = Counter()
+    for _, t in docs:
+        for p in range(len(t) - k + 1):
+            grams[t[p:p + k]] += 1
+    expected = set()
+    for i, t in docs:
+        dup = [p for p in range(len(t) - k + 1) if grams[t[p:p + k]] >= 2]
+        run = []
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    expected.add((i, run[0], run[-1] + k))
+                run = [p]
+        if run:
+            expected.add((i, run[0], run[-1] + k))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in duplicated_spans(df, k=k).collect()}
+    assert got == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(w=st.integers(min_value=1, max_value=400),
+       h=st.integers(min_value=1, max_value=300),
+       nf=st.integers(min_value=1, max_value=40),
+       rate=st.sampled_from([8000, 11025, 22050, 44100, 48000]),
+       ch=st.integers(min_value=1, max_value=8),
+       total=st.integers(min_value=0, max_value=2**35))
+def test_metadata_roundtrip_any_params(w, h, nf, rate, ch, total):
+    """Container metadata encoders/parsers round-trip ARBITRARY parameter
+    combinations exactly (no Spark session needed): AVI and mp4 dims/
+    frames, FLAC STREAMINFO fields including >32-bit total_samples."""
+    from fermor_spark.pipeline.multimodal import (
+        _avi_encode, _avi_meta, _flac_encode_meta, _flac_meta, _mp4_encode,
+        _mp4_meta)
+
+    a = _avi_meta(_avi_encode(w, h, nf))
+    assert (a[2], a[3], a[4]) == (w, h, nf)
+    m = _mp4_meta(_mp4_encode(w, h, nf, with_audio=True))
+    assert (m[1], m[2], m[3], m[4], m[5]) == ("avc1", w, h, nf, 2)
+    f = _flac_meta(_flac_encode_meta(rate, ch, 16, total))
+    assert (f[2], f[3], f[5]) == (rate, ch, total or None)
