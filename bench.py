@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "multimodal_audio_metadata",
     "pipeline_jsonl_roundtrip",
     "text_gopher_quality",
+    "dedup_lines_c4",
     "dedup_duplicated_spans",
     "g_cc_distributed",
     # r7 additions: the remaining forced-distributed hybrid legs, so every

@@ -542,6 +542,49 @@ def span_coverage(
                 4).alias("dup_frac"))
 
 
+def line_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """EXACT corpus-level line deduplication — the C4 rule (Raffel et al.
+    2020: discard any line occurring more than once in the dataset; all
+    occurrences drop, not just repeats) also applied by RefinedWeb. Returns
+    every document with (n_lines, kept_lines, cleaned_text) where
+    cleaned_text rejoins the surviving lines in original order ('' when
+    every line was corpus-duplicated).
+
+    Scale shape: posexplode lines (row-linear), one count shuffle on the
+    line text, a join of positions against the unique-line set, and one
+    per-doc aggregation whose ordering is explicit (array_sort over
+    (pos, line) structs — collect_list alone has NO order guarantee under
+    parallel aggregation)."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    uniq = (
+        lines.groupBy("line").agg(F.count("*").alias("_cnt"))
+        .where(F.col("_cnt") == 1).select("line")
+    )
+    kept = (
+        lines.join(uniq, "line")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("kept_lines"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"])).alias("cleaned_text"))
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    return base.join(kept, "_id", "left").select(
+        F.col("_id").alias(id_col), "n_lines",
+        F.coalesce(F.col("kept_lines"), F.lit(0)).alias("kept_lines"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"))
+
+
 def contamination_pairs(
     train: DataFrame, bench: DataFrame,
     train_id: str = "doc_id", train_text: str = "text",

@@ -1843,6 +1843,42 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lines_c4",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    l AS (
+      SELECT doc_id, p.r AS pos, ls[p.r + 1] AS line
+      FROM d, range(600) p(r) WHERE p.r < len(ls)
+    ),
+    u AS (SELECT line FROM l GROUP BY line HAVING count(*) = 1),
+    kept AS (
+      SELECT l.doc_id, count(*) AS kept_lines,
+             string_agg(l.line, chr(10) ORDER BY l.pos) AS cleaned_text
+      FROM l JOIN u USING (line) GROUP BY l.doc_id
+    )
+    SELECT d.doc_id, len(d.ls)::INT AS n_lines,
+           coalesce(kept.kept_lines, 0)::BIGINT AS kept_lines,
+           coalesce(kept.cleaned_text, '') AS cleaned_text
+    FROM d LEFT JOIN kept USING (doc_id)
+    """,
+)
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-level line dedup — the C4 rule (Raffel et al. 2020;
+    every occurrence of a corpus-duplicated line drops) with the cleaned
+    text reconstructed in original line order (pipeline.dedup.line_dedup;
+    ordering is explicit array_sort over (pos, line) structs, since
+    collect_list has no order guarantee). FULL-COMPUTATION oracle: DuckDB
+    re-derives kept lines and the reassembled text with
+    string_agg(... ORDER BY pos)."""
+    from fermor_spark.pipeline.dedup import line_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return line_dedup(d, "doc_id", "text")
+
+
+@query(
     "dedup_exact",
     """
     SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -4036,20 +4072,20 @@ _GATE_PRIORITY = [
     "multimodal_lossless_jpeg", "dedup_duplicated_spans",
     "dedup_span_coverage", "multimodal_video_metadata",
     "multimodal_audio_metadata", "pipeline_jsonl_roundtrip",
-    "text_gopher_quality",
-    # (3) 16 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "text_gopher_quality", "dedup_lines_c4",
+    # (3) 15 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 31 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 32 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
     # median_price_by_status, rollup_order_totals, sample_split_counts,
-    # top3_orders_per_customer, g_both_neighbors_nation) stay <=2 old and
-    # head the r8 window
+    # top3_orders_per_customer, g_both_neighbors_nation,
+    # events_range_nearby_counts) stay <=2 old and head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
-    "events_asof_prior_click", "events_range_nearby_counts",
+    "events_asof_prior_click",
     "multimodal_png_roundtrip",
     "multimodal_wav_features", "multimodal_y4m_frame_stats",
     "pipeline_curation_funnel",

@@ -1252,3 +1252,24 @@ def test_gopher_quality_rules(spark):
     assert not got[5].passes and got[5].symbol_ratio > 0.1
     # doc 6: 30 ellipsis occurrences /(30*1 + 68+...) words — symbol rule
     assert not got[6].passes
+
+
+def test_line_dedup_c4_semantics(spark):
+    """C4 line-dedup drops EVERY occurrence of a corpus-duplicated line
+    (not just repeats), reassembles survivors in original order, and
+    reports fully-duplicated docs with an empty cleaned_text."""
+    from fermor_spark.pipeline.dedup import line_dedup
+
+    rows = [
+        (1, "unique one\nSHARED LINE\nunique two"),
+        (2, "SHARED LINE\nonly here"),
+        (3, "SHARED LINE"),                 # nothing survives
+        (4, "alpha\nbeta\ngamma"),          # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.kept_lines, r.cleaned_text)
+           for r in line_dedup(df).collect()}
+    assert got[1] == (3, 2, "unique one\nunique two")
+    assert got[2] == (2, 1, "only here")
+    assert got[3] == (1, 0, "")
+    assert got[4] == (3, 3, "alpha\nbeta\ngamma")
