@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "pipeline_jsonl_roundtrip",
     "text_gopher_quality",
     "dedup_lines_c4",
+    "dedup_cut_spans",
     "dedup_duplicated_spans",
     "g_cc_distributed",
     # r7 additions: the remaining forced-distributed hybrid legs, so every

@@ -1843,6 +1843,67 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cut_spans",
+    """
+    WITH g AS (
+      SELECT doc_id, p.r AS pos, substr(text, p.r + 1, 20) AS gram
+      FROM documents, range(600) p(r)
+      WHERE p.r <= length(text) - 20
+    ),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+    r AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM r
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+      FROM runs GROUP BY doc_id, run_id
+      HAVING max(pos) + 20 - min(pos) >= 40
+    ),
+    chars AS (
+      SELECT doc_id, p.r AS i, substr(text, p.r + 1, 1) AS ch
+      FROM documents, range(600) p(r) WHERE p.r < length(text)
+    ),
+    kept AS (
+      SELECT c2.doc_id, c2.i, c2.ch FROM chars c2
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = c2.doc_id
+                          AND c2.i >= s.s AND c2.i < s.e)
+    )
+    SELECT t.doc_id, length(t.text)::BIGINT AS n_chars,
+           coalesce(sc.cut, 0)::BIGINT AS cut_chars,
+           coalesce(ka.cleaned, '') AS cleaned_text
+    FROM documents t
+    LEFT JOIN (SELECT doc_id, sum(e - s) AS cut
+               FROM spans GROUP BY doc_id) sc USING (doc_id)
+    LEFT JOIN (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS cleaned
+               FROM kept GROUP BY doc_id) ka USING (doc_id)
+    """,
+)
+def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESD TRIM action (pipeline.dedup.cut_spans): splice out every
+    duplicated span of length >= 40, keeping shorter incidental repeats —
+    the Lee et al. practice of cutting long duplications rather than
+    dropping documents. Spark side is ONE JVM F.aggregate fold over each
+    doc's sorted spans (no UDF, no char explosion); the oracle re-derives
+    the identical cleaned text character-by-character with an anti-join
+    against the span set and an ORDER BY reassembly."""
+    from fermor_spark.pipeline.dedup import cut_spans
+
+    d = table(spark, sf_dir, "documents")
+    return cut_spans(d, "doc_id", "text", k=20, min_count=2, min_span=40)
+
+
+@query(
     "dedup_lines_c4",
     """
     WITH d AS (
@@ -4072,22 +4133,23 @@ _GATE_PRIORITY = [
     "multimodal_lossless_jpeg", "dedup_duplicated_spans",
     "dedup_span_coverage", "multimodal_video_metadata",
     "multimodal_audio_metadata", "pipeline_jsonl_roundtrip",
-    "text_gopher_quality", "dedup_lines_c4",
-    # (3) 15 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "text_gopher_quality", "dedup_lines_c4", "dedup_cut_spans",
+    # (3) 14 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 32 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 33 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
     # median_price_by_status, rollup_order_totals, sample_split_counts,
     # top3_orders_per_customer, g_both_neighbors_nation,
-    # events_range_nearby_counts) stay <=2 old and head the r8 window
+    # events_range_nearby_counts, multimodal_y4m_frame_stats) stay <=2
+    # old and head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
     "events_asof_prior_click",
     "multimodal_png_roundtrip",
-    "multimodal_wav_features", "multimodal_y4m_frame_stats",
+    "multimodal_wav_features",
     "pipeline_curation_funnel",
 ]
 

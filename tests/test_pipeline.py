@@ -1273,3 +1273,27 @@ def test_line_dedup_c4_semantics(spark):
     assert got[2] == (2, 1, "only here")
     assert got[3] == (1, 0, "")
     assert got[4] == (3, 3, "alpha\nbeta\ngamma")
+
+
+def test_cut_spans_splice(spark):
+    """cut_spans removes exactly the duplicated spans and keeps everything
+    else in order: two docs sharing a long substring lose it; min_span
+    spares short repeats; clean docs pass through byte-identical."""
+    from fermor_spark.pipeline.dedup import cut_spans
+
+    shared = "0123456789ABCDEF"                 # 16 chars, k=8 spans
+    rows = [
+        (1, "head-" + shared + "-tail"),
+        (2, shared + "::suffix-unique-2"),
+        (3, "totally unique content here x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_chars, r.cut_chars, r.cleaned_text)
+           for r in cut_spans(df, k=8).collect()}
+    assert got[1] == (26, 16, "head--tail")
+    assert got[2] == (33, 16, "::suffix-unique-2")
+    assert got[3] == (29, 0, "totally unique content here x")
+    # min_span larger than the shared run spares it
+    spared = {r.doc_id: r.cleaned_text
+              for r in cut_spans(df, k=8, min_span=20).collect()}
+    assert spared[1] == rows[0][1] and spared[2] == rows[1][1]
