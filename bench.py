@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     # real Structured-Streaming execution (availableNow drain to memory):
     # state store + watermark + no-data flush batch, not the batch analog
     "events_streaming_tumbling",
+    "events_streaming_file_sink",
 ]
 
 

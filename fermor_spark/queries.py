@@ -3415,7 +3415,6 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_wav_features",
     """
     WITH d AS (
       SELECT doc_id, 64 + doc_id % 64 AS n
@@ -3929,6 +3928,48 @@ def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_streaming_file_sink",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT window_start, event_type, n_events, total_value
+    FROM agg, mx
+    WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    """,
+)
+def events_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FILE SINK under the gate: the same watermarked tumbling
+    aggregate as events_streaming_tumbling, but drained with availableNow
+    into a checkpointed, event_type-partitioned JSON file sink
+    (streaming.run_to_files) and read BACK as a batch query through the
+    sink's _spark_metadata commit log. Matching the closed-window oracle
+    proves the production landing path end-to-end: state store +
+    watermark + no-data flush, exactly-once file commits, directory-key
+    partition recovery, and the JSON timestamp round trip."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from fermor_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="fermor_stream_sink_gate_")
+    try:
+        S.run_to_files(S.tumbling_counts(ev), f"{tmp}/out", f"{tmp}/cp",
+                       fmt="json", partition_by=["event_type"])
+        back = spark.read.schema(
+            "window_start timestamp, n_events long, total_value double, "
+            "event_type string").json(f"{tmp}/out")
+        return back.select("window_start", "event_type", "n_events",
+                           "total_value").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "events_streaming_user_state",
     """
     SELECT user_id, count(*) AS n_events,
@@ -4134,22 +4175,22 @@ _GATE_PRIORITY = [
     "dedup_span_coverage", "multimodal_video_metadata",
     "multimodal_audio_metadata", "pipeline_jsonl_roundtrip",
     "text_gopher_quality", "dedup_lines_c4", "dedup_cut_spans",
-    # (3) 14 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "events_streaming_file_sink",
+    # (3) 13 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 33 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 34 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
     # median_price_by_status, rollup_order_totals, sample_split_counts,
     # top3_orders_per_customer, g_both_neighbors_nation,
-    # events_range_nearby_counts, multimodal_y4m_frame_stats) stay <=2
-    # old and head the r8 window
+    # events_range_nearby_counts, multimodal_y4m_frame_stats,
+    # multimodal_wav_features) stay <=2 old and head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
     "events_asof_prior_click",
     "multimodal_png_roundtrip",
-    "multimodal_wav_features",
     "pipeline_curation_funnel",
 ]
 

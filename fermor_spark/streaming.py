@@ -197,6 +197,34 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
     return name
 
 
+def run_to_files(stream_df: DataFrame, path: str, checkpoint: str,
+                 fmt: str = "json", output_mode: str = "append",
+                 partition_by=None, timeout_sec: int = 300) -> str:
+    """Drain all available input into a FILE sink (json/parquet) with a
+    checkpoint and stop — the production shape of a streaming pipeline
+    landing a corpus: exactly-once via the checkpoint + _spark_metadata
+    commit log (batch re-readers consult it and never see uncommitted
+    files), directory-partitioned like the batch sinks. Raises on a
+    partial drain, same contract as run_to_memory."""
+    w = (
+        stream_df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    q = w.start()
+    done = q.awaitTermination(timeout_sec)
+    if not done:
+        q.stop()
+        raise TimeoutError(
+            f"streaming file drain to '{path}' still running after "
+            f"{timeout_sec}s — output would be partial")
+    return path
+
+
 DOCUMENTS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )

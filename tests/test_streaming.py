@@ -181,3 +181,23 @@ def test_running_totals_multibatch_negative_values(spark, tmp_path):
            for r in out.groupBy("user_id").agg(
                F.max("total_value").alias("mx")).collect()}
     assert bad[1] == 10.0  # stale max total != final state total 3.0
+
+
+def test_file_sink_matches_memory_sink(spark, batch_events, tmp_path):
+    """Draining the same watermarked tumbling aggregate to a checkpointed
+    JSON file sink must land exactly the rows the memory sink emits —
+    file commits (_spark_metadata), partition recovery, and the JSON
+    timestamp round trip add nothing and lose nothing."""
+    s1 = streaming.read_events_stream(spark, SF)
+    mem = _drain(spark, streaming.tumbling_counts(s1), "t_file_vs_mem")
+    s2 = streaming.read_events_stream(spark, SF)
+    streaming.run_to_files(
+        streaming.tumbling_counts(s2), str(tmp_path / "out"),
+        str(tmp_path / "cp"), fmt="json", partition_by=["event_type"])
+    back = spark.read.schema(
+        "window_start timestamp, n_events long, total_value double, "
+        "event_type string").json(str(tmp_path / "out"))
+    key = lambda r: (r.window_start, r.event_type, r.n_events,  # noqa: E731
+                     round(r.total_value, 4))
+    assert sorted(map(key, back.collect())) == sorted(map(key, mem.collect()))
+    assert back.count() > 0
