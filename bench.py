@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "multimodal_audio_metadata",
     "pipeline_jsonl_roundtrip",
     "text_gopher_quality",
+    "text_gopher_repetition",
     "dedup_lines_c4",
     "dedup_cut_spans",
     "dedup_duplicated_spans",

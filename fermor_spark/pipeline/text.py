@@ -272,6 +272,90 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The repetition-removal half of the Gopher rules (Rae et al. 2021
+    table A1): duplicated-LINE fractions (by count and by character mass)
+    and top-n-gram character fractions for n = 2, 3, 4, with the paper's
+    thresholds — dup-line fraction <= 0.30, dup-line char fraction
+    <= 0.20, top-{2,3,4}-gram char fractions <= {0.20, 0.18, 0.16}.
+
+    Semantics pinned for the oracle: a line is duplicated when its exact
+    content occurs more than once IN THE DOCUMENT (all occurrences
+    count); the top n-gram is the most frequent word n-gram, ties broken
+    by LARGEST character mass (a numeric rule — lexicographic tie-breaks
+    would couple the result to engine-specific string collation); its
+    char fraction = occurrences x n-gram length (joining spaces
+    included) / length(text). Threshold
+    comparisons are integerized; displayed ratios use the engine-agnostic
+    half-up rounding. One explode per representation (lines once, tokens
+    once with lead() windows for the n-grams) — row-linear, all JVM."""
+    from fermor_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+
+    lines = base.select(
+        "id", F.length("_t").alias("_tc"),
+        F.explode(F.split("_t", "\n")).alias("line"))
+    lc = lines.groupBy("id", "_tc", "line").agg(F.count("*").alias("c"))
+    lagg = lc.groupBy("id", "_tc").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .alias("dup_lines"),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line"))
+              .otherwise(0)).alias("dup_line_chars"))
+
+    toks = base.select(
+        "id", F.posexplode(F.filter(tokens(F.col("_t")),
+                                    lambda x: F.length(x) > 0))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    tops = None
+    for n in (2, 3, 4):
+        parts = [F.col("tok")] + [F.lead("tok", i).over(w)
+                                  for i in range(1, n)]
+        ng = (toks.withColumn("_ng", F.concat_ws(" ", *parts))
+              .withColumn("_last", parts[-1])
+              .where(F.col("_last").isNotNull())
+              .groupBy("id", "_ng").agg(F.count("*").alias("c")))
+        ngl = ng.select("id", "c", F.length("_ng").alias("l"))
+        mxw = Window.partitionBy("id")
+        top = (ngl.withColumn("_mc", F.max("c").over(mxw))
+               .where(F.col("c") == F.col("_mc"))
+               .groupBy("id")
+               .agg(F.max(F.col("c") * F.col("l"))
+                    .alias(f"top{n}_chars")))
+        tops = top if tops is None else tops.join(top, "id", "left")
+
+    out = lagg.join(tops, "id", "left").na.fill(
+        {f"top{n}_chars": 0 for n in (2, 3, 4)})
+
+    def r4(x):
+        return F.floor(x * 10000 + F.lit(0.5)) / 10000
+
+    tc = F.greatest(F.col("_tc"), F.lit(1))
+    lch = F.greatest(F.col("line_chars"), F.lit(1))
+    passes = (
+        (10 * F.col("dup_lines") <= 3 * F.col("n_lines"))
+        & (5 * F.col("dup_line_chars") <= 1 * F.col("line_chars"))
+        & (5 * F.col("top2_chars") <= tc)
+        & (50 * F.col("top3_chars") <= 9 * tc)
+        & (25 * F.col("top4_chars") <= 4 * tc)
+    )
+    return out.select(
+        "id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        r4(F.col("dup_lines") * 1.0 / F.col("n_lines"))
+        .alias("dup_line_frac"),
+        r4(F.col("dup_line_chars") * 1.0 / lch).alias("dup_line_char_frac"),
+        r4(F.col("top2_chars") * 1.0 / tc).alias("top2_char_frac"),
+        r4(F.col("top3_chars") * 1.0 / tc).alias("top3_char_frac"),
+        r4(F.col("top4_chars") * 1.0 / tc).alias("top4_char_frac"),
+        passes.alias("passes"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, lang, lang_score): argmax over per-language stopword-hit ratios.
 

