@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "pipeline_jsonl_roundtrip",
     "text_gopher_quality",
     "text_gopher_repetition",
+    "text_c4_filters",
     "dedup_lines_c4",
     "dedup_cut_spans",
     "dedup_duplicated_spans",

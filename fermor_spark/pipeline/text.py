@@ -356,6 +356,58 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, section 2.2) as JVM
+    column expressions: keep lines ending in terminal punctuation
+    (. ! ? closing-quote, after rtrim) with >= 3 words and no
+    'javascript'; drop pages with < 5 sentences, a curly brace, or
+    'lorem ipsum'. Returns every document with (n_lines, kept_lines,
+    n_sentences, has_brace, has_lorem, passes, cleaned_text) — the
+    cleaned text rejoins kept lines in original order, reusing the
+    order-explicit array_sort reassembly of line_dedup (collect_list has
+    no order guarantee). Sentences are counted as terminal-punctuation
+    characters (the standard cheap proxy)."""
+    from fermor_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[.!?]", "")))
+        .alias("n_sentences"),
+        F.instr(t, "{").alias("_br"),
+        F.instr(F.lower(t), "lorem ipsum").alias("_lo"),
+        F.posexplode(F.split(t, "\n")).alias("pos", "line"),
+    )
+    lw = F.size(F.filter(F.split(F.trim("line"), r"\s+"),
+                         lambda x: F.length(x) > 0))
+    keep = (
+        F.substring(F.rtrim("line"), -1, 1).isin(".", "!", "?", '"')
+        & (lw >= 3)
+        & ~F.lower(F.col("line")).contains("javascript")
+    )
+    marked = base.withColumn("_keep", keep)
+    agg = marked.groupBy("id", "n_sentences", "_br", "_lo").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_keep").cast("int")).alias("kept_lines"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("_keep"), F.struct("pos", "line")))),
+                lambda x: x["line"])).alias("cleaned_text"))
+    return agg.select(
+        "id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("kept_lines").cast("long").alias("kept_lines"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        (F.col("_br") > 0).alias("has_brace"),
+        (F.col("_lo") > 0).alias("has_lorem"),
+        ((F.col("n_sentences") >= 5) & (F.col("_br") == 0)
+         & (F.col("_lo") == 0)).alias("passes"),
+        "cleaned_text")
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, lang, lang_score): argmax over per-language stopword-hit ratios.
 

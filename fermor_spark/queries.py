@@ -1663,6 +1663,56 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_c4_filters",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
+               AS ns,
+             position('{' IN text) > 0 AS br,
+             position('lorem ipsum' IN lower(text)) > 0 AS lo,
+             string_split(text, chr(10)) AS ls
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, p.r AS pos, ls[p.r + 1] AS line
+      FROM base, range(600) p(r) WHERE p.r < len(ls)
+    ),
+    k AS (
+      SELECT doc_id, pos, line FROM l
+      WHERE right(rtrim(line), 1) IN ('.', '!', '?', '"')
+        AND len(list_filter(regexp_split_to_array(trim(line), '\\s+'),
+                            x -> length(x) > 0)) >= 3
+        AND position('javascript' IN lower(line)) = 0
+    ),
+    ka AS (
+      SELECT doc_id, count(*) AS kept,
+             string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      FROM k GROUP BY doc_id
+    )
+    SELECT b.doc_id AS id, len(b.ls)::BIGINT AS n_lines,
+           coalesce(ka.kept, 0)::BIGINT AS kept_lines,
+           b.ns::BIGINT AS n_sentences,
+           b.br AS has_brace, b.lo AS has_lorem,
+           (b.ns >= 5 AND NOT b.br AND NOT b.lo) AS passes,
+           coalesce(ka.cleaned, '') AS cleaned_text
+    FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id
+    """,
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 section 2.2) —
+    pipeline.text.c4_filters: terminal-punctuation/>=3-word/no-javascript
+    line filter with order-explicit cleaned-text reassembly, plus the
+    page-level sentence-count / curly-brace / lorem-ipsum flags.
+    FULL-COMPUTATION oracle re-deriving the kept lines and reassembled
+    text with string_agg(ORDER BY pos)."""
+    from fermor_spark.pipeline.text import c4_filters
+
+    d = table(spark, sf_dir, "documents")
+    return c4_filters(d, "doc_id", "text")
+
+
+@query(
     "text_gopher_repetition",
     """
     WITH base AS (
@@ -4257,21 +4307,21 @@ _GATE_PRIORITY = [
     "multimodal_audio_metadata", "pipeline_jsonl_roundtrip",
     "text_gopher_quality", "dedup_lines_c4", "dedup_cut_spans",
     "events_streaming_file_sink", "text_gopher_repetition",
-    # (3) 12 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "text_c4_filters",
+    # (3) 11 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 35 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 36 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
     # median_price_by_status, rollup_order_totals, sample_split_counts,
     # top3_orders_per_customer, g_both_neighbors_nation,
     # events_range_nearby_counts, multimodal_y4m_frame_stats,
-    # multimodal_wav_features, multimodal_png_roundtrip) stay <=2 old and
-    # head the r8 window
+    # multimodal_wav_features, multimodal_png_roundtrip,
+    # events_asof_prior_click) stay <=2 old and head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
     "g_out_nation", "g_2hop_region",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
-    "events_asof_prior_click",
     "pipeline_curation_funnel",
 ]
 

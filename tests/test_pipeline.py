@@ -1317,3 +1317,26 @@ def test_gopher_repetition_rules(spark):
     assert got[2].dup_line_char_frac == round(27 / 32 + 5e-7, 4)
     assert not got[2].passes
     assert got[1].dup_line_frac == 0.0
+
+
+def test_c4_filters_rules(spark):
+    """C4 rule checks: terminal-punct/3-word/javascript line filters with
+    ordered reassembly; page flags for sentences/brace/lorem ipsum."""
+    from fermor_spark.pipeline.text import c4_filters
+
+    rows = [
+        (1, 'Good first sentence here.\nshort\nProper second sentence now!'
+            '\nthis line uses javascript today.\nEnds with a quote"'),
+        (2, "code { body }\nOne two three. Four five six. Seven eight. "
+            "Nine ten. Final words here."),
+        (3, "lorem ipsum dolor sit amet."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in c4_filters(df, "doc_id", "text").collect()}
+    assert got[1].kept_lines == 3
+    assert got[1].cleaned_text == ('Good first sentence here.\n'
+                                   'Proper second sentence now!\n'
+                                   'Ends with a quote"')
+    assert not got[1].passes and got[1].n_sentences == 3
+    assert got[2].has_brace and not got[2].passes and got[2].n_sentences == 5
+    assert got[3].has_lorem and not got[3].passes
