@@ -3546,6 +3546,7 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_wav_features",
     """
     WITH d AS (
       SELECT doc_id, 64 + doc_id % 64 AS n

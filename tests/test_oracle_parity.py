@@ -122,3 +122,7 @@ def test_gate_priority_hygiene():
     unknown = [k for k in gp if k not in reg]
     assert not unknown, f"unregistered names in _GATE_PRIORITY: {unknown}"
     assert list(reg)[:50] == gp, "priority head must be the gate window"
+    # a mangled @query decorator (name line deleted by a careless edit)
+    # registers the ORACLE SQL as the query name — catch that class here
+    bad = [k for k in reg if " " in k or "\n" in k or len(k) > 64]
+    assert not bad, f"malformed registry names: {[k[:40] for k in bad]}"
