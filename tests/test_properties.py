@@ -396,3 +396,63 @@ def test_metadata_roundtrip_any_params(w, h, nf, rate, ch, total):
     assert (m[1], m[2], m[3], m[4], m[5]) == ("avc1", w, h, nf, 2)
     f = _flac_meta(_flac_encode_meta(rate, ch, 16, total))
     assert (f[2], f[3], f[5]) == (rate, ch, total or None)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seedv=st.integers(min_value=0, max_value=2**31 - 1))
+def test_gopher_quality_matches_bruteforce(spark, seedv):
+    """gopher_quality must equal a pure-Python reference on random
+    multi-line documents mixing words, bullets, symbols and stopwords —
+    locking the operator's semantics independently of the SQL oracle."""
+    import random
+
+    from fermor_spark.pipeline.text import GOPHER_STOPWORDS, gopher_quality
+
+    rng = random.Random(seedv)
+    vocab = ["alpha", "beta", "gamma", "x1", "##", "...", "the", "and",
+             "of", "to", "-", "•", "wordy"]
+    docs = []
+    for i in range(6):
+        lines = []
+        for _ in range(rng.randint(1, 5)):
+            lines.append(" ".join(rng.choice(vocab)
+                                  for _ in range(rng.randint(0, 12))))
+        docs.append((i, "\n".join(lines)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.id: r for r in gopher_quality(df, "doc_id", "text").collect()}
+
+    def half_up4(x):
+        import math
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    for i, t in docs:
+        words = [w for w in t.strip().split() if w]
+        if not words:
+            assert i not in got
+            continue
+        n = len(words)
+        tot = sum(len(w) for w in words)
+        n_alpha = sum(1 for w in words if any(c.isalpha() and c.isascii()
+                                              for c in w))
+        stop_hits = len({w.lower() for w in words
+                         if w.lower() in GOPHER_STOPWORDS})
+        sym = t.count("#") + (len(t) - len(t.replace("...", ""))) // 3
+        lines = t.split("\n")
+        nl = max(len(lines), 1)
+        bl = sum(1 for ln in lines if ln.lstrip()[:1] in ("-", "*", "•"))
+        el = sum(1 for ln in lines
+                 if ln.rstrip().endswith("...") or ln.rstrip().endswith("…"))
+        r = got[i]
+        assert r.n_words == n
+        assert r.mean_word_len == half_up4(tot / n)
+        assert r.frac_alpha_words == half_up4(n_alpha / n)
+        assert r.stop_hits == stop_hits
+        assert r.symbol_ratio == half_up4(sym / n)
+        assert r.frac_bullet_lines == half_up4(bl / nl)
+        assert r.frac_ellipsis_lines == half_up4(el / nl)
+        expected_pass = (50 <= n <= 100000 and 3 * n <= tot <= 10 * n
+                         and 10 * sym <= n and 10 * bl < 9 * nl
+                         and 10 * el < 3 * nl and 5 * n_alpha >= 4 * n
+                         and stop_hits >= 2)
+        assert r.passes == expected_pass
