@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     # state store + watermark + no-data flush batch, not the batch analog
     "events_streaming_tumbling",
     "events_streaming_file_sink",
+    "events_funnel_conversion",
 ]
 
 

@@ -4060,6 +4060,46 @@ def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, s1.t1, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id, s1.t1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT 1::INT AS step_index, 'view' AS step_name,
+           (SELECT count(*) FROM s1)::BIGINT AS n_users
+    UNION ALL SELECT 2::INT, 'click', (SELECT count(*) FROM s2)::BIGINT
+    UNION ALL SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion view -> click -> purchase within 7 days
+    of each user's first view (temporal.funnel): per step, the users whose
+    strictly-ordered cascade reached it. The operator is k-1 user-keyed
+    join+min stages that shrink to converting users — no full-history
+    window, co-partitioned chain at scale. Oracle re-derives the cascade
+    with the identical CTE chain."""
+    from fermor_spark.temporal import funnel
+
+    ev = table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], horizon="7 days")
+
+
+@query(
     "events_streaming_file_sink",
     """
     WITH agg AS (
@@ -4308,19 +4348,20 @@ _GATE_PRIORITY = [
     "multimodal_audio_metadata", "pipeline_jsonl_roundtrip",
     "text_gopher_quality", "dedup_lines_c4", "dedup_cut_spans",
     "events_streaming_file_sink", "text_gopher_repetition",
-    "text_c4_filters",
-    # (3) 11 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "text_c4_filters", "events_funnel_conversion",
+    # (3) 10 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 36 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 37 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
     # median_price_by_status, rollup_order_totals, sample_split_counts,
     # top3_orders_per_customer, g_both_neighbors_nation,
     # events_range_nearby_counts, multimodal_y4m_frame_stats,
     # multimodal_wav_features, multimodal_png_roundtrip,
-    # events_asof_prior_click) stay <=2 old and head the r8 window
+    # events_asof_prior_click, g_2hop_region) stay <=2 old and head the
+    # r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
-    "g_out_nation", "g_2hop_region",
+    "g_out_nation",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
     "pipeline_curation_funnel",

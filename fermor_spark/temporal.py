@@ -143,3 +143,41 @@ def range_join(
            <= F.unix_micros(F.col(on)) + F.lit(after_us))
     )
     return joined.where(in_range).drop("_bin")
+
+
+def funnel(events: DataFrame, steps: list[str], horizon: str = "7 days",
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel conversion: per user, the earliest strictly-ordered
+    cascade through `steps` (each step's event must come AFTER the
+    previous step's matched time and within `horizon` of the user's FIRST
+    step-1 event); returns (step_index, step_name, n_users) — the users
+    whose cascade reached each step. The classic product-analytics
+    operator re-expressed as k-1 keyed join+min aggregations (no window
+    over whole histories, no UDF): each stage shrinks to converting users
+    only, so later joins get cheaper, and every join is on the user key —
+    a co-partitioned chain at scale."""
+    from pyspark.sql import functions as F
+
+    u, ts = F.col(user_col), F.col(ts_col)
+    first = (events.where(F.col(type_col) == steps[0])
+             .groupBy(user_col).agg(F.min(ts_col).alias("_t1")))
+    horizon_end = F.col("_t1") + F.expr(f"INTERVAL {horizon}")
+    counts = [(1, steps[0], first)]
+    prev = first.withColumn("_tp", F.col("_t1"))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (events.where(F.col(type_col) == step)
+               .join(prev.select(user_col, "_t1", "_tp"), user_col)
+               .where((ts > F.col("_tp")) & (ts <= horizon_end))
+               .groupBy(user_col, "_t1")
+               .agg(F.min(ts_col).alias("_tn")))
+        counts.append((i, step, nxt))
+        prev = nxt.withColumn("_tp", F.col("_tn"))
+    spark = events.sparkSession
+    out = None
+    for i, step, df in counts:
+        row = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).cast("int").alias("step_index"),
+            F.lit(step).alias("step_name"), "n_users")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -81,3 +81,33 @@ def test_temporal_plans_have_no_theta_join(spark):
             df.explain("formatted")
         p = buf.getvalue()
         assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_funnel_ordered_cascade(spark):
+    """Funnel semantics on a hand-built history: order within horizon is
+    required (click BEFORE the first view does not count), the cascade
+    anchors on the FIRST step-1 event, and the horizon bounds later
+    steps."""
+    import datetime as dt
+
+    from fermor_spark.temporal import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t0, 1, "view"), (2, t0 + h, 1, "click"),
+        (3, t0 + 2 * h, 1, "purchase"),
+        # user 2: click precedes the first view -> stops at view
+        (4, t0, 2, "click"), (5, t0 + h, 2, "view"),
+        # user 3: purchase outside the 7-day horizon of the first view
+        (6, t0, 3, "view"), (7, t0 + h, 3, "click"),
+        (8, t0 + dt.timedelta(days=8), 3, "purchase"),
+        # user 4: never views
+        (9, t0, 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.step_name: r.n_users
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
