@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "events_streaming_tumbling",
     "events_streaming_file_sink",
     "events_funnel_conversion",
+    "events_retention_cohorts",
 ]
 
 

@@ -4060,6 +4060,35 @@ def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention_cohorts",
+    """
+    WITH c AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cs
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),
+    s AS (SELECT cs, count(*) AS cohort_size FROM c GROUP BY cs)
+    SELECT c.cs AS cohort_start,
+           (date_diff('day', c.cs, a.p) // 7)::BIGINT AS period_offset,
+           count(*)::BIGINT AS n_users,
+           s.cohort_size::BIGINT AS cohort_size
+    FROM a JOIN c USING (user_id) JOIN s ON c.cs = s.cs
+    GROUP BY c.cs, period_offset, s.cohort_size
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix (temporal.retention_cohorts): users
+    cohorted by the ISO week of their first event, counted in every later
+    week they were active, with the cohort's size alongside. Two
+    user-keyed aggregations + a cohort join; offsets are date arithmetic,
+    never a full-history window. Oracle restates the identical pipeline."""
+    from fermor_spark.temporal import retention_cohorts
+
+    ev = table(spark, sf_dir, "events")
+    return retention_cohorts(ev, period="week")
+
+
+@query(
     "events_funnel_conversion",
     """
     WITH s1 AS (
@@ -4349,19 +4378,19 @@ _GATE_PRIORITY = [
     "text_gopher_quality", "dedup_lines_c4", "dedup_cut_spans",
     "events_streaming_file_sink", "text_gopher_repetition",
     "text_c4_filters", "events_funnel_conversion",
-    # (3) 10 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
+    "events_retention_cohorts",
+    # (3) 9 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
     # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 37 (the stable TPC-H q3-q22 tail,
+    # iterative graph); the other 38 (the stable TPC-H q3-q22 tail,
     # sketches, skew, text_pack_sequences, orders_status_matrix,
     # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
     # median_price_by_status, rollup_order_totals, sample_split_counts,
     # top3_orders_per_customer, g_both_neighbors_nation,
     # events_range_nearby_counts, multimodal_y4m_frame_stats,
     # multimodal_wav_features, multimodal_png_roundtrip,
-    # events_asof_prior_click, g_2hop_region) stay <=2 old and head the
-    # r8 window
+    # events_asof_prior_click, g_2hop_region, g_out_nation) stay <=2 old
+    # and head the r8 window
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
-    "g_out_nation",
     "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
     "g_reachable_from_region", "g_shortest_path_weighted",
     "pipeline_curation_funnel",

@@ -181,3 +181,31 @@ def funnel(events: DataFrame, steps: list[str], horizon: str = "7 days",
             F.lit(step).alias("step_name"), "n_users")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", period: str = "week") -> DataFrame:
+    """Retention-cohort matrix: users grouped by the period of their FIRST
+    event (the cohort), counted in every later period they were active —
+    (cohort_start, period_offset, n_users, cohort_size). Two user-keyed
+    aggregations and one broadcast-scale join of per-user cohorts onto
+    per-user-period activity; offsets computed from date arithmetic, no
+    window over whole histories."""
+    from pyspark.sql import functions as F
+
+    cohort = (events.groupBy(user_col)
+              .agg(F.date_trunc(period, F.min(ts_col)).alias("_c")))
+    active = (events.select(user_col,
+                            F.date_trunc(period, F.col(ts_col)).alias("_p"))
+              .distinct())
+    days = {"week": 7, "day": 1}.get(period)
+    off = (F.datediff(F.col("_p"), F.col("_c")) / days).cast("long") \
+        if days else F.months_between(F.col("_p"), F.col("_c")).cast("long")
+    sizes = cohort.groupBy("_c").agg(F.count("*").alias("cohort_size"))
+    return (active.join(cohort, user_col)
+            .select("_c", off.alias("period_offset"), F.col(user_col))
+            .groupBy("_c", "period_offset")
+            .agg(F.count("*").alias("n_users"))
+            .join(sizes, "_c")
+            .select(F.col("_c").cast("date").alias("cohort_start"),
+                    "period_offset", "n_users", "cohort_size"))

@@ -111,3 +111,30 @@ def test_funnel_ordered_cascade(spark):
     got = {r.step_name: r.n_users
            for r in funnel(ev, ["view", "click", "purchase"]).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts_matrix(spark):
+    """Cohort semantics: users cohort by first-event week; later-week
+    activity lands at the right offset; cohort_size counts the cohort,
+    n_users the active subset."""
+    import datetime as dt
+
+    from fermor_spark.temporal import retention_cohorts
+
+    w0 = dt.datetime(2024, 1, 1)          # a Monday
+    w1, w2 = w0 + dt.timedelta(days=7), w0 + dt.timedelta(days=14)
+    rows = [
+        (1, w0, 1, "view"), (2, w1 + dt.timedelta(hours=5), 1, "view"),
+        (3, w0 + dt.timedelta(days=2), 2, "view"), (4, w2, 2, "view"),
+        (5, w1, 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(str(r.cohort_start), r.period_offset): (r.n_users, r.cohort_size)
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): (2, 2),     # users 1,2 in week-0 cohort
+        ("2024-01-01", 1): (1, 2),     # only user 1 back in week 1
+        ("2024-01-01", 2): (1, 2),     # only user 2 back in week 2
+        ("2024-01-08", 0): (1, 1),     # user 3's own cohort
+    }
