@@ -110,6 +110,50 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --------------------------------------------------------------------------
+# output-key abbreviation. The driver records only the LAST 2000 bytes of
+# stdout and json-parses the final line; BENCH_r07's single line (66 full
+# query names, default separators) outgrew that window and recorded
+# `parsed: null` with six entries front-truncated away. The final line now
+# uses compact separators, 2-decimal values, and mechanically shortened
+# query keys so the COMPLETE record always parses. The shortening is a
+# deterministic, collision-checked rule (not a lossy hash): invert it by
+# running `python bench.py --keymap`, and the full-name record (with every
+# per-run timing, not just best-of-3) is also written to BENCH_DETAIL.json
+# next to this file after every run.
+
+_ABBREV_PREFIXES = [
+    ("multimodal_", "mm_"),
+    ("events_streaming_", "es_"),
+    ("events_", "ev_"),
+    ("dedup_", "dd_"),
+    ("text_", "tx_"),
+    ("sketch_", "sk_"),
+    ("sample_", "sm_"),
+    ("pipeline_", "pl_"),
+    ("skew_salted_", "skw_"),
+]
+
+
+def short_key(name: str) -> str:
+    """Deterministic bench-output key: qNN_* -> qNN, fixed prefix table,
+    _distributed -> _dist. graph_build and g_* traversal keys pass through
+    unchanged (they are already short and stable since r1)."""
+    import re as _re
+    n = _re.sub(r"^q(\d+)_.*$", r"q\1", name)
+    for full, abbr in _ABBREV_PREFIXES:
+        if n.startswith(full):
+            n = abbr + n[len(full):]
+            break
+    return n.replace("_distributed", "_dist")
+
+
+def key_map(names) -> dict[str, str]:
+    m = {n: short_key(n) for n in names}
+    assert len(set(m.values())) == len(m), "bench key abbreviation collision"
+    return m
+
+
 def _bench_bucketed_traversal(spark, timings: dict[str, float]) -> None:
     """End-to-end persisted-bucketed path: save the star graph with
     src-bucketed edges (one-time ETL, untimed — it is the amortized cost a
@@ -150,8 +194,13 @@ def _bench_bucketed_traversal(spark, timings: dict[str, float]) -> None:
 
 
 def main() -> None:
+    if "--keymap" in sys.argv:
+        print(json.dumps(key_map(["graph_build", "g_2hop_bucketed",
+                                  *BENCH_QUERIES]), indent=1))
+        return
     spark = get_spark(app_name="fermor-bench")
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
 
     # warm the JVM (codegen, JIT, shuffle machinery) on a throwaway job so
     # graph_build measures build throughput, not cold-start — ~4s of the
@@ -185,14 +234,22 @@ def main() -> None:
         # 16.4 -> 11.2 -> 1.6 never warmed within three runs). The timed
         # minimum still absorbs shared-VM interference.
         best = None
+        runs: list[float] = []
         for i in range(4):
             t0 = time.perf_counter()
             _force(registry[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
+            runs.append(round(dt, 3))
             if i == 0:
                 continue  # warm-up: codegen + cache build, never recorded
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # every run (warm-up first) lands in BENCH_DETAIL.json: when a
+        # best-of-3 line moves >2x round-over-round (r6 ann family, r7
+        # dedup_ngram_jaccard), the run sequence distinguishes "all runs
+        # slow" (plan/environment) from "never warmed" (cache) without a
+        # rerun — the repo's >2x root-cause rule needs this record.
+        all_runs[name] = runs
         # cache hygiene BETWEEN queries (never between a query's own three
         # runs, so its warm state is measured): operators register
         # query-scoped caches via session.managed_cache; leaving them
@@ -206,20 +263,46 @@ def main() -> None:
     _bench_bucketed_traversal(spark, timings)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 2)
     # iteration round counts for the driver-loop operators, so a
     # round-count regression is visible in the bench record without rerun
     from fermor_spark import iterate as it
-    print(json.dumps({
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "rounds": {"cc": it.LAST_CC_ROUNDS, "kcore": it.LAST_KCORE_ROUNDS,
-                   "scc": it.LAST_SCC_ROUNDS, "bf": it.LAST_BF_ROUNDS,
-                   "bfs": it.LAST_BFS_ROUNDS},
-    }))
+    rounds = {"cc": it.LAST_CC_ROUNDS, "kcore": it.LAST_KCORE_ROUNDS,
+              "scc": it.LAST_SCC_ROUNDS, "bf": it.LAST_BF_ROUNDS,
+              "bfs": it.LAST_BFS_ROUNDS}
+
+    # full-name, full-run-sequence record (all 4 runs per query, warm-up
+    # first) — the human/root-cause record that has no size constraint
+    keymap = key_map(list(timings))
+    detail = {
+        "metric": "headline_queries_total", "value": total, "unit": "sec",
+        "sf": sf_val, "rounds": rounds, "queries": timings,
+        "runs": all_runs, "key_map": keymap,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # machine record: ONE compact JSON line, abbreviated keys (see
+    # short_key), 2-decimal values — sized to always fit the driver's
+    # 2000-byte tail-capture window. If a future query explosion pushes it
+    # over the guard anyway, per-query timings drop from the LINE (never
+    # from BENCH_DETAIL.json) rather than emitting a line that truncates
+    # into unparseable garbage.
+    line = json.dumps({
+        "metric": "headline_queries_total", "value": total, "unit": "sec",
+        "queries": {keymap[k]: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val, "rounds": rounds,
+    }, separators=(",", ":"))
+    if len(line) > 1950:
+        line = json.dumps({
+            "metric": "headline_queries_total", "value": total,
+            "unit": "sec", "queries": {"see": "BENCH_DETAIL.json"},
+            "sf": sf_val, "rounds": rounds,
+        }, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

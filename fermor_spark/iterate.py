@@ -543,6 +543,11 @@ def strongly_connected_components(
     """
     fwd = _loop_adjacency(g, labels, "out")
     bwd = _loop_adjacency(g, labels, "in")
+    # direction-tagged adjacency union consumed by flood_both: one persisted
+    # table serves both directions' frontier expansions in the same jobs
+    adj_both = _persist(
+        fwd.withColumn("dir", F.lit("f"))
+        .unionByName(bwd.withColumn("dir", F.lit("b"))))
     # Trim adjacency: self-loops excluded — a vertex whose only cycle is a
     # self-loop is a singleton SCC and should be peeled, not flooded.
     trim_adj = _persist(fwd.where(F.col("u") != F.col("v")))
@@ -578,26 +583,37 @@ def strongly_connected_components(
                 return keep
             open_nodes = keep
 
-    def flood(adj: DataFrame, nodes: DataFrame) -> DataFrame:
-        """nodes: (id, part, pivot). Returns (id, part) of vertices reachable
-        from their partition's pivot, staying within the partition."""
-        reached = nodes.where(F.col("id") == F.col("pivot")).select("id", "part")
+    def flood_both(adj_both: DataFrame, nodes: DataFrame):
+        """nodes: (id, part, pivot). Floods forward AND backward pivot
+        reachability in ONE frontier loop over a direction-tagged adjacency
+        union — the two floods are independent, so tagging rows with
+        dir∈{f,b} runs them as extra rows in the same jobs instead of a
+        second sequential loop. Halves the driver-side barrier count per
+        FW-BW round: iterations = max(fwd diameter, bwd diameter) rather
+        than their sum, and each barrier is amortized over both directions'
+        rows (r7's forced leg spent 16.6 s mostly on these barriers).
+        Returns ((id, part) forward-reached, (id, part) backward-reached).
+        """
+        seeds = nodes.where(F.col("id") == F.col("pivot")).select("id", "part")
+        reached = seeds.crossJoin(
+            g.spark.createDataFrame([("f",), ("b",)], "dir string"))
         frontier = reached
-        i = 0
         while True:
+            fr = frontier.select(F.col("id").alias("u"), "part", "dir")
             nxt = (
-                frontier.join(adj, frontier["id"] == adj["u"], "inner")
-                .select(F.col("v").alias("id"), "part")
+                fr.join(adj_both, ["u", "dir"], "inner")
+                .select(F.col("v").alias("id"), "part", "dir")
                 .distinct()
                 .join(nodes.select("id", "part"), ["id", "part"], "left_semi")
-                .join(reached, ["id", "part"], "left_anti")
+                .join(reached, ["id", "part", "dir"], "left_anti")
             )
             nxt = _persist(nxt)
             if nxt.count() == 0:
-                return reached
+                break
             reached = reached.unionByName(nxt)
             frontier = nxt
-            i += 1
+        return (reached.where(F.col("dir") == "f").select("id", "part"),
+                reached.where(F.col("dir") == "b").select("id", "part"))
 
     def local_finish(open_nodes: DataFrame, settled: list) -> bool:
         """Collect the open subgraph and finish with driver Tarjan if it has
@@ -648,8 +664,9 @@ def strongly_connected_components(
         LAST_SCC_ROUNDS = rnd + 1
         pivots = open_nodes.groupBy("part").agg(F.min("id").alias("pivot"))
         nodes = open_nodes.join(pivots, "part")
-        fr = flood(fwd, nodes).withColumn("_f", F.lit(1))
-        br = flood(bwd, nodes).withColumn("_b", F.lit(1))
+        fr, br = flood_both(adj_both, nodes)
+        fr = fr.withColumn("_f", F.lit(1))
+        br = br.withColumn("_b", F.lit(1))
         tagged = (
             nodes.join(fr, ["id", "part"], "left")
             .join(br, ["id", "part"], "left")
@@ -676,6 +693,7 @@ def strongly_connected_components(
         open_nodes = trim(remaining, settled)
     fwd.unpersist()
     bwd.unpersist()
+    adj_both.unpersist()
     trim_adj.unpersist()
     if not settled:
         return g.spark.createDataFrame([], "id string, component string")

@@ -129,13 +129,23 @@ def ngram_jaccard_pairs(
         F.count("*").alias("n"),
     )
     docsets = managed_cache(docsets)
+    # Verify joins are PINNED to shuffle-hash (build side = the candidate
+    # list, which prefix filtering has already made the small side).
+    # Unhinted, AQE broadcast-joins docsets BuildRight here: its row count
+    # is tiny but every row carries the doc's full sorted shingle array, so
+    # the broadcast build serializes the whole corpus's shingle mass on the
+    # driver — timing-fragile under driver GC/memory pressure (the prime
+    # suspect for BENCH_r07's unreproducible 11.55 s: all three timed runs
+    # slow, same plan fast at 0.54 s in a clean full-sequence rerun) and
+    # flatly impossible at 100 TB, where docsets is corpus-sized and only a
+    # co-partitioned join on doc id can work.
     pairs = (
-        cands.join(
+        cands.hint("shuffle_hash").join(
             docsets.select(
                 F.col("id").alias("id_a"), F.col("arr").alias("arr_a"),
                 F.col("n").alias("na")),
             "id_a")
-        .join(
+        .hint("shuffle_hash").join(
             docsets.select(
                 F.col("id").alias("id_b"), F.col("arr").alias("arr_b"),
                 F.col("n").alias("nb")),
