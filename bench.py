@@ -198,6 +198,10 @@ def main() -> None:
         print(json.dumps(key_map(["graph_build", "g_2hop_bucketed",
                                   *BENCH_QUERIES]), indent=1))
         return
+    # fail fast on abbreviation collisions BEFORE any Spark work — key_map
+    # asserts, and discovering a collision only at the end of a multi-minute
+    # run would lose both the stdout line and BENCH_DETAIL.json
+    key_map(["graph_build", "g_2hop_bucketed", *BENCH_QUERIES])
     spark = get_spark(app_name="fermor-bench")
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -297,9 +301,12 @@ def main() -> None:
         "sf": sf_val, "rounds": rounds,
     }, separators=(",", ":"))
     if len(line) > 1950:
+        # keep the queries map's value type name->float (empty beats a
+        # sentinel string that breaks round-over-round comparators); the
+        # pointer to the full record rides in its own field
         line = json.dumps({
             "metric": "headline_queries_total", "value": total,
-            "unit": "sec", "queries": {"see": "BENCH_DETAIL.json"},
+            "unit": "sec", "queries": {}, "detail": "BENCH_DETAIL.json",
             "sf": sf_val, "rounds": rounds,
         }, separators=(",", ":"))
     print(line)

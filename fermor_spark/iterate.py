@@ -34,6 +34,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -543,21 +544,24 @@ def strongly_connected_components(
     """
     fwd = _loop_adjacency(g, labels, "out")
     bwd = _loop_adjacency(g, labels, "in")
-    # direction-tagged adjacency union consumed by flood_both: one persisted
-    # table serves both directions' frontier expansions in the same jobs
-    adj_both = _persist(
-        fwd.withColumn("dir", F.lit("f"))
-        .unionByName(bwd.withColumn("dir", F.lit("b"))))
     # Trim adjacency: self-loops excluded — a vertex whose only cycle is a
     # self-loop is a singleton SCC and should be peeled, not flooded.
     trim_adj = _persist(fwd.where(F.col("u") != F.col("v")))
 
-    def trim(open_nodes: DataFrame, settled: list) -> DataFrame:
+    def trim(open_nodes: DataFrame, settled: list):
         """Iteratively peel vertices with no in- or no out-edge *within the
         open set*: each is a singleton SCC (component = own id). On acyclic
         regions — most of a real graph — this settles everything with cheap
         semi-joins, reserving pivot floods for the cyclic core (the Trim
-        step of the FW-BW-Trim family)."""
+        step of the FW-BW-Trim family). Returns (keep, n_keep) so callers
+        never re-count the open set.
+
+        ONE materialization per pass (r9): tag every open vertex with a
+        keep flag, checkpoint lazily, and let the first count() materialize
+        it — the previous shape paid three driver barriers per pass (e_open
+        persist + keep checkpoint + peeled checkpoint) for the same result,
+        and trim runs once per FW-BW round, so its barrier count compounds.
+        """
         while True:
             ids = open_nodes.select("id")
             e_open = (
@@ -565,55 +569,74 @@ def strongly_connected_components(
                 .join(ids.withColumnRenamed("id", "u"), "u", "left_semi")
                 .join(ids.withColumnRenamed("id", "v"), "v", "left_semi")
             )
-            e_open = _persist(e_open)
             srcs = e_open.select(F.col("u").alias("id")).distinct()
             dsts = e_open.select(F.col("v").alias("id")).distinct()
-            keep = (
-                open_nodes.join(srcs, "id", "left_semi")
-                .join(dsts, "id", "left_semi")
+            tagged = (
+                open_nodes
+                .join(srcs.withColumn("_s", F.lit(1)), "id", "left")
+                .join(dsts.withColumn("_d", F.lit(1)), "id", "left")
+                .withColumn("_keep", F.col("_s").isNotNull() & F.col("_d").isNotNull())
+                .drop("_s", "_d")
             )
-            keep = keep.localCheckpoint(eager=True)
-            n_keep = keep.count()
-            peeled = open_nodes.join(keep.select("id"), "id", "left_anti").select(
+            tagged = tagged.localCheckpoint(eager=False)
+            keep = tagged.where(F.col("_keep")).drop("_keep")
+            peeled = tagged.where(~F.col("_keep")).select(
                 "id", F.col("id").alias("component")
             )
-            settled.append(peeled.localCheckpoint(eager=True))
-            e_open.unpersist()
-            if n_keep == 0 or peeled.limit(1).count() == 0:
-                return keep
+            settled.append(peeled)
+            n_tot = tagged.count()  # materializes the checkpoint
+            n_keep = keep.count()   # cached scan
+            if n_keep == 0 or n_tot == n_keep:
+                return keep, n_keep
             open_nodes = keep
 
-    def flood_both(adj_both: DataFrame, nodes: DataFrame):
-        """nodes: (id, part, pivot). Floods forward AND backward pivot
-        reachability in ONE frontier loop over a direction-tagged adjacency
-        union — the two floods are independent, so tagging rows with
-        dir∈{f,b} runs them as extra rows in the same jobs instead of a
-        second sequential loop. Halves the driver-side barrier count per
-        FW-BW round: iterations = max(fwd diameter, bwd diameter) rather
-        than their sum, and each barrier is amortized over both directions'
-        rows (r7's forced leg spent 16.6 s mostly on these barriers).
-        Returns ((id, part) forward-reached, (id, part) backward-reached).
+    def flood(adj: DataFrame, nodes: DataFrame, hops_per_round: int = 4) -> DataFrame:
+        """nodes: (id, part, pivot). Returns (id, part) of vertices reachable
+        from their partition's pivot, staying within the partition.
+
+        Two sequential per-direction floods, restored in r9: r8 tried a
+        direction-tagged union flood (one loop over fwd+bwd rows) to halve
+        the driver barrier count, but it MEASURED SLOWER (g_scc_distributed
+        16.6 s -> 23.4 s, uniform over four driver runs) — the union doubled
+        rows per frontier job, added a persisted third adjacency copy, and
+        widened the anti-join key, costing more than the barriers it saved.
+
+        What DOES cut barriers without those costs: ``hops_per_round`` BFS
+        steps per materialization. The k hop joins chain lazily inside one
+        job (each hop semi-joined to the partition's node set, so path
+        containment is enforced per hop exactly as in the 1-hop loop); the
+        driver barrier count drops from O(diameter) to O(diameter / k).
+        Each hop also dedups and anti-joins the reached set LAZILY (extra
+        stages inside the same job, not extra barriers), so intermediate row
+        counts stay bounded by the true new-vertex counts instead of
+        compounding branching^k within a block.
         """
-        seeds = nodes.where(F.col("id") == F.col("pivot")).select("id", "part")
-        reached = seeds.crossJoin(
-            g.spark.createDataFrame([("f",), ("b",)], "dir string"))
+        node_ids = nodes.select("id", "part")
+        reached = nodes.where(F.col("id") == F.col("pivot")).select("id", "part")
         frontier = reached
         while True:
-            fr = frontier.select(F.col("id").alias("u"), "part", "dir")
-            nxt = (
-                fr.join(adj_both, ["u", "dir"], "inner")
-                .select(F.col("v").alias("id"), "part", "dir")
-                .distinct()
-                .join(nodes.select("id", "part"), ["id", "part"], "left_semi")
-                .join(reached, ["id", "part", "dir"], "left_anti")
-            )
-            nxt = _persist(nxt)
+            hops = []
+            step = frontier
+            for _ in range(hops_per_round):
+                step = (
+                    step.join(adj, step["id"] == adj["u"], "inner")
+                    .select(F.col("v").alias("id"), "part")
+                    .join(node_ids, ["id", "part"], "left_semi")
+                    .join(reached, ["id", "part"], "left_anti")
+                    .distinct()
+                )
+                hops.append(step)
+            nxt = hops[0]
+            for h in hops[1:]:
+                nxt = nxt.unionByName(h)
+            nxt = nxt.distinct()
+            # lazy checkpoint + count = ONE job per block (eager checkpoint
+            # then count paid two driver round trips for the same answer)
+            nxt = nxt.localCheckpoint(eager=False)
             if nxt.count() == 0:
-                break
+                return reached
             reached = reached.unionByName(nxt)
             frontier = nxt
-        return (reached.where(F.col("dir") == "f").select("id", "part"),
-                reached.where(F.col("dir") == "b").select("id", "part"))
 
     def local_finish(open_nodes: DataFrame, settled: list) -> bool:
         """Collect the open subgraph and finish with driver Tarjan if it has
@@ -654,19 +677,27 @@ def strongly_connected_components(
     open_nodes = g.vertex_ids().withColumn("part", F.lit("0"))
     # fast path: a driver-scale graph skips the trim barrier rounds entirely
     done = local_finish(open_nodes, settled)
+    n_open = -1
     if not done:
-        open_nodes = trim(open_nodes, settled)
+        open_nodes, n_open = trim(open_nodes, settled)
     for rnd in range(0 if done else max_outer):
-        if open_nodes.limit(1).count() == 0:
+        if n_open == 0:
             break
         if local_finish(open_nodes, settled):
             break
         LAST_SCC_ROUNDS = rnd + 1
         pivots = open_nodes.groupBy("part").agg(F.min("id").alias("pivot"))
         nodes = open_nodes.join(pivots, "part")
-        fr, br = flood_both(adj_both, nodes)
-        fr = fr.withColumn("_f", F.lit(1))
-        br = br.withColumn("_b", F.lit(1))
+        # the two directions' floods are independent: run them on two driver
+        # threads so their per-block barrier latencies OVERLAP (what r8's
+        # flood_both union tried to buy, without doubling rows per job or
+        # widening the anti-join key — concurrent job submission is the
+        # supported Spark idiom for independent subplans)
+        with ThreadPoolExecutor(max_workers=2) as _ex:
+            _ff = _ex.submit(flood, fwd, nodes)
+            _fb = _ex.submit(flood, bwd, nodes)
+            fr = _ff.result().withColumn("_f", F.lit(1))
+            br = _fb.result().withColumn("_b", F.lit(1))
         tagged = (
             nodes.join(fr, ["id", "part"], "left")
             .join(br, ["id", "part"], "left")
@@ -676,24 +707,27 @@ def strongly_connected_components(
                 F.coalesce(F.col("_b"), F.lit(0)).alias("b"),
             )
         )
+        # checkpoint TAGGED once — scc and remaining are narrow filters over
+        # the same frame, so materializing them separately would run the
+        # pivot-join + flood-union exchanges twice per round (and under AQE
+        # every exchange is its own scheduled job)
+        tagged = tagged.localCheckpoint(eager=False)
         scc = tagged.where((F.col("f") == 1) & (F.col("b") == 1)).select(
             "id", F.col("pivot").alias("component")
         )
-        settled.append(scc.localCheckpoint(eager=True))
+        settled.append(scc)
         remaining = tagged.where((F.col("f") == 0) | (F.col("b") == 0)).select(
             "id",
             F.concat(F.col("part"), F.lit("."), F.col("f").cast("string"),
                      F.col("b").cast("string")).alias("part"),
         )
-        remaining = remaining.localCheckpoint(eager=True)
-        if remaining.limit(1).count() == 0:
+        if remaining.count() == 0:  # materializes the tagged checkpoint
             break
         # splitting a partition exposes new acyclic fringes — re-trim so the
         # next round's floods only touch what is still possibly cyclic
-        open_nodes = trim(remaining, settled)
+        open_nodes, n_open = trim(remaining, settled)
     fwd.unpersist()
     bwd.unpersist()
-    adj_both.unpersist()
     trim_adj.unpersist()
     if not settled:
         return g.spark.createDataFrame([], "id string, component string")

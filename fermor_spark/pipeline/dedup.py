@@ -139,16 +139,23 @@ def ngram_jaccard_pairs(
     # slow, same plan fast at 0.54 s in a clean full-sequence rerun) and
     # flatly impossible at 100 TB, where docsets is corpus-sized and only a
     # co-partitioned join on doc id can work.
+    # Hint sides chosen for build-side MEMORY, not just join strategy: the
+    # first join builds on bare cands (two ids per row — the small side by
+    # construction). The second join's left input already carries arr_a per
+    # candidate pair, so hinting IT would make the hash build hold one full
+    # shingle array PER PAIR (docs duplicated across pairs — OOM risk on
+    # clustered corpora where pairs >> docs); the hint goes on the docsets
+    # leg instead, so the build side holds at most one array per doc.
     pairs = (
         cands.hint("shuffle_hash").join(
             docsets.select(
                 F.col("id").alias("id_a"), F.col("arr").alias("arr_a"),
                 F.col("n").alias("na")),
             "id_a")
-        .hint("shuffle_hash").join(
+        .join(
             docsets.select(
                 F.col("id").alias("id_b"), F.col("arr").alias("arr_b"),
-                F.col("n").alias("nb")),
+                F.col("n").alias("nb")).hint("shuffle_hash"),
             "id_b")
         .withColumn("c", F.size(F.array_intersect("arr_a", "arr_b")))
     )

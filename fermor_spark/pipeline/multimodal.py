@@ -33,7 +33,11 @@ Audio METADATA          ``audio_metadata`` — WAV fmt/data math,      REAL
                         + layer-III frame-header walk; header-only
 FLAC / MP3 samples      frame/sample DECODE needs codec libraries    STUB
 Y4M (YUV4MPEG2)         ``_y4m_frames`` luma-plane frame sample      REAL
-mp4 / webm / mkv        compressed containers need ffmpeg            STUB
+Video METADATA          ``video_metadata`` — mp4 box walk (mvhd      REAL
+(mp4 / avi / y4m)       timescale/duration, tkhd dims), AVI RIFF
+                        header, Y4M params; header-only
+mp4 / webm / mkv        compressed FRAME decode needs ffmpeg         STUB
+FRAME samples
 ======================  ==========================================  ======
 
 ``parse_image_header`` sniffs PNG/GIF/BMP/all-SOFn-JPEG dimensions without

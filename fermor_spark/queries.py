@@ -2502,14 +2502,22 @@ def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _nation_ring_cache: dict = {}
 
 
-def _nation_ring_graph(spark: SparkSession, sf_dir: str):
+def _nation_ring_graph(spark: SparkSession, sf_dir: str, max_region: int | None = None):
+    """Ring graph over nations (one directed ring per region). ``max_region``
+    keeps only regions with n_regionkey < max_region — the forced-distributed
+    SCC gate runs on a 2-region bound: the evidence it exists for is
+    "the FW-BW rounds execute and agree with the oracle" (rounds >= 2),
+    and each extra ring costs a full pivot-flood round of pure driver
+    barriers at every scale factor (nation is a fixed 25 rows)."""
     from fermor_spark.datasets import _id
     from fermor_spark.graph import PropertyGraph
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, max_region)
     if key in _nation_ring_cache:
         return _nation_ring_cache[key]
     n = table(spark, sf_dir, "nation")
+    if max_region is not None:
+        n = n.where(F.col("n_regionkey") < max_region)
     w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
     wall = Window.partitionBy("n_regionkey")
     ring = n.select(
@@ -4266,16 +4274,33 @@ def g_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@_dist_query("g_scc_distributed", "g_scc_nation_ring")
+@query(
+    "g_scc_distributed",
+    """
+    SELECT 'n:' || n_nationkey AS id, m AS component
+    FROM nation JOIN (
+      SELECT n_regionkey AS rk, min('n:' || n_nationkey) AS m
+      FROM nation WHERE n_regionkey < 2 GROUP BY n_regionkey
+    ) ON n_regionkey = rk
+    WHERE n_regionkey < 2
+    """,
+)
 def g_scc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g_scc_nation_ring with local_edge_threshold=0: FW-BW pivot floods
-    decompose the rings distributed (each ring = one SCC)."""
-    rg = _nation_ring_graph(spark, sf_dir)
+    decompose the rings distributed (each ring = one SCC).
+
+    Bounded to TWO region rings (r9): every extra ring is one more pivot
+    round of pure driver barriers (nation is 25 rows at every SF, so the
+    5-ring leg's 23 s was 100% barrier latency, 26% of the whole bench).
+    Two rings force >= 2 FW-BW rounds — ring B is untouched by ring A's
+    pivot floods, so it must survive into a second pivot round — which is
+    exactly the evidence this gate exists for, now asserted."""
+    rg = _nation_ring_graph(spark, sf_dir, max_region=2)
     out = iterate.strongly_connected_components(
         rg, labels="next_nation", local_edge_threshold=0)
-    # zero rounds is only legitimate on a vacuous graph (empty-table sweep)
-    assert iterate.LAST_SCC_ROUNDS > 0 or out.limit(1).count() == 0, \
-        "distributed SCC leg did not run"
+    # >= 2 pivot rounds unless the graph is vacuous (empty-table sweep)
+    assert iterate.LAST_SCC_ROUNDS >= 2 or out.limit(1).count() == 0, \
+        "distributed SCC leg did not run >=2 FW-BW rounds"
     return out
 
 
