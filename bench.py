@@ -11,6 +11,7 @@ shares.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -263,6 +264,19 @@ def main() -> None:
         # releases its OWN caches — inherited-cache contamination shows up
         # as its own line instead of mystery noise.
         release_caches()
+        # GC/cleaner drain at the query boundary (r9, the root cause of
+        # r8's unexplained >2x cluster): iterative queries leave dozens of
+        # dead localCheckpoint RDD wrappers; their unpersists run on the
+        # ContextCleaner only after a JVM GC, at an ARBITRARY later point —
+        # measured landing inside a later query's timed runs
+        # (dedup_ngram_jaccard in-sequence [4.69, 1.11, 1.13, 4.20] without
+        # the drain vs [4.18, 0.93, 0.84, 0.78] with it; same class hit
+        # minhash/ann/window_lag/fingerprint in BENCH_r08). Forcing the GC
+        # here makes the cleaner's work attributable to the boundary, not
+        # to whichever victim query it would otherwise interrupt.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
 
     _bench_bucketed_traversal(spark, timings)
 
