@@ -104,6 +104,14 @@ BENCH_QUERIES = [
     "events_streaming_file_sink",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    # r9 addition: the composed curation pipeline (quality gates -> ESD trim
+    # -> LSH dedup -> decontamination -> split -> JSONL sink), end to end —
+    # the workload a real corpus run executes, and the session-interference
+    # canary the r7/r8 anomalies showed was missing
+    "pipeline_curate_e2e",
+    # r9 addition: session-window state is the one stateful streaming shape
+    # the other es_* lines don't cover (merging windows)
+    "events_streaming_sessions",
 ]
 
 
@@ -194,15 +202,52 @@ def _bench_bucketed_traversal(spark, timings: dict[str, float]) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_bucketed_funnel(spark, timings: dict[str, float]) -> None:
+    """End-to-end bucketed-events funnel: write events bucketed+sorted by
+    user_id (one-time ETL, untimed — the amortized layout cost a production
+    events table pays once), then time the 3-step funnel reading the
+    bucketed table. The plan audit (PLANS.md r9) shows the bucketed scans
+    feed every user-key SortMergeJoin and per-user aggregate with ZERO
+    exchanges — the only remaining shuffles are the three single-row
+    global step counts. This is the 100 TB shape: per-step cost = one
+    co-located scan, no data motion."""
+    import shutil
+    import tempfile
+
+    from fermor_spark.datasets import table
+    from fermor_spark.temporal import funnel
+
+    tmp = tempfile.mkdtemp(prefix="fermor_bench_bucketed_ev_")
+    name = "fermor_events_bucketed_bench"
+    try:
+        ev = table(spark, SF_DIR, "events")
+        (ev.write.mode("overwrite").bucketBy(16, "user_id")
+           .sortBy("user_id", "ts")
+           .option("path", f"{tmp}/events").saveAsTable(name))
+        evb = spark.table(name)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(funnel(evb, ["view", "click", "purchase"]))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings["ev_funnel_bucketed"] = round(best, 3)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     if "--keymap" in sys.argv:
         print(json.dumps(key_map(["graph_build", "g_2hop_bucketed",
-                                  *BENCH_QUERIES]), indent=1))
+                                  "ev_funnel_bucketed", *BENCH_QUERIES]),
+                         indent=1))
         return
     # fail fast on abbreviation collisions BEFORE any Spark work — key_map
     # asserts, and discovering a collision only at the end of a multi-minute
     # run would lose both the stdout line and BENCH_DETAIL.json
-    key_map(["graph_build", "g_2hop_bucketed", *BENCH_QUERIES])
+    key_map(["graph_build", "g_2hop_bucketed", "ev_funnel_bucketed",
+             *BENCH_QUERIES])
     spark = get_spark(app_name="fermor-bench")
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -279,6 +324,7 @@ def main() -> None:
         time.sleep(0.3)
 
     _bench_bucketed_traversal(spark, timings)
+    _bench_bucketed_funnel(spark, timings)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

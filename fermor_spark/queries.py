@@ -3326,6 +3326,291 @@ def pipeline_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
+# The composed curation pipeline's FULL-COMPUTATION oracle: every stage's
+# already-gated SQL (token-repetition quality gate / Gopher repetition /
+# ESD trim / MinHash-LSH + exact verify + recursive-CTE closure /
+# decontamination / hash split) re-targeted at the previous stage's output
+# CTE, ending in the per-split count + char-mass + id-sum + text-checksum
+# aggregate that the Spark side computes FROM THE JSONL FILES it wrote.
+#
+# Stage choice note: C4 cleaning and the Gopher QUALITY rules are gated
+# standalone (text_c4_filters / text_gopher_quality) but are excluded from
+# this composition because they are STRUCTURALLY vacuous on the synthetic
+# corpus (no terminal punctuation -> 0 sentences -> C4 keeps nothing; the
+# 31-word vocabulary contains one Gopher stopword -> stop_hits < 2 for
+# every doc), and a funnel that gates nothing is no gate. The composed
+# stages all discriminate here: the repetition quality gate keeps most
+# docs, Gopher repetition drops ~20%, ESD trims 9% of docs, MinHash finds
+# real near-dup clusters, decontamination real overlap pairs.
+#
+# Multiply-referenced CTEs are AS MATERIALIZED: DuckDB inlines plain CTEs
+# per reference, and this chain's references compound multiplicatively
+# (measured 108 s planning+execution for an EMPTY funnel without the
+# hints; ~1 s with them).
+_CURATE_E2E_SQL = r"""
+    WITH RECURSIVE
+    tok AS MATERIALIZED (
+      SELECT doc_id, toks[i] AS tok
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents),
+           UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    rep AS (
+      SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+      FROM tok GROUP BY doc_id
+    ),
+    s1 AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d JOIN rep USING (doc_id)
+      WHERE rep.n >= 20 AND 1.0 - rep.d * 1.0 / rep.n <= 0.65
+    ),
+    rlagg AS (
+      SELECT doc_id, tc, sum(c) AS n_lines,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+             greatest(sum(c * ll), 1) AS line_chars,
+             sum(CASE WHEN c > 1 THEN c * ll ELSE 0 END) AS dup_line_chars
+      FROM (
+        SELECT doc_id, tc, line, count(*) AS c, length(line) AS ll
+        FROM (SELECT doc_id, greatest(length(text), 1) AS tc,
+                     unnest(string_split(text, chr(10))) AS line FROM s1)
+        GROUP BY doc_id, tc, line
+      ) GROUP BY doc_id, tc
+    ),
+    rtp AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS t2,
+             coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS t3,
+             coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0) AS t4
+      FROM (
+        SELECT doc_id, n, max(cl) FILTER (c = mc) AS top_chars
+        FROM (
+          SELECT doc_id, n, c, c * length(ng) AS cl,
+                 max(c) OVER (PARTITION BY doc_id, n) AS mc
+          FROM (
+            SELECT doc_id, nn.n AS n,
+                   list_aggregate(w[p.r + 1 : p.r + nn.n], 'string_agg', ' ')
+                     AS ng,
+                   count(*) AS c
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> length(x) > 0) AS w FROM s1),
+                 (VALUES (2), (3), (4)) nn(n), range(600) p(r)
+            WHERE p.r + nn.n <= len(w)
+            GROUP BY doc_id, nn.n, ng
+          )
+        ) GROUP BY doc_id, n
+      ) GROUP BY doc_id
+    ),
+    grp AS (
+      SELECT lagg.doc_id FROM rlagg lagg LEFT JOIN rtp USING (doc_id)
+      WHERE 10 * dup_lines <= 3 * n_lines
+        AND 5 * dup_line_chars <= line_chars
+        AND 5 * t2 <= tc AND 50 * t3 <= 9 * tc AND 25 * t4 <= 4 * tc
+    ),
+    s2 AS MATERIALIZED (
+      SELECT s1.doc_id, s1.text FROM s1 JOIN grp USING (doc_id)
+    ),
+    g2 AS MATERIALIZED (
+      SELECT doc_id, p.r AS pos, substr(text, p.r + 1, 20) AS gram
+      FROM s2, range(600) p(r) WHERE p.r <= length(text) - 20
+    ),
+    d2 AS (
+      SELECT g2.doc_id, g2.pos FROM g2
+      JOIN (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2) c2
+      USING (gram)
+    ),
+    spans2 AS MATERIALIZED (
+      SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+      FROM (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) = 1
+                      THEN 0 ELSE 1 END AS brk
+          FROM d2
+        )
+      ) GROUP BY doc_id, run_id
+      HAVING max(pos) + 20 - min(pos) >= 40
+    ),
+    kept2 AS (
+      SELECT c.doc_id, c.i, c.ch
+      FROM (SELECT doc_id, p.r AS i, substr(text, p.r + 1, 1) AS ch
+            FROM s2, range(600) p(r) WHERE p.r < length(text)) c
+      WHERE NOT EXISTS (SELECT 1 FROM spans2 s
+                        WHERE s.doc_id = c.doc_id
+                          AND c.i >= s.s AND c.i < s.e)
+    ),
+    s3 AS MATERIALIZED (
+      SELECT t.doc_id, coalesce(ka.cleaned, '') AS text
+      FROM s2 t LEFT JOIN (SELECT doc_id, string_agg(ch, '' ORDER BY i)
+                                    AS cleaned
+                           FROM kept2 GROUP BY doc_id) ka USING (doc_id)
+    ),
+    sh3 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM s3),
+           UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    mh3 AS (
+      SELECT doc_id,
+             min(md5('0' || sh)) AS h0, min(md5('1' || sh)) AS h1,
+             min(md5('2' || sh)) AS h2, min(md5('3' || sh)) AS h3,
+             min(md5('4' || sh)) AS h4, min(md5('5' || sh)) AS h5,
+             min(md5('6' || sh)) AS h6, min(md5('7' || sh)) AS h7
+      FROM sh3 GROUP BY doc_id
+    ),
+    bands3 AS MATERIALIZED (
+      SELECT doc_id, 0 AS band, h0 || h1 AS key FROM mh3
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh3
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM mh3
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM mh3
+    ),
+    cand3 AS (
+      SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+      FROM bands3 a JOIN bands3 b ON a.band = b.band AND a.key = b.key
+                                 AND a.doc_id < b.doc_id
+    ),
+    sizes3 AS MATERIALIZED (
+      SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id
+    ),
+    ver3 AS MATERIALIZED (
+      SELECT i.pa, i.pb FROM (
+        SELECT c.pa, c.pb, count(*) AS cnt
+        FROM cand3 c
+        JOIN sh3 a ON a.doc_id = c.pa
+        JOIN sh3 b ON b.doc_id = c.pb AND b.sh = a.sh
+        GROUP BY c.pa, c.pb
+      ) i
+      JOIN sizes3 sa ON sa.doc_id = i.pa
+      JOIN sizes3 sb ON sb.doc_id = i.pb
+      WHERE i.cnt * 1.0 / (sa.n + sb.n - i.cnt) >= 0.8
+    ),
+    sym3 AS (SELECT pa, pb FROM ver3 UNION SELECT pb, pa FROM ver3),
+    reach3(ra, rb) AS (
+      SELECT doc_id, doc_id FROM s3
+      UNION
+      SELECT r.ra, s.pb FROM reach3 r JOIN sym3 s ON r.rb = s.pa
+    ),
+    s4 AS MATERIALIZED (
+      SELECT s3.doc_id, s3.text FROM s3
+      JOIN (SELECT ra AS doc_id, min(rb) AS cluster
+            FROM reach3 GROUP BY ra) cl USING (doc_id)
+      WHERE cl.cluster = s3.doc_id
+    ),
+    bsh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents WHERE doc_id % 20 = 0),
+           UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    cont AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT sh3.doc_id, sh3.sh FROM sh3 JOIN s4 USING (doc_id)
+            WHERE sh3.doc_id % 20 <> 0) t
+      JOIN bsh b ON t.sh = b.sh
+      JOIN (SELECT doc_id, count(*) AS bn FROM bsh GROUP BY doc_id) bz
+        ON bz.doc_id = b.doc_id
+      GROUP BY t.doc_id, b.doc_id, bz.bn
+      HAVING count(*) >= 2 AND round(count(*) * 1.0 / bz.bn, 4) >= 0.5
+    ),
+    s5 AS (
+      SELECT * FROM s4
+      WHERE doc_id % 20 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    sp AS (
+      SELECT doc_id, text,
+             CASE WHEN bkt < 800000 THEN 'train'
+                  WHEN bkt < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 1000000 AS bkt
+            FROM s5)
+    )
+    SELECT split, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_chars,
+           sum(doc_id)::BIGINT AS sum_ids,
+           sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+               % 1000000000)::BIGINT AS text_checksum
+    FROM sp GROUP BY split
+"""
+
+
+@query("pipeline_curate_e2e", _CURATE_E2E_SQL)
+def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline a 100 TB corpus run actually executes,
+    end to end under one gate: token-repetition quality gate (>= 20 tokens,
+    dup-token fraction <= 0.65) -> Gopher repetition rules -> ESD
+    duplicated-span trim within the surviving corpus -> MinHash-LSH
+    near-dup clusters (8 md5 hashes x 4 bands, exact-Jaccard >= 0.8
+    verify), keep each cluster's min-id representative -> decontamination
+    against a held-out pseudo-benchmark (doc_id % 20 == 0, original text;
+    drop train docs covering >= 2 shingles and >= half of a benchmark doc)
+    -> deterministic 80/10/10 hash split -> gzip JSONL corpus sink. The
+    returned per-split counts / char masses / id sums / text checksums are
+    computed FROM THE JSONL FILES READ BACK, so the gate covers the sink
+    encode/decode too. Every stage is an already-gated operator; composing
+    them under one full-computation oracle catches exactly the
+    cross-operator plan/cache interference class that produced the r7/r8
+    bench anomalies. (C4 + Gopher quality are gated standalone but excluded
+    here — structurally vacuous on this corpus; see _CURATE_E2E_SQL note.)
+    """
+    import shutil
+    import tempfile
+
+    from fermor_spark.pipeline.dedup import (cut_spans, decontaminate,
+                                             dedup_clusters,
+                                             minhash_dedup_pairs)
+    from fermor_spark.pipeline.sample import hash_split
+    from fermor_spark.pipeline.sink import (read_corpus_jsonl,
+                                            write_corpus_jsonl)
+    from fermor_spark.pipeline.text import (gopher_repetition,
+                                            repetition_metrics)
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = repetition_metrics(d, "doc_id", "text")
+    keep = rep.where(
+        (F.col("n_tokens") >= 20) & (F.col("dup_token_frac") <= 0.65)
+    ).select(F.col("id").alias("doc_id"))
+    s1 = d.join(keep, "doc_id", "left_semi")
+    gr = gopher_repetition(s1, "doc_id", "text").where("passes").select(
+        F.col("id").alias("doc_id"))
+    s2 = s1.join(gr, "doc_id", "left_semi")
+    s3 = cut_spans(s2, "doc_id", "text", k=20, min_count=2, min_span=40).select(
+        "doc_id", F.col("cleaned_text").alias("text"))
+    pairs = minhash_dedup_pairs(s3, "doc_id", "text", num_hashes=8, bands=4,
+                                threshold=0.8, shingle_n=3)
+    clus = dedup_clusters(pairs.select("id_a", "id_b"), s3.select("doc_id"))
+    reps = clus.where(F.col("id") == F.col("cluster")).select(
+        F.col("id").alias("doc_id"))
+    s4 = s3.join(reps, "doc_id", "left_semi")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    train = s4.where(F.col("doc_id") % 20 != 0)
+    s5 = decontaminate(train, bench, n=3, min_overlap=2, min_bench_frac=0.5)
+    s6 = hash_split(s5, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                    seed="split")
+    tmp = tempfile.mkdtemp(prefix="fermor_curate_e2e_")
+    path = f"{tmp}/corpus"
+    write_corpus_jsonl(s6, path, partition_by=("split",),
+                       max_records_per_file=10_000)
+    back = read_corpus_jsonl(spark, path, schema=s6.schema)
+    out = back.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15),
+                     16, 10).cast("long") % 1000000000).alias("text_checksum"),
+    )
+    rows = out.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
 @query(
     "multimodal_png_roundtrip",
     """
@@ -4068,6 +4353,53 @@ def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_streaming_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), agg AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+             count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM sess GROUP BY user_id, sid
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT user_id, session_start, n_events, total_value
+    FROM agg, mx
+    WHERE session_last + INTERVAL 30 MINUTE <= m - INTERVAL 1 HOUR
+    """,
+)
+def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured-Streaming SESSION WINDOWS, driver-gated: the events
+    parquet runs as a file-source stream through session_window (30-minute
+    inactivity gap, 1-hour watermark) in APPEND mode, drained with
+    trigger=availableNow into a memory sink. Session-window state is the
+    one stateful-operator shape the other streaming gates don't cover
+    (MERGING windows, not fixed ones: the store must coalesce adjacent
+    sessions as late rows arrive). Append emits exactly the sessions whose
+    end (last event + gap) the final watermark (max ts − 1 h) has passed —
+    the oracle restates that horizon over the batch session derivation
+    that the gated events_sessions_30m row already proved equivalent."""
+    import hashlib
+
+    from fermor_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    name = "gate_stream_sessions_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(S.session_aggregate(ev), name, output_mode="append")
+    return spark.table(name)
+
+
+@query(
     "events_retention_cohorts",
     """
     WITH c AS (
@@ -4374,51 +4706,43 @@ def dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed this round. Everything stays registered — the remainder keeps its
 # evidence via tests/test_oracle_parity.py, which sweeps ALL entries.
 _GATE_PRIORITY = [
-    # r7 gate rotation. The driver records only the FIRST 50 registry rows
-    # (the 50-row window every rotation below is built around), so this
-    # list is sized to exactly 50 before the overflow comment: with 120
-    # registered queries and 50 rows/round, a strict 3-round rotation keeps
-    # every query's newest green driver row <=2 rounds old.
+    # r9 gate rotation (the rotation r8 SKIPPED — its window repeated r7's
+    # verbatim, so the 38 r5-vintage rows below reached staleness 3,
+    # breaking the <=2-round invariant). The driver records the FIRST 50
+    # registry rows; this list is exactly 50.
     #
-    # (1) the 23 r4-vintage rows — staleness exactly 2 at r6, the
-    # VERDICT r6 brief's item 2; skipping them would make it 3
-    "algo_dominators_flow", "decontaminate_overlap", "dedup_embedding_cosine",
-    "g_all_paths_region", "g_branch_merge", "g_edge_documents",
-    "g_filter_one_of", "g_group_count_kind", "g_label_propagation_ring",
-    "g_merge_graphs", "g_other_v_both", "g_set_documents_nation",
-    "g_sorted_section_orders", "g_square_count_bipartite", "g_subseq_degree",
-    "g_take_drop_parts", "g_transpose_nation", "g_vertices_with_edge_supp",
-    "q12_priority_lines", "sample_stratified_source", "sample_weighted_mix",
-    "semantic_cluster_assign", "text_redact_pii",
-    # (2) changed in r7 — must re-gate regardless of vintage: the blocked-
-    # matmul top-k kernel moved to argpartition selection (ann_topk_cosine,
-    # ann_nearest_neighbor_all), the user-state gate aggregation moved to
-    # max_by pairing, and the JPEG walkers gained fill-byte tolerance
-    "ann_topk_cosine", "ann_nearest_neighbor_all",
-    "events_streaming_user_state", "multimodal_progressive_jpeg",
-    # new in r7 — a registered query is gated the round it lands:
-    "multimodal_lossless_jpeg", "dedup_duplicated_spans",
-    "dedup_span_coverage", "multimodal_video_metadata",
-    "multimodal_audio_metadata", "pipeline_jsonl_roundtrip",
-    "text_gopher_quality", "dedup_lines_c4", "dedup_cut_spans",
-    "events_streaming_file_sink", "text_gopher_repetition",
-    "text_c4_filters", "events_funnel_conversion",
-    "events_retention_cohorts",
-    # (3) 9 of the 47 r5-vintage rows (staleness 2 at r7), preferring the
-    # families adjacent to this round's changes (dedup/ANN, multimodal,
-    # iterative graph); the other 38 (the stable TPC-H q3-q22 tail,
-    # sketches, skew, text_pack_sequences, orders_status_matrix,
-    # part_name_prefixes, cube_lineitem_flags, monthly_revenue,
-    # median_price_by_status, rollup_order_totals, sample_split_counts,
-    # top3_orders_per_customer, g_both_neighbors_nation,
-    # events_range_nearby_counts, multimodal_y4m_frame_stats,
-    # multimodal_wav_features, multimodal_png_roundtrip,
-    # events_asof_prior_click, g_2hop_region, g_out_nation) stay <=2 old
-    # and head the r8 window
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_quantized_topk",
-    "g_connected_components", "g_kcore_ring_chains", "g_pagerank_supply",
-    "g_reachable_from_region", "g_shortest_path_weighted",
-    "pipeline_curation_funnel",
+    # (1) new in r9 — a registered query is gated the round it lands:
+    "pipeline_curate_e2e", "events_streaming_sessions",
+    # (2) changed in r9 — must re-gate regardless of vintage: the SCC
+    # engine (threaded k-hop floods, fused trim, 2-ring bounded forced
+    # leg), the shared _nation_ring_graph fixture (new max_region
+    # parameter), and the ngram verify-join hint side
+    "g_scc_distributed", "g_scc_nation_ring", "g_all_cycles_ring",
+    "dedup_ngram_jaccard",
+    # (3) the 38 r5-vintage rows (staleness 3 — the oldest evidence in the
+    # repo; restoring them is VERDICT r8 item 1)
+    "cube_lineitem_flags", "events_asof_prior_click",
+    "events_range_nearby_counts", "g_2hop_region", "g_both_neighbors_nation",
+    "g_out_nation", "median_price_by_status", "monthly_revenue",
+    "multimodal_png_roundtrip", "multimodal_wav_features",
+    "multimodal_y4m_frame_stats", "orders_status_matrix",
+    "part_name_prefixes", "q10_returned_items", "q13_customer_distribution",
+    "q14_promo_share", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q21_waiting_supplier", "q22_idle_customers", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_forecast",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "rollup_order_totals", "sample_split_counts", "sketch_cms_heavy_hitters",
+    "sketch_gk_quantiles", "sketch_hll_distinct", "skew_salted_agg_lineitem",
+    "skew_salted_join_brands", "text_pack_sequences",
+    "top3_orders_per_customer",
+    # (4) 6 of the 46 r6-vintage rows (staleness 3 at r9 close for the
+    # rest; they head the r10 window), preferring the iterate.py forced-
+    # distributed legs (the file that changed this round) and the cluster-
+    # dedup pieces pipeline_curate_e2e composes
+    "dedup_clusters_minhash", "dedup_clusters_distributed",
+    "g_cc_distributed", "g_kcore_distributed", "g_reachable_distributed",
+    "g_shortest_path_distributed",
 ]
 
 

@@ -1340,3 +1340,22 @@ def test_c4_filters_rules(spark):
     assert not got[1].passes and got[1].n_sentences == 3
     assert got[2].has_brace and not got[2].passes and got[2].n_sentences == 5
     assert got[3].has_lorem and not got[3].passes
+
+
+def test_curate_e2e_nonvacuous(spark):
+    """The composed curation gate must actually gate: a funnel that drops
+    every document would still hash-match a correctly-empty oracle, so the
+    non-vacuity is asserted here — survivors exist, every split is
+    nonempty at the fixture scale, and the funnel DID drop documents
+    (quality/dedup/decontamination all bite on this corpus)."""
+    from fermor_spark.queries import QUERIES
+    from fermor_spark.datasets import table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["split"]: r for r in
+           QUERIES["pipeline_curate_e2e"](spark, sf).collect()}
+    total_docs = table(spark, sf, "documents").count()
+    survivors = sum(r["n_docs"] for r in out.values())
+    assert set(out) == {"train", "val", "test"}
+    assert 0 < survivors < total_docs
+    assert all(r["n_docs"] > 0 and r["sum_chars"] > 0 for r in out.values())
