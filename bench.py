@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     # r9 addition: session-window state is the one stateful streaming shape
     # the other es_* lines don't cover (merging windows)
     "events_streaming_sessions",
+    # r9 addition: SemDeDup — cluster-blocked semantic near-dup removal
+    "semantic_dedup_keep",
 ]
 
 

@@ -420,6 +420,86 @@ def semantic_assign(
     return base.mapInPandas(assign, "id long, cluster long")
 
 
+def semantic_dedup(
+    df: DataFrame, threshold: float = 0.45, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings (cosine-nearest of k deterministic
+    seed centroids — semantic_assign), find within-cluster near-dup pairs
+    (cosine >= threshold, exact), resolve pair components, keep one
+    representative (min id) per component → (id, cluster, kept).
+
+    Scale shape — the whole point of the cluster-first design: the
+    all-pairs work is confined WITHIN clusters (expected n/k rows each),
+    so total pair work drops k-fold vs corpus-wide exact pairs, and the
+    per-cluster work is the same packed-block BLAS matmul as
+    cosine_pairs_exact (id-hash sub-blocks bound row size; one numpy
+    matmul per in-cluster block pair inside mapInPandas; nothing on the
+    driver). Component resolution reuses dedup_clusters (driver union-find
+    under its pair threshold, min-propagation rounds above it).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    assign = semantic_assign(df, k, id_col, vec_col)  # (id, cluster)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ).join(assign, "id")
+    )
+    n = df.count()
+    nb = max(1, math.ceil(n / block_rows))
+    packed = (
+        base.withColumn("_b", F.abs(F.hash("id")) % nb)
+        .groupBy("cluster", "_b")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    )
+    a = packed.select(F.col("cluster").alias("ca"), F.col("_b").alias("ba"),
+                      F.col("items").alias("a_items"))
+    b = packed.select(F.col("cluster").alias("cb"), F.col("_b").alias("bb"),
+                      F.col("items").alias("b_items"))
+    grid = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ba") <= F.col("bb")))
+
+    def fn(batches):
+        for pdf in batches:
+            for ba, bb, ai, bi in zip(pdf["ba"], pdf["bb"],
+                                      pdf["a_items"], pdf["b_items"]):
+                aids = np.array([x["id"] for x in ai])
+                A = np.array([x["v"] for x in ai], dtype=np.float64)
+                bids = np.array([x["id"] for x in bi])
+                B = np.array([x["v"] for x in bi], dtype=np.float64)
+                A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+                B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+                S = A @ B.T
+                ia, ib = np.nonzero(S >= threshold)
+                if len(ia) == 0:
+                    continue
+                id_a, id_b = aids[ia], bids[ib]
+                if ba == bb:
+                    keep = id_a < id_b
+                    id_a, id_b = id_a[keep], id_b[keep]
+                else:
+                    id_a, id_b = (np.minimum(id_a, id_b),
+                                  np.maximum(id_a, id_b))
+                yield pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    pairs = grid.mapInPandas(fn, "id_a long, id_b long")
+    from fermor_spark.pipeline.dedup import dedup_clusters
+
+    comp = dedup_clusters(pairs, df.select(id_col))
+    return (
+        assign.join(comp.select("id", F.col("cluster").alias("_rep")), "id")
+        .select(F.col("id").alias(id_col), "cluster",
+                (F.col("_rep") == F.col("id")).alias("kept"))
+    )
+
+
 def lsh_topk(
     df: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

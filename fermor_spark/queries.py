@@ -4325,6 +4325,57 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_keep",
+    """
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, s.cid AS cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.cid
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    p AS MATERIALIZED (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM e a
+      JOIN asg aa ON aa.vec_id = a.vec_id
+      JOIN e b ON a.vec_id < b.vec_id
+      JOIN asg ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    ),
+    sym AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p),
+    reach(ra, rb) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT r.ra, s.pb FROM reach r JOIN sym s ON r.rb = s.pa
+    ),
+    comp AS (SELECT ra AS vec_id, min(rb) AS rep FROM reach GROUP BY ra)
+    SELECT asg.vec_id, asg.cluster, (comp.rep = asg.vec_id) AS kept
+    FROM asg JOIN comp USING (vec_id)
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end (pipeline.similarity.semantic_dedup; Abbas et
+    al. 2023): cluster by cosine-nearest seed centroid, find within-cluster
+    near-dup pairs (exact cosine >= 0.45, packed-block BLAS inside
+    mapInPandas), resolve pair components, keep the min-id representative
+    — (vec_id, cluster, kept) for every vector. The cluster-first design
+    is what scales: the quadratic pair work is confined within clusters,
+    dropping k-fold vs corpus-wide exact pairs. The oracle recomputes
+    assignment, within-cluster pairs, and the component closure
+    (recursive CTE) exactly."""
+    from fermor_spark.pipeline.similarity import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.45, k=8)
+
+
+@query(
     "events_streaming_tumbling",
     """
     WITH agg AS (
@@ -4718,7 +4769,7 @@ _GATE_PRIORITY = [
     # registry rows; this list is exactly 50.
     #
     # (1) new in r9 — a registered query is gated the round it lands:
-    "pipeline_curate_e2e", "events_streaming_sessions",
+    "pipeline_curate_e2e", "events_streaming_sessions", "semantic_dedup_keep",
     # (2) changed in r9 — must re-gate regardless of vintage: the SCC
     # engine (threaded k-hop floods, fused trim, 2-ring bounded forced
     # leg), the shared _nation_ring_graph fixture (new max_region
@@ -4742,12 +4793,12 @@ _GATE_PRIORITY = [
     "sketch_gk_quantiles", "sketch_hll_distinct", "skew_salted_agg_lineitem",
     "skew_salted_join_brands", "text_pack_sequences",
     "top3_orders_per_customer",
-    # (4) 6 of the 46 r6-vintage rows (staleness 3 at r9 close for the
+    # (4) 5 of the 46 r6-vintage rows (staleness 3 at r9 close for the
     # rest; they head the r10 window), preferring the iterate.py forced-
     # distributed legs (the file that changed this round) and the cluster-
     # dedup pieces pipeline_curate_e2e composes
     "dedup_clusters_minhash", "dedup_clusters_distributed",
-    "g_cc_distributed", "g_kcore_distributed", "g_reachable_distributed",
+    "g_cc_distributed", "g_kcore_distributed",
     "g_shortest_path_distributed",
 ]
 
