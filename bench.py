@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "events_streaming_sessions",
     # r9 addition: SemDeDup — cluster-blocked semantic near-dup removal
     "semantic_dedup_keep",
+    # r9 addition: hash-kernel linear quality classifier (model-based
+    # scoring pass; deterministic weights keep it oracle-checkable)
+    "text_classifier_score",
 ]
 
 

@@ -192,6 +192,44 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
                     "with"]
 
 
+def classifier_score(df: DataFrame, id_col: str, text_col: str,
+                     dim: int = 4096) -> DataFrame:
+    """Hash-kernel linear quality classifier → (id, n_tokens, score,
+    passes) — the model-based scoring pass of modern curation recipes
+    (fastText-style quality classifiers as used by DCLM / FineWeb-Edu):
+    hashed unigram bag-of-words features scored by a linear weight
+    vector. The weights here are a deterministic closed-form function of
+    the feature index (w(i) = (i % 997) - 498), which keeps the full
+    computation oracle-checkable in SQL; a trained model drops in by
+    replacing that formula with a broadcast weight lookup — the feature
+    hashing, aggregation, and decision plumbing (the part that must scale)
+    are identical.
+
+    Scale shape: one token explode (row-linear, the shared _id_tokens
+    path) → one map-side-combinable groupBy(id). Feature index =
+    md5-int(token) % dim (the portable hash the rest of the repo gates
+    on); the score decision is INTEGERIZED (sum of integer weights > 0 —
+    no float boundary in `passes`); the displayed score normalizes by
+    997·n_tokens with the engine-agnostic half-up rounding."""
+    toks = _id_tokens(df, id_col, text_col)
+    feat = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % dim
+    )
+    agg = (
+        toks.withColumn("_w", (feat % 997) - 498)
+        .groupBy("id")
+        .agg(F.sum("_w").alias("_s"), F.count("*").alias("n"))
+    )
+    return agg.select(
+        "id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (F.floor(F.col("_s") * 10000.0 / (997 * F.col("n")) + F.lit(0.5))
+         / 10000.0).alias("score"),
+        (F.col("_s") > 0).alias("passes"),
+    )
+
+
 def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """The published Gopher corpus-quality rules (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", table A1) as pure JVM column

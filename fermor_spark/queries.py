@@ -1794,6 +1794,46 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_classifier_score",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, toks[i] AS tok
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents),
+           UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    f AS (
+      SELECT doc_id,
+             ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096) % 997) - 498
+               AS w
+      FROM tok
+    ),
+    a AS (
+      SELECT doc_id, sum(w)::BIGINT AS s, count(*) AS n
+      FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n::BIGINT AS n_tokens,
+           floor(s * 10000.0 / (997 * n) + 0.5) / 10000 AS score,
+           (s > 0) AS passes
+    FROM a
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-kernel linear quality classifier
+    (pipeline.text.classifier_score) — the fastText-style model-based
+    scoring pass of modern curation recipes (DCLM / FineWeb-Edu), with a
+    deterministic closed-form weight vector so the FULL computation
+    (feature hashing, bag-of-words aggregation, integerized decision)
+    oracle-checks in SQL; a trained model swaps the weight formula for a
+    broadcast lookup without touching the scale shape."""
+    from fermor_spark.pipeline.text import classifier_score
+
+    d = table(spark, sf_dir, "documents")
+    return classifier_score(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens", "score", "passes")
+
+
+@query(
     "text_gopher_quality",
     """
     WITH w AS (
@@ -4770,6 +4810,7 @@ _GATE_PRIORITY = [
     #
     # (1) new in r9 — a registered query is gated the round it lands:
     "pipeline_curate_e2e", "events_streaming_sessions", "semantic_dedup_keep",
+    "text_classifier_score",
     # (2) changed in r9 — must re-gate regardless of vintage: the SCC
     # engine (threaded k-hop floods, fused trim, 2-ring bounded forced
     # leg), the shared _nation_ring_graph fixture (new max_region
@@ -4793,13 +4834,12 @@ _GATE_PRIORITY = [
     "sketch_gk_quantiles", "sketch_hll_distinct", "skew_salted_agg_lineitem",
     "skew_salted_join_brands", "text_pack_sequences",
     "top3_orders_per_customer",
-    # (4) 5 of the 46 r6-vintage rows (staleness 3 at r9 close for the
+    # (4) 4 of the 46 r6-vintage rows (staleness 3 at r9 close for the
     # rest; they head the r10 window), preferring the iterate.py forced-
     # distributed legs (the file that changed this round) and the cluster-
     # dedup pieces pipeline_curate_e2e composes
     "dedup_clusters_minhash", "dedup_clusters_distributed",
     "g_cc_distributed", "g_kcore_distributed",
-    "g_shortest_path_distributed",
 ]
 
 
