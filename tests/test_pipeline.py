@@ -1359,3 +1359,52 @@ def test_curate_e2e_nonvacuous(spark):
     assert set(out) == {"train", "val", "test"}
     assert 0 < survivors < total_docs
     assert all(r["n_docs"] > 0 and r["sum_chars"] > 0 for r in out.values())
+
+
+def test_semantic_dedup_drops_near_dups_keeps_min_id(spark):
+    """Constructed corpus: two near-identical vectors (cosine ~1) plus an
+    orthogonal one. The near-dup pair resolves to one component; the min
+    id survives, the other is dropped; the orthogonal vector is kept.
+    Clusters come from the 2 lowest-id seed centroids."""
+    from fermor_spark.pipeline.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.999, 0.01, 0.0]),   # near-dup of 1, same cluster
+        (4, [0.0, 0.9, 0.3]),      # cluster 2, cosine(2,4)=0.949 < 0.995
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           semantic_dedup(df, threshold=0.995, k=2).collect()}
+    assert len(got) == 4
+    assert got[1]["kept"] and not got[3]["kept"]
+    assert got[1]["cluster"] == got[3]["cluster"] == 1
+    assert got[2]["kept"] and got[4]["kept"]
+    assert got[2]["cluster"] == got[4]["cluster"] == 2
+
+
+def test_classifier_score_decision_and_normalization(spark):
+    """The integerized decision reproduces exactly: per-token weight =
+    (md5-int(tok) % 4096 % 997) - 498, passes = sum > 0, score =
+    half-up(sum / (997 * n), 4). Checked against a Python recomputation
+    on a mixed-token doc and a single-token doc."""
+    import hashlib
+
+    from fermor_spark.pipeline.text import classifier_score
+
+    def w(tok: str) -> int:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return (h % 4096) % 997 - 498
+
+    rows = [(1, "alpha beta gamma delta"), (2, "zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in classifier_score(df, "doc_id", "text").collect()}
+    for doc_id, text in rows:
+        toks = text.split()
+        s = sum(w(t) for t in toks)
+        import math
+        exp_score = math.floor(s * 10000.0 / (997 * len(toks)) + 0.5) / 10000.0
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["passes"] == (s > 0)
+        assert got[doc_id]["score"] == exp_score
