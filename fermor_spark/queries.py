@@ -3626,9 +3626,16 @@ def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the trimmed corpus: three consumers read it inside one action
     # (the minhash shingle build, decontamination's train shingle table,
     # and the final sink), and uncached each re-runs the whole
-    # quality+Gopher+ESD chain — measured 3x the stage cost at sf0.1
+    # quality+Gopher+ESD chain — measured 3x the stage cost at sf0.1.
+    # Materialized EAGERLY: minhash_dedup_pairs probes its input's
+    # physical partition count, and an unmaterialized cache answers with
+    # the uncached plan's count on the first call but the InMemoryRelation
+    # count on later calls — a different repartition target means a
+    # different shingle-cache plan, so the second call rebuilt instead of
+    # hitting (measured run sequence [15.5, 28.8, 7.7, 7.3] at sf0.1).
     from fermor_spark.session import managed_cache
     s3 = managed_cache(s3)
+    s3.count()
     pairs = minhash_dedup_pairs(s3, "doc_id", "text", num_hashes=8, bands=4,
                                 threshold=0.8, shingle_n=3)
     clus = dedup_clusters(pairs.select("id_a", "id_b"), s3.select("doc_id"))
