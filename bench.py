@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     # r9 addition: hash-kernel linear quality classifier (model-based
     # scoring pass; deterministic weights keep it oracle-checkable)
     "text_classifier_score",
+    # r9 addition: the curation front-end as a stateless append stream
+    "pipeline_streaming_curation",
 ]
 
 

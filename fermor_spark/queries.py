@@ -4423,6 +4423,50 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_streaming_curation",
+    r"""
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 1000000 AS bkt
+      FROM documents
+      WHERE lang = 'en'
+        AND len(regexp_split_to_array(trim(text), '\s+')) >= 20
+    )
+    SELECT CASE WHEN bkt < 800000 THEN 'train'
+                WHEN bkt < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+           sum(length(text))::BIGINT AS sum_chars
+    FROM b GROUP BY 1
+    """,
+)
+def pipeline_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution of the curation FRONT-END
+    (streaming.streaming_curation): the documents parquet runs as a
+    file-source stream through the language filter, token-length quality
+    gate, and hash-lattice split tag — all pure column expressions, so
+    the stream is stateless APPEND (documents are curated as they land;
+    no watermark, no state store — the streaming half of the batch
+    pipeline_curate_e2e story). Drained with availableNow into a memory
+    sink; the gate aggregates the landed rows per split and the oracle
+    recomputes the same gates + split relationally."""
+    import hashlib
+
+    from fermor_spark import streaming as S
+
+    docs = S.read_documents_stream(spark, sf_dir)
+    name = "gate_stream_curation_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(S.streaming_curation(docs), name, output_mode="append")
+    return spark.table(name).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+
+
+@query(
     "events_streaming_tumbling",
     """
     WITH agg AS (
@@ -4817,7 +4861,7 @@ _GATE_PRIORITY = [
     #
     # (1) new in r9 — a registered query is gated the round it lands:
     "pipeline_curate_e2e", "events_streaming_sessions", "semantic_dedup_keep",
-    "text_classifier_score",
+    "text_classifier_score", "pipeline_streaming_curation",
     # (2) changed in r9 — must re-gate regardless of vintage: the SCC
     # engine (threaded k-hop floods, fused trim, 2-ring bounded forced
     # leg), the shared _nation_ring_graph fixture (new max_region
@@ -4841,11 +4885,11 @@ _GATE_PRIORITY = [
     "sketch_gk_quantiles", "sketch_hll_distinct", "skew_salted_agg_lineitem",
     "skew_salted_join_brands", "text_pack_sequences",
     "top3_orders_per_customer",
-    # (4) 4 of the 46 r6-vintage rows (staleness 3 at r9 close for the
+    # (4) 3 of the 46 r6-vintage rows (staleness 3 at r9 close for the
     # rest; they head the r10 window), preferring the iterate.py forced-
     # distributed legs (the file that changed this round) and the cluster-
     # dedup pieces pipeline_curate_e2e composes
-    "dedup_clusters_minhash", "dedup_clusters_distributed",
+    "dedup_clusters_minhash",
     "g_cc_distributed", "g_kcore_distributed",
 ]
 
