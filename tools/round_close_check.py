@@ -39,9 +39,17 @@ def load_driver_record(path: str) -> dict[str, float]:
     parsed = d.get("parsed")
     if parsed and parsed.get("queries"):
         return {k: float(v) for k, v in parsed["queries"].items()}
-    q = dict(re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', d.get("tail", "")))
+    # tail fallback must accept BOTH pretty ('": 1.2') and compact ('":1.2')
+    # JSON — bench.py emits compact separators, so a colon-space-only regex
+    # would silently parse an empty dict and make the whole check vacuous.
+    q = dict(re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d.get("tail", "")))
     q.pop("sf", None)
-    return {short_key(k): float(v) for k, v in q.items()}
+    out = {short_key(k): float(v) for k, v in q.items()}
+    if not out:
+        raise ValueError(
+            f"{path}: no parseable per-query timings (parsed=null and the "
+            "tail regex matched nothing) — refusing a vacuous comparison")
+    return out
 
 
 def load_current(path: str) -> dict[str, float]:
@@ -52,18 +60,46 @@ def load_current(path: str) -> dict[str, float]:
     return {short_key(k): float(v) for k, v in queries.items()}
 
 
-def latest_driver_record() -> str | None:
-    recs = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    return recs[-1] if recs else None
+def driver_records() -> list[str]:
+    return sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+
+
+def prior_driver_records(cur_path: str) -> list[str]:
+    """Driver records strictly older than the round being closed.
+
+    The r9 close ran with --prev defaulting to the NEWEST BENCH_r*.json —
+    which, after the driver saves the current round's record, is the
+    current round itself: the tool compared r9 against r9, printed 1.00x,
+    and exited clean. The regression gate was vacuous at exactly the
+    moment it runs. The current round is identified by the round number
+    embedded in BENCH_DETAIL.json's path-agnostic sibling records: any
+    BENCH_r{N}.json whose per-query map equals the current record (same
+    keys, same values to 2dp) is treated as *this* round and excluded."""
+    cur = load_current(cur_path)
+    cur2 = {k: round(v, 2) for k, v in cur.items()}
+    out = []
+    for p in driver_records():
+        try:
+            rec = load_driver_record(p)
+        except ValueError:
+            continue
+        if {k: round(v, 2) for k, v in rec.items()} == cur2:
+            continue  # the current round's own record — never a baseline
+        out.append(p)
+    return out
 
 
 def main() -> int:
     args = dict(zip(sys.argv[1::2], sys.argv[2::2]))
-    prev_path = args.get("--prev") or latest_driver_record()
     cur_path = args.get("--cur") or os.path.join(REPO, "BENCH_DETAIL.json")
-    if not prev_path or not os.path.exists(cur_path):
-        print("round_close_check: missing record "
-              f"(prev={prev_path}, cur={cur_path})")
+    if not os.path.exists(cur_path):
+        print(f"round_close_check: missing current record ({cur_path})")
+        return 1
+    priors = prior_driver_records(cur_path)
+    prev_path = args.get("--prev") or (priors[-1] if priors else None)
+    if not prev_path:
+        print("round_close_check: no prior-round driver record to compare "
+              "against — cannot certify the close")
         return 1
     prev, cur = load_driver_record(prev_path), load_current(cur_path)
     plans = open(os.path.join(REPO, "PLANS.md")).read()
@@ -96,6 +132,25 @@ def main() -> int:
         print(f"  REGRESSION {k}: {p:.2f} -> {v:.2f}  {note}")
     for k, p, v in improvements:
         print(f"  improved   {k}: {p:.2f} -> {v:.2f}")
+
+    # non-blocking WATCH list: a >1.25x regression in BOTH of the last two
+    # record-to-record steps. The r8->r9 streaming creep (es_tumbling
+    # 1.47->2.03, es_file_sink 1.94->2.42) sailed under the 2x gate; two
+    # compounding 1.3x steps are a 1.7x nobody explained. Printing the
+    # repeat offenders makes the creep class visible at the close.
+    prevprev_path = priors[-2] if len(priors) >= 2 and not args.get("--prev") \
+        else None
+    if prevprev_path:
+        try:
+            prevprev = load_driver_record(prevprev_path)
+        except ValueError:
+            prevprev = {}
+        for k, v in sorted(cur.items()):
+            p, pp = prev.get(k), prevprev.get(k)
+            if p and pp and v > 1.25 * p and p > 1.25 * pp:
+                print(f"  WATCH      {k}: {pp:.2f} -> {p:.2f} -> {v:.2f}  "
+                      "(>1.25x in two consecutive records — explain before "
+                      "it compounds)")
     if blocked:
         print(f"\nBLOCKED: {len(blocked)} >2x regression(s) lack a PLANS.md "
               "root cause. Write the mechanism, then rerun.")
