@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     "text_classifier_score",
     # r9 addition: the curation front-end as a stateless append stream
     "pipeline_streaming_curation",
+    # r10 addition: the MODEL-BASED curation funnel (rules -> classifier ->
+    # SemDeDup on the survivors' embeddings -> split) — the DCLM/FineWeb-Edu
+    # recipe composed, exercising embedding plumbing under composition
+    "pipeline_curate_v2",
 ]
 
 
@@ -279,6 +283,23 @@ def main() -> None:
     from fermor_spark.session import release_caches
 
     registry = q.all_queries()
+    # Within-query GC drain (r10): the boundary drain below cannot reach
+    # cleanup deferred WITHIN a query's own best-of-3 — pipeline_curate_e2e's
+    # r9 driver record shows a timed run ABOVE its warm-up ([18.1, 30.0,
+    # 8.3, 5.8]) because the warm-up's dead localCheckpoint/shuffle wrappers
+    # unpersist inside run 1's timed window. Draining after EVERY run (gc +
+    # System.gc, outside the timer, no release_caches so cross-run cache
+    # reuse — the warm state being measured — survives) makes each timed run
+    # start clean. Applied only to the composed heavyweights; a blanket
+    # drain would add ~2 min of untimed wall to the 78-query session for
+    # queries that showed no within-sequence deferral.
+    WITHIN_RUN_DRAIN = {"pipeline_curate_e2e", "pipeline_curate_v2"}
+
+    def _drain() -> None:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
+
     for name in BENCH_QUERIES:
         # one UNTIMED warm-up run, then best of three timed runs. Best-of-N
         # is defined to measure the steady-state plan, but r6 proved N=3
@@ -297,6 +318,8 @@ def main() -> None:
             _force(registry[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
             runs.append(round(dt, 3))
+            if name in WITHIN_RUN_DRAIN:
+                _drain()
             if i == 0:
                 continue  # warm-up: codegen + cache build, never recorded
             best = dt if best is None else min(best, dt)
@@ -326,9 +349,7 @@ def main() -> None:
         # minhash/ann/window_lag/fingerprint in BENCH_r08). Forcing the GC
         # here makes the cleaner's work attributable to the boundary, not
         # to whichever victim query it would otherwise interrupt.
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.3)
+        _drain()
 
     _bench_bucketed_traversal(spark, timings)
     _bench_bucketed_funnel(spark, timings)

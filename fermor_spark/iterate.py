@@ -614,18 +614,28 @@ def strongly_connected_components(
         node_ids = nodes.select("id", "part")
         reached = nodes.where(F.col("id") == F.col("pivot")).select("id", "part")
         frontier = reached
+        block = 0
         while True:
             hops = []
             step = frontier
+            # each hop anti-joins the RUNNING block union (reached + prior
+            # hops, lazily — extra stages inside the same job, not extra
+            # barriers), not just the pre-block reached set: on dense
+            # cyclic cores a vertex found at hop 1 would otherwise re-enter
+            # hops 2-4's frontiers and compound branching^k intermediate
+            # rows before the block-end distinct could drop it. Fine on a
+            # 25-row ring; superlinear on deep/wide graphs.
+            seen = reached
             for _ in range(hops_per_round):
                 step = (
                     step.join(adj, step["id"] == adj["u"], "inner")
                     .select(F.col("v").alias("id"), "part")
                     .join(node_ids, ["id", "part"], "left_semi")
-                    .join(reached, ["id", "part"], "left_anti")
+                    .join(seen, ["id", "part"], "left_anti")
                     .distinct()
                 )
                 hops.append(step)
+                seen = seen.unionByName(step)
             nxt = hops[0]
             for h in hops[1:]:
                 nxt = nxt.unionByName(h)
@@ -636,6 +646,12 @@ def strongly_connected_components(
             if nxt.count() == 0:
                 return reached
             reached = reached.unionByName(nxt)
+            block += 1
+            if block % 4 == 0:
+                # collapse reached's accumulating union-of-blocks lineage
+                # (every hop's anti-join rescans all of it) into one RDD;
+                # lazy — materialized by the next block's count job.
+                reached = reached.localCheckpoint(eager=False)
             frontier = nxt
 
     def local_finish(open_nodes: DataFrame, settled: list) -> bool:

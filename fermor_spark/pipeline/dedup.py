@@ -239,6 +239,13 @@ def minhash_dedup_pairs(
     sh_raw = shingle_table(df, id_col, text_col, shingle_n)
     n_parts = max(sc.defaultParallelism, sh_raw.rdd.getNumPartitions())
     sh = managed_cache(sh_raw.repartition(n_parts, "id"))
+    # materialize EAGERLY: the signature agg, the size agg, and both verify
+    # legs all read this cache inside one action — left lazy, their stages
+    # race to fill it and each racer recomputes the uncached shingle plan
+    # (measured inside pipeline_curate_e2e at sf0.1: the pairs stage swung
+    # 2.5-10.6 s run-to-run lazy vs settling eager; same mechanism the
+    # caller-side s3 cache already documents).
+    sh.count()
     sigs = _signatures_from_shingles(sh, num_hashes)
     cands = lsh_candidates(sigs, bands, num_hashes // bands)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))

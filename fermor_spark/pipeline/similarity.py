@@ -216,7 +216,12 @@ def cosine_pairs_exact(
                 A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
                 B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
                 S = A @ B.T
-                ia, ib = np.nonzero(S >= threshold)
+                # round to 6dp before thresholding (the ann_* convention):
+                # the oracle computes the same cosine with a different BLAS
+                # and boundary-value pairs must not flip between engines;
+                # zero-norm vectors clamp to cos=0 here and the oracle SQL
+                # guards its NaN to 0 to match.
+                ia, ib = np.nonzero(np.round(S, 6) >= threshold)
                 if len(ia) == 0:
                     continue
                 id_a, id_b = aids[ia], bids[ib]
@@ -477,7 +482,12 @@ def semantic_dedup(
                 A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
                 B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
                 S = A @ B.T
-                ia, ib = np.nonzero(S >= threshold)
+                # round to 6dp before thresholding (the ann_* convention):
+                # the oracle computes the same cosine with a different BLAS
+                # and boundary-value pairs must not flip between engines;
+                # zero-norm vectors clamp to cos=0 here and the oracle SQL
+                # guards its NaN to 0 to match.
+                ia, ib = np.nonzero(np.round(S, 6) >= threshold)
                 if len(ia) == 0:
                     continue
                 id_a, id_b = aids[ia], bids[ib]

@@ -3204,7 +3204,8 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    WHERE round(CASE WHEN isnan(list_cosine_similarity(a.v, b.v)) THEN 0
+                     ELSE list_cosine_similarity(a.v, b.v) END, 6) >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3662,6 +3663,136 @@ def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.localCheckpoint(eager=True)  # materialize before cleanup
     shutil.rmtree(tmp, ignore_errors=True)
     return rows
+
+
+_CURATE_V2_SQL = r"""
+    WITH RECURSIVE
+    tok AS MATERIALIZED (
+      SELECT doc_id, toks[i] AS tok
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents),
+           UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    rep AS (
+      SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+      FROM tok GROUP BY doc_id
+    ),
+    s1 AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d JOIN rep USING (doc_id)
+      WHERE rep.n >= 20 AND 1.0 - rep.d * 1.0 / rep.n <= 0.65
+    ),
+    cls AS MATERIALIZED (
+      SELECT t.doc_id
+      FROM tok t JOIN s1 USING (doc_id)
+      GROUP BY t.doc_id
+      HAVING sum(((('0x' || substr(md5(t.tok), 1, 15))::BIGINT % 4096)
+                  % 997) - 498) > 0
+    ),
+    s2 AS MATERIALIZED (
+      SELECT s1.doc_id, s1.text FROM s1 JOIN cls USING (doc_id)
+    ),
+    e AS MATERIALIZED (
+      SELECT em.vec_id, em.embedding::DOUBLE[] AS v
+      FROM embeddings em JOIN s2 ON s2.doc_id = em.vec_id
+    ),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, s.cid AS cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.cid
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    p AS MATERIALIZED (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM e a
+      JOIN asg aa ON aa.vec_id = a.vec_id
+      JOIN e b ON a.vec_id < b.vec_id
+      JOIN asg ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
+      WHERE round(CASE WHEN isnan(list_cosine_similarity(a.v, b.v)) THEN 0
+                       ELSE list_cosine_similarity(a.v, b.v) END, 6) >= 0.45
+    ),
+    sym AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p),
+    reach(ra, rb) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT r.ra, s.pb FROM reach r JOIN sym s ON r.rb = s.pa
+    ),
+    kept AS (
+      SELECT ra AS doc_id FROM reach GROUP BY ra HAVING min(rb) = ra
+    ),
+    s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN kept USING (doc_id)),
+    sp AS (
+      SELECT doc_id, text,
+             CASE WHEN bkt < 800000 THEN 'train'
+                  WHEN bkt < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 1000000 AS bkt
+            FROM s3)
+    )
+    SELECT split, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_chars,
+           sum(doc_id)::BIGINT AS sum_ids
+    FROM sp GROUP BY split
+"""
+
+
+@query("pipeline_curate_v2", _CURATE_V2_SQL)
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODEL-BASED curation funnel (DCLM / FineWeb-Edu recipe:
+    rules -> classifier -> semantic dedup) composed under one gate —
+    the v2 counterpart of pipeline_curate_e2e, which chains the
+    rule-based stages. Stages, every one an already-gated operator:
+    token-repetition quality gate (>= 20 tokens, dup-token fraction
+    <= 0.65) -> hash-kernel linear classifier keep (text_classifier_score's
+    integerized sum-of-weights > 0 decision) -> SemDeDup on the SURVIVORS'
+    embeddings (cosine-nearest of the survivor set's 8 lowest-id seed
+    centroids, within-cluster pairs at cosine >= 0.45 rounded to 6dp,
+    min-id representative kept) -> deterministic 80/10/10 hash split.
+    Composing SemDeDup downstream of text filters exercises the embedding
+    plumbing under composition for the first time: the embeddings table
+    joins the surviving doc ids (vec_id = doc_id), so the cluster seeds,
+    pair blocks and component closure are all computed on a FILTERED
+    corpus — the oracle restates every stage including the recursive
+    component closure on exactly that subset. Returned: per-split counts,
+    char masses, id sums.
+
+    Scale shape: the rules and classifier stages are one explode + one
+    map-side-combinable groupBy each; stage joins are left_semi; SemDeDup's
+    quadratic work stays confined within clusters of the filtered corpus
+    (k-fold smaller than corpus-wide); the split is a pure-column md5
+    lattice. No driver collect beyond SemDeDup's k seed rows (model
+    state)."""
+    from fermor_spark.pipeline.sample import hash_split
+    from fermor_spark.pipeline.similarity import semantic_dedup
+    from fermor_spark.pipeline.text import classifier_score, repetition_metrics
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = repetition_metrics(d, "doc_id", "text")
+    keep = rep.where(
+        (F.col("n_tokens") >= 20) & (F.col("dup_token_frac") <= 0.65)
+    ).select(F.col("id").alias("doc_id"))
+    s1 = d.join(keep, "doc_id", "left_semi")
+    cls = classifier_score(s1, "doc_id", "text").where("passes").select(
+        F.col("id").alias("doc_id"))
+    s2 = s1.join(cls, "doc_id", "left_semi")
+    emb = table(spark, sf_dir, "embeddings").join(
+        s2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    sd = semantic_dedup(emb, threshold=0.45, k=8).where("kept").select(
+        F.col("vec_id").alias("doc_id"))
+    s3 = s2.join(sd, "doc_id", "left_semi")
+    s4 = hash_split(s3, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                    seed="split")
+    return s4.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
 
 
 @query(
@@ -4393,7 +4524,8 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN asg aa ON aa.vec_id = a.vec_id
       JOIN e b ON a.vec_id < b.vec_id
       JOIN asg ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
-      WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+      WHERE round(CASE WHEN isnan(list_cosine_similarity(a.v, b.v)) THEN 0
+                       ELSE list_cosine_similarity(a.v, b.v) END, 6) >= 0.45
     ),
     sym AS (SELECT pa, pb FROM p UNION SELECT pb, pa FROM p),
     reach(ra, rb) AS (

@@ -1408,3 +1408,86 @@ def test_classifier_score_decision_and_normalization(spark):
         assert got[doc_id]["n_tokens"] == len(toks)
         assert got[doc_id]["passes"] == (s > 0)
         assert got[doc_id]["score"] == exp_score
+
+
+def test_curate_v2_nonvacuous_and_every_stage_bites(spark):
+    """The model-based funnel (rules -> classifier -> SemDeDup -> split)
+    must actually gate at every stage: an all-pass classifier or a
+    no-pair SemDeDup would still hash-match the oracle. Asserts the
+    composed output is nonempty per split AND each stage strictly
+    shrinks the corpus. Runs at sf0.01 — the driver gate's scale, and the
+    smallest at which the SemDeDup stage has a within-cluster pair to drop
+    (at sf0.001 the 205 survivors contain no cosine>=0.45 pair)."""
+    from pyspark.sql import functions as F
+
+    from fermor_spark.datasets import table
+    from fermor_spark.pipeline.similarity import semantic_dedup
+    from fermor_spark.pipeline.text import classifier_score, repetition_metrics
+    from fermor_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    n0 = d.count()
+    rep = repetition_metrics(d, "doc_id", "text")
+    s1 = d.join(
+        rep.where((F.col("n_tokens") >= 20) & (F.col("dup_token_frac") <= 0.65))
+        .select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+    n1 = s1.count()
+    s2 = s1.join(
+        classifier_score(s1, "doc_id", "text").where("passes")
+        .select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+    n2 = s2.count()
+    emb = table(spark, sf, "embeddings").join(
+        s2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    sd = semantic_dedup(emb, threshold=0.45, k=8)
+    n3 = sd.where("kept").count()
+    assert n0 > n1 > n2 > n3 > 0, (n0, n1, n2, n3)
+
+    out = {r["split"]: r for r in
+           QUERIES["pipeline_curate_v2"](spark, sf).collect()}
+    assert set(out) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in out.values()) == n3
+    assert all(r["n_docs"] > 0 and r["sum_chars"] > 0 for r in out.values())
+
+
+def test_classifier_score_trained_model_drop_in(spark):
+    """The documented extension point (pipeline.text.classifier_score: 'a
+    trained model drops in by replacing the closed-form weight formula
+    with a broadcast weight lookup') proven real: score a tiny corpus
+    against a literal weight table via broadcast join and assert equality
+    with a plain numpy/python reference over the same hashed features."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from fermor_spark.pipeline.text import _id_tokens
+
+    dim = 64
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dogs sleep all day long"),
+         (3, "the the the the")], "doc_id long, text string")
+    # trained model state: one weight per feature index (literal table)
+    weights = [(i, float((i * 37) % 21 - 10)) for i in range(dim)]
+    wdf = spark.createDataFrame(weights, "feat long, w double")
+
+    toks = _id_tokens(docs, "doc_id", "text")
+    feat = (F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15),
+                   16, 10).cast("long") % dim)
+    scored = (
+        toks.withColumn("feat", feat)
+        .join(F.broadcast(wdf), "feat")        # the trained-model lookup
+        .groupBy("id")
+        .agg(F.sum("w").alias("score"), F.count("*").alias("n_tokens"))
+    )
+    got = {r["id"]: (r["score"], r["n_tokens"]) for r in scored.collect()}
+
+    wmap = dict(weights)
+    for doc_id, text in [(1, "the quick brown fox"),
+                         (2, "lazy dogs sleep all day long"),
+                         (3, "the the the the")]:
+        toks_py = [t for t in text.strip().split() if t]
+        feats = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+                 for t in toks_py]
+        want = sum(wmap[f] for f in feats)
+        assert got[doc_id][1] == len(toks_py)
+        assert abs(got[doc_id][0] - want) < 1e-9, (doc_id, got[doc_id], want)
