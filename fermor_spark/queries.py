@@ -4986,43 +4986,43 @@ def dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed this round. Everything stays registered — the remainder keeps its
 # evidence via tests/test_oracle_parity.py, which sweeps ALL entries.
 _GATE_PRIORITY = [
-    # r9 gate rotation (the rotation r8 SKIPPED — its window repeated r7's
-    # verbatim, so the 38 r5-vintage rows below reached staleness 3,
-    # breaking the <=2-round invariant). The driver records the FIRST 50
-    # registry rows; this list is exactly 50.
+    # r10 gate rotation — executes exactly what the r9 window queued: ALL
+    # 40 remaining r6-vintage rows rotate in, restoring the <=2-round
+    # staleness invariant at the full registry for the first time since
+    # r7. The driver records the FIRST 50 registry rows; this list is
+    # exactly 50: 1 new + 7 changed-code + 40 staleness-3 + 2 spares.
     #
-    # (1) new in r9 — a registered query is gated the round it lands:
-    "pipeline_curate_e2e", "events_streaming_sessions", "semantic_dedup_keep",
-    "text_classifier_score", "pipeline_streaming_curation",
-    # (2) changed in r9 — must re-gate regardless of vintage: the SCC
-    # engine (threaded k-hop floods, fused trim, 2-ring bounded forced
-    # leg), the shared _nation_ring_graph fixture (new max_region
-    # parameter), and the ngram verify-join hint side
-    "g_scc_distributed", "g_scc_nation_ring", "g_all_cycles_ring",
-    "dedup_ngram_jaccard",
-    # (3) the 38 r5-vintage rows (staleness 3 — the oldest evidence in the
-    # repo; restoring them is VERDICT r8 item 1)
-    "cube_lineitem_flags", "events_asof_prior_click",
-    "events_range_nearby_counts", "g_2hop_region", "g_both_neighbors_nation",
-    "g_out_nation", "median_price_by_status", "monthly_revenue",
-    "multimodal_png_roundtrip", "multimodal_wav_features",
-    "multimodal_y4m_frame_stats", "orders_status_matrix",
-    "part_name_prefixes", "q10_returned_items", "q13_customer_distribution",
-    "q14_promo_share", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_discounted_revenue",
-    "q21_waiting_supplier", "q22_idle_customers", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_forecast",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "rollup_order_totals", "sample_split_counts", "sketch_cms_heavy_hitters",
-    "sketch_gk_quantiles", "sketch_hll_distinct", "skew_salted_agg_lineitem",
-    "skew_salted_join_brands", "text_pack_sequences",
-    "top3_orders_per_customer",
-    # (4) 3 of the 46 r6-vintage rows (staleness 3 at r9 close for the
-    # rest; they head the r10 window), preferring the iterate.py forced-
-    # distributed legs (the file that changed this round) and the cluster-
-    # dedup pieces pipeline_curate_e2e composes
-    "dedup_clusters_minhash",
-    "g_cc_distributed", "g_kcore_distributed",
+    # (1) new in r10 — a registered query is gated the round it lands:
+    "pipeline_curate_v2",
+    # (2) changed in r10 — must re-gate regardless of vintage: the eager
+    # shingle cache in minhash_dedup_pairs (curate_e2e + both minhash
+    # rows), the 6dp cosine rounding + NaN guard on both engine sides
+    # (embedding-cosine + SemDeDup), and the SCC flood's within-block
+    # anti-join + reached checkpointing
+    "pipeline_curate_e2e", "dedup_minhash_lsh", "dedup_clusters_minhash",
+    "dedup_embedding_cosine", "semantic_dedup_keep",
+    "g_scc_distributed", "g_scc_nation_ring",
+    # (3) the 40 r6-vintage rows (staleness 3 — the rotation debt r8's
+    # skipped rotation created; r9 paid the r5 half, this is the rest)
+    "ann_ivf_topk", "ann_lsh_topk", "dedup_clusters_distributed",
+    "dedup_exact", "dedup_simhash_candidates", "events_by_dow",
+    "events_dedup_first", "events_enriched_by_type", "events_self_join_10m",
+    "events_sessions_30m", "events_sliding_6h_3h",
+    "events_streaming_self_join", "events_streaming_tumbling",
+    "events_tumbling_hour", "g_degree_nation", "g_lookahead_big_buyers",
+    "g_lookahead_range", "g_neg_lookahead_nations",
+    "g_order_count_distribution", "g_reachable_distributed", "g_recommender",
+    "g_shortest_path_distributed", "g_siblings_same_nation",
+    "g_triangle_count_copurchase", "pipeline_sink_roundtrip",
+    "q11_important_stock", "q16_supplier_relationship", "q1_pricing_summary",
+    "q20_potential_promotion", "q2_min_cost_supplier", "text_bigram_logprob",
+    "text_bpe_token_count", "text_chunk_windows", "text_fingerprint_overlap",
+    "text_lang_id", "text_quality", "text_repetition", "text_tfidf_topterms",
+    "text_token_count", "window_lag_user_delta",
+    # (4) spares: the r9 perf-watch dedup line (verify-join hint changed
+    # r9) and the k-core forced leg (its within-sequence drift is under
+    # diagnosis this round — re-gate with whatever lands)
+    "dedup_ngram_jaccard", "g_kcore_distributed",
 ]
 
 
