@@ -618,24 +618,28 @@ def strongly_connected_components(
         while True:
             hops = []
             step = frontier
-            # each hop anti-joins the RUNNING block union (reached + prior
-            # hops, lazily — extra stages inside the same job, not extra
-            # barriers), not just the pre-block reached set: on dense
-            # cyclic cores a vertex found at hop 1 would otherwise re-enter
-            # hops 2-4's frontiers and compound branching^k intermediate
-            # rows before the block-end distinct could drop it. Fine on a
-            # 25-row ring; superlinear on deep/wide graphs.
-            seen = reached
+            # Each hop anti-joins the PRE-BLOCK reached set only. The r10
+            # alternative — anti-joining a running (reached + prior hops)
+            # union so a vertex found at hop 1 cannot re-enter hops 2-4 —
+            # was tried and MEASURED 2.2x SLOWER on the forced leg
+            # (g_scc_distributed solo best 4.85 s -> 10.7 s): chaining the
+            # union into every hop deepens each hop's lazily-chained plan,
+            # and under AQE every added exchange is its own scheduled job,
+            # so the extra stages cost more driver barriers than the
+            # intra-block re-entries they avoid. Re-entries are bounded:
+            # each hop still dedups (distinct) and the block-end distinct
+            # collapses overlap before anything persists, so the compound
+            # is limited to branching^(hops_per_round) WITHIN one block —
+            # k=4 keeps that small by construction.
             for _ in range(hops_per_round):
                 step = (
                     step.join(adj, step["id"] == adj["u"], "inner")
                     .select(F.col("v").alias("id"), "part")
                     .join(node_ids, ["id", "part"], "left_semi")
-                    .join(seen, ["id", "part"], "left_anti")
+                    .join(reached, ["id", "part"], "left_anti")
                     .distinct()
                 )
                 hops.append(step)
-                seen = seen.unionByName(step)
             nxt = hops[0]
             for h in hops[1:]:
                 nxt = nxt.unionByName(h)
