@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     # SemDeDup on the survivors' embeddings -> split) — the DCLM/FineWeb-Edu
     # recipe composed, exercising embedding plumbing under composition
     "pipeline_curate_v2",
+    # r10 addition: per-source token-budget corpus assembly (one window
+    # over the source partitions)
+    "sample_token_budget",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Bucket bounds use round(), not int(): 0.6*1e6 is 599999.99…
@@ -100,6 +100,45 @@ def stratified_hash_sample(
     for stratum, frac in fractions.items():
         thr = F.when(F.col(strata_col) == stratum, round(frac * BUCKETS)).otherwise(thr)
     return df.where(b < thr)
+
+
+def token_budget(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    n_tokens_col: str,
+    budget: int,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Per-source token-budget selection — the corpus-assembly step that
+    caps each source's contribution: within every source, take documents
+    in (priority DESC, id ASC) order until the source's token budget is
+    filled. The document that CROSSES the budget is included (fill-then-
+    cut at document granularity, the standard rule — a budget is a target
+    mass, not a hard ceiling), everything after it is dropped. With no
+    priority column, documents fill in id order.
+
+    Returns the selected rows with `cum_tokens` (inclusive running mass,
+    the audit column a corpus manifest wants).
+
+    Scale shape: ONE window over the source partitions — an exchange
+    keyed by source plus a per-partition sort; no global sort, no
+    driver-side state. Sources are the natural partition of a corpus
+    manifest, so the window parallelizes across them; a single pathological
+    source that dwarfs the rest is the same skew story as any keyed agg
+    (AQE skew handling applies).
+    """
+    order = [F.col(id_col).asc()]
+    if priority_col:
+        order = [F.col(priority_col).desc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(source_col).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        "cum_tokens", F.sum(F.col(n_tokens_col)).over(w).cast("long"))
+    return out.where(
+        F.col("cum_tokens") - F.col(n_tokens_col) < F.lit(budget))
 
 
 def weighted_mix(

@@ -3284,6 +3284,45 @@ def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_token_budget",
+    r"""
+    WITH tc AS (
+      SELECT doc_id, source, n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM tc
+    )
+    SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
+           cum_tokens::BIGINT AS cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 600
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget corpus assembly (pipeline.sample.
+    token_budget): within each source, documents fill in (n_chars DESC,
+    doc_id ASC) priority order until a 600-token budget is reached — the
+    crossing document is included, the rest of the source is cut. One
+    window over the source partitions (exchange keyed by source + a
+    per-partition sort, no global sort); the oracle restates the same
+    exclusive-prefix-sum rule."""
+    from fermor_spark.pipeline.sample import token_budget
+    from fermor_spark.pipeline.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    tc = token_count(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens")
+    base = d.select("doc_id", "source", "n_chars").join(tc, "doc_id")
+    sel = token_budget(base, "doc_id", "source", "n_tokens", budget=600,
+                       priority_col="n_chars")
+    return sel.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@query(
     "pipeline_sink_roundtrip",
     """
     WITH b AS (
@@ -5019,10 +5058,12 @@ _GATE_PRIORITY = [
     "text_bpe_token_count", "text_chunk_windows", "text_fingerprint_overlap",
     "text_lang_id", "text_quality", "text_repetition", "text_tfidf_topterms",
     "text_token_count", "window_lag_user_delta",
-    # (4) spares: the r9 perf-watch dedup line (verify-join hint changed
-    # r9) and the k-core forced leg (its within-sequence drift is under
-    # diagnosis this round — re-gate with whatever lands)
-    "dedup_ngram_jaccard", "g_kcore_distributed",
+    # (4) the second r10 addition (sample.token_budget — a registered
+    # query gates the round it lands) and one spare: the k-core forced
+    # leg (its within-sequence drift was diagnosed this round — re-gate
+    # alongside). dedup_ngram_jaccard (staleness 1, code unchanged r10)
+    # ceded its spare slot to the new query; the parity sweep covers it.
+    "sample_token_budget", "g_kcore_distributed",
 ]
 
 

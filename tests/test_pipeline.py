@@ -1491,3 +1491,30 @@ def test_classifier_score_trained_model_drop_in(spark):
         want = sum(wmap[f] for f in feats)
         assert got[doc_id][1] == len(toks_py)
         assert abs(got[doc_id][0] - want) < 1e-9, (doc_id, got[doc_id], want)
+
+
+def test_token_budget_fill_then_cut_per_source(spark):
+    """Constructed manifest: the crossing document is INCLUDED (budget is
+    a target mass, not a ceiling), later documents are cut, sources fill
+    independently, and priority (desc) orders the fill with id as the
+    tiebreak."""
+    from fermor_spark.pipeline.sample import token_budget
+
+    rows = [
+        # source a: priorities 9,8,7 -> fills 60+50=110 >= 100 at doc 2,
+        # doc 3 (priority 7) must be cut
+        (1, "a", 60, 9), (2, "a", 50, 8), (3, "a", 40, 7),
+        # source b: equal priorities -> id order; 30+30+30=90 < 100, the
+        # 4th doc crosses (120) and is included, nothing remains after
+        (10, "b", 30, 5), (11, "b", 30, 5), (12, "b", 30, 5),
+        (13, "b", 30, 5), (14, "b", 30, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, prio long")
+    out = token_budget(df, "doc_id", "source", "n_tokens", budget=100,
+                       priority_col="prio")
+    got = {(r["source"], r["doc_id"]): r["cum_tokens"] for r in out.collect()}
+    assert set(got) == {("a", 1), ("a", 2),
+                        ("b", 10), ("b", 11), ("b", 12), ("b", 13)}
+    assert got[("a", 2)] == 110      # crossing doc included, mass audited
+    assert got[("b", 13)] == 120
