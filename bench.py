@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     # r10 addition: per-source token-budget corpus assembly (one window
     # over the source partitions)
     "sample_token_budget",
+    # r10 addition: stateful streaming dedup — the dedup state store is
+    # the one stateful shape the other es_* lines don't execute
+    "events_streaming_dedup",
 ]
 
 

@@ -4863,6 +4863,38 @@ def events_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING DEDUP under the gate: the events file stream
+    deduplicated per (user_id, event_type) via
+    dropDuplicatesWithinWatermark (streaming.dedup_within_watermark),
+    drained with availableNow into a memory sink. The dedup state store
+    (key-expiry by watermark) is the one stateful-operator shape the
+    other streaming gates don't cover — windows (tumbling/sessions),
+    stream-stream join, and Python arbitrary state are gated separately.
+    The watermark delay (100 days) exceeds the fixture's full time span,
+    so no key expires mid-drain and the emitted set is exactly one row
+    per key REGARDLESS of how availableNow batches the input — which row
+    survives per key is engine-nondeterministic, so the gate projects
+    the key columns only and the oracle is the batch DISTINCT."""
+    import hashlib
+
+    from fermor_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    name = "gate_stream_dedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    S.run_to_memory(
+        S.dedup_within_watermark(ev, ["user_id", "event_type"],
+                                 watermark="100 days"),
+        name, output_mode="append")
+    return spark.table(name).select("user_id", "event_type")
+
+
+@query(
     "events_streaming_self_join",
     """
     SELECT a.user_id, a.event_id AS first_event_id,
@@ -5058,12 +5090,12 @@ _GATE_PRIORITY = [
     "text_bpe_token_count", "text_chunk_windows", "text_fingerprint_overlap",
     "text_lang_id", "text_quality", "text_repetition", "text_tfidf_topterms",
     "text_token_count", "window_lag_user_delta",
-    # (4) the second r10 addition (sample.token_budget — a registered
-    # query gates the round it lands) and one spare: the k-core forced
-    # leg (its within-sequence drift was diagnosed this round — re-gate
-    # alongside). dedup_ngram_jaccard (staleness 1, code unchanged r10)
-    # ceded its spare slot to the new query; the parity sweep covers it.
-    "sample_token_budget", "g_kcore_distributed",
+    # (4) the second and third r10 additions (sample.token_budget and the
+    # stateful streaming dedup gate — a registered query gates the round
+    # it lands). The r9-fresh spares (dedup_ngram_jaccard,
+    # g_kcore_distributed — both staleness 1, code unchanged r10) ceded
+    # their slots to the new queries; the parity sweep covers them.
+    "sample_token_budget", "events_streaming_dedup",
 ]
 
 
