@@ -221,6 +221,7 @@ def lsh_candidates(signatures: DataFrame, bands: int, rows_per_band: int) -> Dat
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 8, threshold: float = 0.8, shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
 
@@ -234,18 +235,27 @@ def minhash_dedup_pairs(
     the hash work across cores, and co-locates every downstream id-keyed
     join/groupBy. Partition count = max(defaultParallelism, plan
     partitions) so a 100 TB input's existing parallelism is never
-    reduced."""
-    sc = df.sparkSession.sparkContext
-    sh_raw = shingle_table(df, id_col, text_col, shingle_n)
-    n_parts = max(sc.defaultParallelism, sh_raw.rdd.getNumPartitions())
-    sh = managed_cache(sh_raw.repartition(n_parts, "id"))
-    # materialize EAGERLY: the signature agg, the size agg, and both verify
-    # legs all read this cache inside one action — left lazy, their stages
-    # race to fill it and each racer recomputes the uncached shingle plan
-    # (measured inside pipeline_curate_e2e at sf0.1: the pairs stage swung
-    # 2.5-10.6 s run-to-run lazy vs settling eager; same mechanism the
-    # caller-side s3 cache already documents).
-    sh.count()
+    reduced.
+
+    ``shingles``: optional precomputed (id, sh) table — a composed
+    pipeline that also decontaminates passes ONE cached corpus shingle
+    table to every consumer stage instead of re-exploding the corpus per
+    stage (the caller owns its caching/materialization)."""
+    if shingles is not None:
+        sh = shingles
+    else:
+        sc = df.sparkSession.sparkContext
+        sh_raw = shingle_table(df, id_col, text_col, shingle_n)
+        n_parts = max(sc.defaultParallelism, sh_raw.rdd.getNumPartitions())
+        sh = managed_cache(sh_raw.repartition(n_parts, "id"))
+        # materialize EAGERLY: the signature agg, the size agg, and both
+        # verify legs all read this cache inside one action — left lazy,
+        # their stages race to fill it and each racer recomputes the
+        # uncached shingle plan (measured inside pipeline_curate_e2e at
+        # sf0.1: the pairs stage swung 2.5-10.6 s run-to-run lazy vs
+        # settling eager; same mechanism the caller-side s3 cache
+        # documents).
+        sh.count()
     sigs = _signatures_from_shingles(sh, num_hashes)
     cands = lsh_candidates(sigs, bands, num_hashes // bands)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
@@ -661,6 +671,7 @@ def contamination_pairs(
     train_id: str = "doc_id", train_text: str = "text",
     bench_id: str = "doc_id", bench_text: str = "text",
     n: int = 3, min_overlap: int = 2, round_digits: int = 4,
+    train_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-decontamination overlap: (train_id, bench_id, overlap,
     bench_frac) for every train doc sharing >= min_overlap word-n-gram
@@ -673,10 +684,18 @@ def contamination_pairs(
     never shuffles for the join; the only exchange is the final per-pair
     aggregation, whose input is already filtered to shingles that occur in
     the benchmark at all.
+
+    ``train_shingles``: optional precomputed (id, sh) table for the train
+    side — a composed pipeline passes the dedup stage's cached corpus
+    shingle table (filtered to the surviving train ids) instead of
+    re-exploding 100 TB of text a second time.
     """
-    tsh = shingle_table(train, train_id, train_text, n).select(
-        F.col("id").alias("t_id"), "sh"
-    )
+    if train_shingles is not None:
+        tsh = train_shingles.select(F.col("id").alias("t_id"), "sh")
+    else:
+        tsh = shingle_table(train, train_id, train_text, n).select(
+            F.col("id").alias("t_id"), "sh"
+        )
     bsh = shingle_table(bench, bench_id, bench_text, n).select(
         F.col("id").alias("b_id"), "sh"
     )
@@ -703,14 +722,18 @@ def decontaminate(
     train_id: str = "doc_id", train_text: str = "text",
     bench_id: str = "doc_id", bench_text: str = "text",
     n: int = 3, min_overlap: int = 2, min_bench_frac: float = 0.5,
+    train_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Drop train docs contaminated by the benchmark set: any doc whose
     shingle overlap with some benchmark doc reaches BOTH min_overlap
     (absolute) and min_bench_frac (fraction of that benchmark doc).
-    Implemented as a distributed left-anti join on the flagged id set."""
+    Implemented as a distributed left-anti join on the flagged id set.
+    ``train_shingles`` passes a precomputed train-side shingle table
+    through to contamination_pairs."""
     flagged = (
         contamination_pairs(train, bench, train_id, train_text,
-                            bench_id, bench_text, n, min_overlap)
+                            bench_id, bench_text, n, min_overlap,
+                            train_shingles=train_shingles)
         .where(F.col("bench_frac") >= min_bench_frac)
         .select(F.col("train_id").alias(train_id))
         .distinct()

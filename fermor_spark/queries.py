@@ -3676,15 +3676,30 @@ def pipeline_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fermor_spark.session import managed_cache
     s3 = managed_cache(s3)
     s3.count()
+    # ONE corpus shingle table feeds BOTH shingle consumers (the MinHash
+    # dedup stage and decontamination's train side) — at 100 TB the token
+    # explode is a full corpus pass, and the composed pipeline must not
+    # pay it per stage. Cached eagerly for the same multi-consumer-race
+    # reason as s3; the oracle's own cont CTE reuses its sh3 relation the
+    # same way.
+    from fermor_spark.pipeline.dedup import shingle_table
+    sh_raw = shingle_table(s3, "doc_id", "text", 3)
+    n_parts = max(spark.sparkContext.defaultParallelism,
+                  sh_raw.rdd.getNumPartitions())
+    sh = managed_cache(sh_raw.repartition(n_parts, "id"))
+    sh.count()
     pairs = minhash_dedup_pairs(s3, "doc_id", "text", num_hashes=8, bands=4,
-                                threshold=0.8, shingle_n=3)
+                                threshold=0.8, shingle_n=3, shingles=sh)
     clus = dedup_clusters(pairs.select("id_a", "id_b"), s3.select("doc_id"))
     reps = clus.where(F.col("id") == F.col("cluster")).select(
         F.col("id").alias("doc_id"))
     s4 = s3.join(reps, "doc_id", "left_semi")
     bench = d.where(F.col("doc_id") % 20 == 0)
     train = s4.where(F.col("doc_id") % 20 != 0)
-    s5 = decontaminate(train, bench, n=3, min_overlap=2, min_bench_frac=0.5)
+    train_sh = sh.join(
+        train.select(F.col("doc_id").alias("id")), "id", "left_semi")
+    s5 = decontaminate(train, bench, n=3, min_overlap=2, min_bench_frac=0.5,
+                       train_shingles=train_sh)
     s6 = hash_split(s5, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
                     seed="split")
     tmp = tempfile.mkdtemp(prefix="fermor_curate_e2e_")
