@@ -228,3 +228,15 @@ def test_duplicated_spans_plan_contract(spark, registry):
         "lang" not in ln and "source" not in ln and "n_chars" not in ln
         for ln in scan_schemas)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_budget_window_is_source_keyed_no_global_sort(spark, registry):
+    """token_budget's cumulative sum must run as ONE window over the
+    source partitions: exactly one exchange keyed by source feeding the
+    window, and no single-partition global sort (Exchange SinglePartition
+    / rangepartitioning would serialize the corpus through one task)."""
+    p = plan_of(registry["sample_token_budget"](spark, SF))
+    assert "hashpartitioning(source" in p
+    assert "rangepartitioning" not in p
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Window") >= 1
