@@ -17,6 +17,10 @@ from fermor_spark.datasets import star_graph  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
+# everything after this line in PLANS.md is hand-written audit evidence
+# (round notes, A/B measurements) and survives regeneration
+MARKER = "\n<!-- plan_audit: manual sections below are preserved -->\n"
+
 
 def fmt_plan(df) -> str:
     spark = df.sparkSession
@@ -83,10 +87,25 @@ def main() -> None:
         "```", "",
     ]
 
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "PLANS.md"), "w") as f:
-        f.write("\n".join(lines))
-    print("wrote PLANS.md")
+    # Regenerate ONLY the auto-generated head; everything from the marker
+    # on (eight rounds of appended audit notes and A/B measurements) is
+    # preserved verbatim. Before this guard, a rerun overwrote the whole
+    # file and would have destroyed the repo's accumulated plan evidence.
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLANS.md")
+    manual = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+        if MARKER in existing:
+            manual = existing.split(MARKER, 1)[1]
+        else:
+            # legacy layout: manual notes start at the first round section
+            m = re.search(r"^## Round ", existing, flags=re.M)
+            if m:
+                manual = "\n" + existing[m.start():]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + MARKER + manual)
+    print("wrote PLANS.md (manual sections preserved)")
 
 
 if __name__ == "__main__":
