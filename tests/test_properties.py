@@ -456,3 +456,47 @@ def test_gopher_quality_matches_bruteforce(spark, seedv):
                          and 10 * el < 3 * nl and 5 * n_alpha >= 4 * n
                          and stop_hits >= 2)
         assert r.passes == expected_pass
+
+
+manifests = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # source index
+        st.integers(min_value=1, max_value=40),  # n_tokens
+        st.integers(min_value=0, max_value=9),   # priority
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=manifests, budget=st.integers(min_value=1, max_value=60))
+def test_token_budget_invariants(spark, rows, budget):
+    """For ANY manifest and budget: (a) the selected set per source is
+    exactly a PREFIX of the (priority desc, id asc) order; (b) the prior
+    mass of every selected doc is < budget (fill-then-cut: only the
+    crossing doc may exceed it); (c) every source selects at least one
+    doc (budget >= 1, token counts >= 1); (d) the python reference
+    computes the identical selection."""
+    from fermor_spark.pipeline.sample import token_budget
+
+    data = [(i, f"s{srci}", nt, pr) for i, (srci, nt, pr) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, source string, n_tokens long, prio long")
+    got = {(r["source"], r["doc_id"]): r["cum_tokens"]
+           for r in token_budget(df, "doc_id", "source", "n_tokens",
+                                 budget=budget, priority_col="prio").collect()}
+
+    by_src: dict = {}
+    for i, src, nt, pr in data:
+        by_src.setdefault(src, []).append((-pr, i, nt))
+    want = {}
+    for src, docs in by_src.items():
+        cum = 0
+        for _negpr, i, nt in sorted(docs):
+            if cum >= budget:
+                break
+            cum += nt
+            want[(src, i)] = cum
+    assert got == want
+    for src, docs in by_src.items():
+        assert any(k[0] == src for k in got), f"source {src} empty"
