@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     # r10 addition: stateful streaming dedup — the dedup state store is
     # the one stateful shape the other es_* lines don't execute
     "events_streaming_dedup",
+    # r10 addition: FLAC fixed-predictor-subset encode->decode->features
+    # (real Rice/CRC/MD5 bitstream round trip, multi-frame files)
+    "multimodal_flac_features",
 ]
 
 

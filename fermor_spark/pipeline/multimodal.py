@@ -31,7 +31,14 @@ WAV (RIFF PCM)          ``decode_wav`` + FFT features                REAL
 Audio METADATA          ``audio_metadata`` — WAV fmt/data math,      REAL
 (wav / flac / mp3)      FLAC STREAMINFO bit unpack, MP3 ID3-skip
                         + layer-III frame-header walk; header-only
-FLAC / MP3 samples      frame/sample DECODE needs codec libraries    STUB
+FLAC samples            ``_flac_decode`` fixed-predictor subset:     REAL
+(CONSTANT/VERBATIM/     Rice residuals incl. raw-bits escape + any
+FIXED 0-4, independent  partition order, UTF-8 frame numbers,
+channels)               CRC-8/CRC-16 + STREAMINFO MD5 verified;
+                        encoder ``_flac_encode`` for fixtures
+FLAC LPC / side-stereo, LPC coefficients + mid/side decorrelation    STUB
+MP3 samples             (libFLAC territory); MP3 DECODE needs a
+                        codec library
 Y4M (YUV4MPEG2)         ``_y4m_frames`` luma-plane frame sample      REAL
 Video METADATA          ``video_metadata`` — mp4 box walk (mvhd      REAL
 (mp4 / avi / y4m)       timescale/duration, tkhd dims), AVI RIFF
@@ -2741,6 +2748,401 @@ def extract_meta_features(df: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# FLAC fixed-predictor subset codec (REAL, pure Python — no codec library).
+#
+# Scope (the honest submatrix, same discipline as the JPEG progression):
+# CONSTANT / VERBATIM / FIXED(order 0-4) subframes with Rice-coded
+# residuals (4-bit parameters incl. the 0b1111 raw-bits escape, any
+# partition order on decode), independent channels, 8/12/16/20/24-bit
+# sample sizes on decode (the fixture encoder emits 16-bit), UTF-8-coded
+# frame numbers, CRC-8 header and CRC-16 frame verification, and the
+# STREAMINFO MD5 of the unencoded PCM verified after decode. NOT covered
+# (raises ValueError, counted as unsupported by callers): LPC subframes
+# and left/right/mid-side channel decorrelation — libFLAC output uses
+# them; this codec round-trips its OWN encoder's streams bit-exactly and
+# decodes any fixed-predictor stream. Format per the public FLAC spec
+# (RFC 9639).
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit writer/reader over a bytearray."""
+
+    def __init__(self, data: bytes = b""):
+        self.buf = bytearray(data)
+        self.wacc = 0
+        self.wn = 0
+        self.rpos = 0  # bit position for reads
+
+    # -- writing
+    def w(self, value: int, nbits: int) -> None:
+        self.wacc = (self.wacc << nbits) | (value & ((1 << nbits) - 1))
+        self.wn += nbits
+        while self.wn >= 8:
+            self.wn -= 8
+            self.buf.append((self.wacc >> self.wn) & 0xFF)
+        self.wacc &= (1 << self.wn) - 1
+
+    def w_unary(self, q: int) -> None:
+        while q >= 32:
+            self.w(0, 32)
+            q -= 32
+        self.w(1, q + 1)  # q zeros then a one
+
+    def w_align(self) -> None:
+        if self.wn:
+            self.w(0, 8 - self.wn)
+
+    # -- reading
+    def r(self, nbits: int) -> int:
+        out = 0
+        for _ in range(nbits):
+            byte = self.buf[self.rpos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.rpos & 7))) & 1)
+            self.rpos += 1
+        return out
+
+    def r_signed(self, nbits: int) -> int:
+        v = self.r(nbits)
+        return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
+
+    def r_unary(self) -> int:
+        q = 0
+        while self.r(1) == 0:
+            q += 1
+        return q
+
+    def r_align(self) -> None:
+        self.rpos = (self.rpos + 7) & ~7
+
+
+_FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                     4: [4, -6, 4, -1]}
+
+
+def _flac_utf8_encode(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8),
+                         (6, 0xFC), (7, 0xFE)):
+        if v < (1 << (6 * (nbytes - 1) + (7 - nbytes) if nbytes < 7 else 36)):
+            out = [lead | (v >> (6 * (nbytes - 1)))] if nbytes < 7 else [0xFE]
+            for i in range(nbytes - 2, -1, -1):
+                out.append(0x80 | ((v >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+def _flac_utf8_decode(bits: "_FlacBits") -> int:
+    b0 = bits.r(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        v = (v << 6) | (bits.r(8) & 0x3F)
+    return v
+
+
+def _rice_cost(resid, k: int) -> int:
+    total = 0
+    for r in resid:
+        u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+        total += (u >> k) + 1 + k
+    return total
+
+
+def _flac_encode(samples, rate: int, channels: int = 1,
+                 block_size: int = 4096) -> bytes:
+    """Encode 16-bit PCM to a real FLAC stream (fixed-predictor subset).
+
+    ``samples``: int16 array — flat mono, or interleaved (n*ch,), or
+    (n, ch). Picks per block/channel the cheapest of CONSTANT / FIXED
+    order 0-4 (partition order 0, best Rice parameter or the raw-bits
+    escape) / VERBATIM. Writes real CRC-8/CRC-16 and the STREAMINFO MD5
+    of the little-endian PCM, which _flac_decode verifies."""
+    import hashlib
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x.reshape(-1, channels)
+    channels = x.shape[1]
+    n_total = x.shape[0]
+    bps = 16
+
+    md5 = hashlib.md5(
+        np.ascontiguousarray(x.astype("<i2")).tobytes()).digest()
+    sinfo = _FlacBits()
+    sinfo.w(block_size, 16)
+    sinfo.w(block_size, 16)
+    sinfo.w(0, 24)  # min frame size unknown
+    sinfo.w(0, 24)  # max frame size unknown
+    sinfo.w(rate, 20)
+    sinfo.w(channels - 1, 3)
+    sinfo.w(bps - 1, 5)
+    sinfo.w(n_total, 36)
+    body = bytes(sinfo.buf) + md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last block
+
+    for fi, start in enumerate(range(0, max(n_total, 1), block_size)):
+        blk = x[start:start + block_size]
+        nb = blk.shape[0]
+        if nb == 0:
+            break
+        hdr = _FlacBits()
+        hdr.w(0b11111111111110, 14)
+        hdr.w(0, 1)  # reserved
+        hdr.w(0, 1)  # fixed-blocksize strategy; coded number = frame index
+        hdr.w(0b0111, 4)   # blocksize: 16-bit value-1 at header end
+        hdr.w(0b0000, 4)   # sample rate: from STREAMINFO
+        hdr.w(channels - 1, 4)  # independent channels
+        hdr.w(0b100, 3)    # 16 bits per sample
+        hdr.w(0, 1)        # reserved
+        hb = bytes(hdr.buf) + _flac_utf8_encode(fi) + \
+            (nb - 1).to_bytes(2, "big")
+        frame = bytearray(hb + bytes([_crc8(hb)]))
+        bits = _FlacBits()
+        for c in range(channels):
+            ch_s = blk[:, c]
+            bits.w(0, 1)  # subframe pad bit
+            if nb and int(ch_s.min()) == int(ch_s.max()):
+                bits.w(0b000000, 6)
+                bits.w(0, 1)  # no wasted bits
+                bits.w(int(ch_s[0]) & 0xFFFF, bps)
+                continue
+            # fixed orders 0-4: residual via repeated differencing
+            best = None  # (cost, order, resid, k_or_escape)
+            diff = ch_s.copy()
+            for order in range(0, min(4, nb - 1) + 1):
+                resid = diff[order:] if order == 0 else None
+                if order > 0:
+                    diff = np.diff(diff)
+                    resid = diff
+                resid_l = [int(v) for v in resid]
+                for k in range(15):
+                    cost = order * bps + 2 + 4 + 4 + _rice_cost(resid_l, k) \
+                        if k < 14 else None
+                    if k == 14:
+                        break
+                    if best is None or cost < best[0]:
+                        best = (cost, order, resid_l, k)
+                # raw-bits escape: max needed bits
+                if resid_l:
+                    mx = max(max(resid_l), -min(resid_l) - 1, 0)
+                    rawbits = mx.bit_length() + 1
+                    cost = order * bps + 2 + 4 + 4 + 5 + rawbits * len(resid_l)
+                    if best is None or cost < best[0]:
+                        best = (cost, order, resid_l, ("raw", rawbits))
+            verb_cost = nb * bps
+            if best is None or verb_cost < best[0]:
+                bits.w(0b000001, 6)
+                bits.w(0, 1)
+                for v in ch_s:
+                    bits.w(int(v) & 0xFFFF, bps)
+                continue
+            _cost, order, resid_l, kk = best
+            bits.w(0b001000 | order, 6)
+            bits.w(0, 1)  # no wasted bits
+            for v in ch_s[:order]:
+                bits.w(int(v) & 0xFFFF, bps)
+            bits.w(0b00, 2)   # residual method: 4-bit Rice
+            bits.w(0, 4)      # partition order 0
+            if isinstance(kk, tuple):
+                bits.w(0b1111, 4)
+                bits.w(kk[1], 5)
+                for r in resid_l:
+                    bits.w(r & ((1 << kk[1]) - 1), kk[1])
+            else:
+                bits.w(kk, 4)
+                for r in resid_l:
+                    u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+                    bits.w_unary(u >> kk)
+                    bits.w(u & ((1 << kk) - 1), kk)
+        bits.w_align()
+        frame += bytes(bits.buf)
+        frame += _crc16(bytes(frame)).to_bytes(2, "big")
+        out += frame
+    return bytes(out)
+
+
+def _flac_decode(b: bytes):
+    """Decode a fixed-predictor-subset FLAC stream → (rate, channels,
+    bps, samples float64 ndarray interleaved) — the _wav_parse contract.
+    Verifies CRC-8 per frame header, CRC-16 per frame, and the
+    STREAMINFO MD5 when present. Raises ValueError on LPC subframes or
+    side-channel decorrelation (outside the supported subset) and on any
+    CRC/MD5 mismatch; returns None if not a FLAC stream."""
+    import hashlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return None
+    pos, rate, channels, bps, n_total, md5 = 4, None, None, None, 0, None
+    while pos + 4 <= len(b):
+        hdrb = b[pos]
+        blen = int.from_bytes(b[pos + 1:pos + 4], "big")
+        if (hdrb & 0x7F) == 0:  # STREAMINFO
+            body = b[pos + 4:pos + 4 + blen]
+            sb = _FlacBits(body)
+            sb.r(16), sb.r(16), sb.r(24), sb.r(24)
+            rate = sb.r(20)
+            channels = sb.r(3) + 1
+            bps = sb.r(5) + 1
+            n_total = sb.r(36)
+            md5 = body[18:34]
+        pos += 4 + blen
+        if hdrb & 0x80:
+            break
+    if rate is None:
+        raise ValueError("FLAC: no STREAMINFO")
+    chans: list = [[] for _ in range(channels)]
+    while pos < len(b):
+        fstart = pos
+        bits = _FlacBits(b)
+        bits.rpos = pos * 8
+        if bits.r(14) != 0b11111111111110:
+            raise ValueError("FLAC: lost frame sync")
+        bits.r(1)
+        bits.r(1)
+        bs_code = bits.r(4)
+        sr_code = bits.r(4)
+        ch_asgn = bits.r(4)
+        ss_code = bits.r(3)
+        bits.r(1)
+        if ch_asgn >= 8:
+            raise ValueError("FLAC: side-channel decorrelation unsupported "
+                             "(fixed-predictor subset)")
+        fch = ch_asgn + 1
+        fbps = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
+        if fbps is None:
+            raise ValueError("FLAC: reserved sample-size code")
+        _flac_utf8_decode(bits)
+        if bs_code == 0b0110:
+            nb = bits.r(8) + 1
+        elif bs_code == 0b0111:
+            nb = bits.r(16) + 1
+        elif bs_code >= 0b1000:
+            nb = 256 << (bs_code - 8)
+        elif bs_code >= 0b0010:
+            nb = 576 << (bs_code - 2)
+        else:
+            nb = 192 if bs_code == 1 else None
+        if sr_code in (0b1100, 0b1101, 0b1110):
+            bits.r(8 if sr_code == 0b1100 else 16)
+        hdr_end = bits.rpos >> 3
+        if _crc8(b[fstart:hdr_end]) != b[hdr_end]:
+            raise ValueError("FLAC: frame header CRC-8 mismatch")
+        bits.rpos = (hdr_end + 1) * 8
+        for c in range(fch):
+            if bits.r(1) != 0:
+                raise ValueError("FLAC: bad subframe padding bit")
+            stype = bits.r(6)
+            wasted = 0
+            if bits.r(1):
+                wasted = bits.r_unary() + 1
+            eff = fbps - wasted
+            if stype == 0:
+                v = bits.r_signed(eff) << wasted
+                chans[c].extend([v] * nb)
+            elif stype == 1:
+                chans[c].extend(bits.r_signed(eff) << wasted
+                                for _ in range(nb))
+            elif 8 <= stype <= 12:
+                order = stype - 8
+                warm = [bits.r_signed(eff) for _ in range(order)]
+                method = bits.r(2)
+                if method > 1:
+                    raise ValueError("FLAC: reserved residual method")
+                pbits = 4 if method == 0 else 5
+                porder = bits.r(4)
+                resid: list = []
+                nparts = 1 << porder
+                for p in range(nparts):
+                    cnt = (nb >> porder) - (order if p == 0 else 0)
+                    k = bits.r(pbits)
+                    if k == (1 << pbits) - 1:
+                        rawbits = bits.r(5)
+                        # rawbits 0 = a legal escape meaning all residuals
+                        # in the partition are zero
+                        resid.extend((bits.r_signed(rawbits) if rawbits
+                                      else 0) for _ in range(cnt))
+                    else:
+                        for _ in range(cnt):
+                            q = bits.r_unary()
+                            u = (q << k) | bits.r(k)
+                            resid.append((u >> 1) if (u & 1) == 0
+                                         else -((u + 1) >> 1))
+                coefs = _FLAC_FIXED_COEFS[order]
+                s = warm[:]
+                for r in resid:
+                    v = r + sum(co * s[-i - 1]
+                                for i, co in enumerate(coefs))
+                    s.append(v)
+                chans[c].extend(v << wasted for v in s)
+            else:
+                raise ValueError("FLAC: LPC subframes unsupported "
+                                 "(fixed-predictor subset)")
+        bits.r_align()
+        fend = bits.rpos >> 3
+        if _crc16(b[fstart:fend]) != int.from_bytes(b[fend:fend + 2], "big"):
+            raise ValueError("FLAC: frame CRC-16 mismatch")
+        pos = fend + 2
+    n = min(len(ch) for ch in chans) if chans else 0
+    if n == 0 and n_total > 0:
+        # header-only / truncated stream: STREAMINFO declares samples but
+        # no frame carried them — not a decodable payload
+        raise ValueError("FLAC: stream declares samples but has no frames")
+    inter = np.empty(n * channels, dtype=np.float64)
+    for c in range(channels):
+        inter[c::channels] = chans[c][:n]
+    if md5 and md5 != bytes(16) and bps == 16:
+        got = hashlib.md5(inter.astype("<i2").tobytes()).digest()
+        if got != md5:
+            raise ValueError("FLAC: decoded PCM fails the STREAMINFO MD5")
+    return rate, channels, bps, inter
+
+
+def _flac_parse_samples(b: bytes):
+    """_wav_parse-shaped adapter: (rate, ch, bits, interleaved float64)
+    for supported FLAC streams, None for non-FLAC or unsupported
+    subtypes (LPC / side channels / header-only fixtures)."""
+    if len(b) < 4 or b[:4] != b"fLaC":
+        return None
+    try:
+        got = _flac_decode(b)
+    except ValueError:
+        return None
+    if got is None:
+        return None
+    rate, ch, bps, inter = got
+    return rate, ch, bps, inter
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("sample_rate", T.IntegerType()),
@@ -2765,11 +3167,13 @@ def audio_features(df: DataFrame) -> DataFrame:
     averaging interleaved channels before analysis. The curation use:
     silence/clipping detection (rms, energy), noisiness (zero-crossing
     rate), and bandwidth screens (centroid/rolloff) over a speech corpus.
-    Non-WAV payloads yield null features."""
+    FLAC payloads in the fixed-predictor subset decode natively
+    (_flac_decode — real Rice/CRC/MD5 bitstream work, no codec library);
+    other payloads (incl. LPC/side-channel FLAC) yield null features."""
     import numpy as np
 
     def feats(b: bytes):
-        got = _wav_parse(b)
+        got = _wav_parse(b) or _flac_parse_samples(b)
         if got is None:
             return None
         rate, ch, _bits, samples = got
@@ -2828,6 +3232,34 @@ def synth_wav_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 v = ((mid * 37 + i * 101) % 2048) - 1024
                 ids.append(mid)
                 blobs.append(_wav_encode(v.astype(np.int16), 8000, 1))
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["audio"] * len(ids),
+                "content": blobs, "meta": [{}] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_flac_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic 16-bit mono FLAC per input row →
+    MEDIA_SCHEMA. SAME closed-form signal as synth_wav_table (rate 8000,
+    n = 64 + id % 64, v(i) = ((id*37 + i*101) % 2048) - 1024) so the same
+    SQL oracle values both containers — but encoded through the REAL FLAC
+    bitstream (_flac_encode, block_size=32 so every file spans multiple
+    frames and the frame loop, CRCs and MD5 all execute)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 64 + mid % 64
+                i = np.arange(n, dtype=np.int64)
+                v = ((mid * 37 + i * 101) % 2048) - 1024
+                ids.append(mid)
+                blobs.append(_flac_encode(v.astype(np.int16), 8000,
+                                          channels=1, block_size=32))
             yield pd.DataFrame({
                 "media_id": ids, "kind": ["audio"] * len(ids),
                 "content": blobs, "meta": [{}] * len(ids),

@@ -4132,6 +4132,52 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_flac_features",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n
+      FROM documents WHERE doc_id % 89 = 0
+    ),
+    s AS (
+      SELECT doc_id, n, i.r AS i,
+             ((doc_id*37 + i.r*101) % 2048) - 1024 AS v,
+             CASE WHEN i.r > 0
+                  THEN ((doc_id*37 + (i.r-1)*101) % 2048) - 1024 END AS pv
+      FROM d, range(128) i(r) WHERE i.r < n
+    )
+    SELECT doc_id AS media_id, 8000::INT AS sample_rate, 1::INT AS channels,
+           n::BIGINT AS n_samples,
+           sum(v)::BIGINT AS sample_sum,
+           sum(v*v)::BIGINT AS energy,
+           sum(CASE WHEN i > 0 AND ((v < 0) <> (pv < 0)) THEN 1
+                    ELSE 0 END)::BIGINT AS zero_crossings,
+           round(sqrt(sum(v*v)::DOUBLE / n), 4) AS rms
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC encode→decode→feature round trip, value-checked (NEW in
+    r10 — the FLAC sample-decode stub is now a REAL fixed-predictor-subset
+    codec): the SAME deterministic PCM signal as multimodal_wav_features
+    is encoded through a real FLAC bitstream (multimodal._flac_encode —
+    fixed predictors 0-4, Rice-coded residuals with the raw-bits escape,
+    UTF-8 frame numbers, CRC-8/CRC-16, STREAMINFO MD5; block_size=32 so
+    every file spans multiple frames) and decoded back by
+    multimodal._flac_decode inside audio_features, which verifies both
+    CRCs and the MD5. The oracle restates the closed-form signal — a hash
+    match proves the whole compressed round trip sample-exact. LPC and
+    mid/side decorrelation remain honestly stubbed (support matrix)."""
+    from fermor_spark.pipeline import multimodal
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 89 == 0)
+    media = multimodal.synth_flac_table(d, "doc_id")
+    return multimodal.audio_features(media).select(
+        "media_id", "sample_rate", "channels", "n_samples",
+        "sample_sum", "energy", "zero_crossings",
+        F.round("rms", 4).alias("rms"))
+
+
+@query(
     "skew_salted_agg_lineitem",
     """
     SELECT l_returnflag, sum(l_quantity::BIGINT)::BIGINT AS sum_l_quantity,
@@ -5093,11 +5139,14 @@ _GATE_PRIORITY = [
     # (2) changed in r10 — must re-gate regardless of vintage: the eager
     # shingle cache in minhash_dedup_pairs (curate_e2e + both minhash
     # rows), the 6dp cosine rounding + NaN guard on both engine sides
-    # (embedding-cosine + SemDeDup), and the SCC flood's within-block
-    # anti-join + reached checkpointing
+    # (embedding-cosine + SemDeDup), and the SCC flood's reached
+    # checkpointing (g_scc_distributed is the forced leg that EXECUTES
+    # flood; g_scc_nation_ring takes the driver-local hybrid path at gate
+    # scale — the changed code never runs in its gate, so its r9 row
+    # stands and its slot goes to the flac addition below)
     "pipeline_curate_e2e", "dedup_minhash_lsh", "dedup_clusters_minhash",
     "dedup_embedding_cosine", "semantic_dedup_keep",
-    "g_scc_distributed", "g_scc_nation_ring",
+    "g_scc_distributed",
     # (3) the 40 r6-vintage rows (staleness 3 — the rotation debt r8's
     # skipped rotation created; r9 paid the r5 half, this is the rest)
     "ann_ivf_topk", "ann_lsh_topk", "dedup_clusters_distributed",
@@ -5115,12 +5164,13 @@ _GATE_PRIORITY = [
     "text_bpe_token_count", "text_chunk_windows", "text_fingerprint_overlap",
     "text_lang_id", "text_quality", "text_repetition", "text_tfidf_topterms",
     "text_token_count", "window_lag_user_delta",
-    # (4) the second and third r10 additions (sample.token_budget and the
-    # stateful streaming dedup gate — a registered query gates the round
-    # it lands). The r9-fresh spares (dedup_ngram_jaccard,
-    # g_kcore_distributed — both staleness 1, code unchanged r10) ceded
-    # their slots to the new queries; the parity sweep covers them.
+    # (4) the remaining r10 additions (a registered query gates the round
+    # it lands): sample.token_budget, the stateful streaming dedup gate,
+    # and the FLAC fixed-predictor-subset codec round trip. The r9-fresh
+    # spares (dedup_ngram_jaccard, g_kcore_distributed — both staleness 1,
+    # code unchanged r10) ceded their slots; the parity sweep covers them.
     "sample_token_budget", "events_streaming_dedup",
+    "multimodal_flac_features",
 ]
 
 
