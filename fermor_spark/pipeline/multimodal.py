@@ -31,14 +31,16 @@ WAV (RIFF PCM)          ``decode_wav`` + FFT features                REAL
 Audio METADATA          ``audio_metadata`` — WAV fmt/data math,      REAL
 (wav / flac / mp3)      FLAC STREAMINFO bit unpack, MP3 ID3-skip
                         + layer-III frame-header walk; header-only
-FLAC samples            ``_flac_decode`` fixed-predictor subset:     REAL
-(CONSTANT/VERBATIM/     Rice residuals incl. raw-bits escape + any
-FIXED 0-4, independent  partition order, UTF-8 frame numbers,
-channels)               CRC-8/CRC-16 + STREAMINFO MD5 verified;
-                        encoder ``_flac_encode`` for fixtures
-FLAC LPC / side-stereo, LPC coefficients + mid/side decorrelation    STUB
-MP3 samples             (libFLAC territory); MP3 DECODE needs a
-                        codec library
+FLAC samples            ``_flac_decode``: CONSTANT/VERBATIM/FIXED    REAL
+(all subframe types,    0-4 AND LPC subframes (quantized coefs +
+all channel             shift); independent channels AND left-side/
+assignments)            right-side/mid-side decorrelation (bps+1
+                        side channel); Rice residuals incl. raw-bits
+                        escape + any partition order, UTF-8 frame
+                        numbers, CRC-8/CRC-16 + STREAMINFO MD5
+                        verified; encoder ``_flac_encode`` for
+                        fixtures (stereo_mode= / lpc= hooks)
+MP3 samples             layer-III DECODE needs a codec library       STUB
 Y4M (YUV4MPEG2)         ``_y4m_frames`` luma-plane frame sample      REAL
 Video METADATA          ``video_metadata`` — mp4 box walk (mvhd      REAL
 (mp4 / avi / y4m)       timescale/duration, tkhd dims), AVI RIFF
@@ -2749,20 +2751,21 @@ def extract_meta_features(df: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# FLAC fixed-predictor subset codec (REAL, pure Python — no codec library).
+# FLAC codec (REAL, pure Python — no codec library).
 #
-# Scope (the honest submatrix, same discipline as the JPEG progression):
-# CONSTANT / VERBATIM / FIXED(order 0-4) subframes with Rice-coded
-# residuals (4-bit parameters incl. the 0b1111 raw-bits escape, any
-# partition order on decode), independent channels, 8/12/16/20/24-bit
-# sample sizes on decode (the fixture encoder emits 16-bit), UTF-8-coded
+# Decode scope (the honest submatrix, same discipline as the JPEG
+# progression): ALL subframe types — CONSTANT / VERBATIM / FIXED(order
+# 0-4) / LPC (quantized coefficients + shift) — with Rice-coded residuals
+# (4- or 5-bit parameters incl. the raw-bits escape, any partition order),
+# ALL channel assignments — independent AND left-side / right-side /
+# mid-side decorrelation (the side channel carries bps+1 bits) — so
+# libFLAC-encoded streams are in scope; 8/12/16/20/24-bit sample sizes on
+# decode (the fixture encoder emits 16-bit), wasted-bits flags, UTF-8-coded
 # frame numbers, CRC-8 header and CRC-16 frame verification, and the
-# STREAMINFO MD5 of the unencoded PCM verified after decode. NOT covered
-# (raises ValueError, counted as unsupported by callers): LPC subframes
-# and left/right/mid-side channel decorrelation — libFLAC output uses
-# them; this codec round-trips its OWN encoder's streams bit-exactly and
-# decodes any fixed-predictor stream. Format per the public FLAC spec
-# (RFC 9639).
+# STREAMINFO MD5 of the unencoded PCM verified after decode. The fixture
+# encoder picks the cheapest of CONSTANT/FIXED/VERBATIM per subframe and
+# exposes stereo_mode= / lpc= hooks to force the decorrelated and LPC
+# decode paths under test. Format per the public FLAC spec (RFC 9639).
 
 
 def _crc8(data: bytes) -> int:
@@ -2873,15 +2876,114 @@ def _rice_cost(resid, k: int) -> int:
     return total
 
 
+def _flac_write_residual(bits: "_FlacBits", resid: list) -> None:
+    """Partition-order-0 residual block: best 4-bit Rice parameter or the
+    raw-bits escape, whichever is smaller."""
+    best_k, best_cost = 0, None
+    for k in range(14):
+        cost = _rice_cost(resid, k)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    mx = max(max(resid), -min(resid) - 1, 0) if resid else 0
+    rawbits = mx.bit_length() + 1
+    raw_cost = 5 + rawbits * len(resid)
+    bits.w(0b00, 2)   # residual method: 4-bit Rice parameters
+    bits.w(0, 4)      # partition order 0
+    if best_cost is None or raw_cost < best_cost:
+        bits.w(0b1111, 4)
+        bits.w(rawbits, 5)
+        for r in resid:
+            bits.w(r & ((1 << rawbits) - 1), rawbits)
+    else:
+        bits.w(best_k, 4)
+        for r in resid:
+            u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+            bits.w_unary(u >> best_k)
+            bits.w(u & ((1 << best_k) - 1), best_k)
+
+
+def _flac_write_subframe(bits: "_FlacBits", ch_s, bps: int,
+                         lpc=None) -> None:
+    """One subframe at ``bps`` bits (17 for a side channel): CONSTANT if
+    flat, else LPC with the GIVEN (coefs, shift, precision) model when
+    ``lpc`` is passed (fixture generator for the LPC decode path), else
+    the cheapest of FIXED order 0-4 / VERBATIM."""
+    import numpy as np
+
+    nb = len(ch_s)
+    mask = (1 << bps) - 1
+    bits.w(0, 1)  # subframe pad bit
+    sl = [int(v) for v in ch_s]
+    if nb and min(sl) == max(sl):
+        bits.w(0b000000, 6)
+        bits.w(0, 1)  # no wasted bits
+        bits.w(sl[0] & mask, bps)
+        return
+    if lpc is not None and nb > len(lpc[0]) > 0:
+        coefs, shift, prec = lpc
+        order = len(coefs)
+        resid = [sl[i] - (sum(coefs[j] * sl[i - 1 - j]
+                              for j in range(order)) >> shift)
+                 for i in range(order, nb)]
+        bits.w(0b100000 | (order - 1), 6)
+        bits.w(0, 1)  # no wasted bits
+        for v in sl[:order]:
+            bits.w(v & mask, bps)
+        bits.w(prec - 1, 4)
+        bits.w(shift, 5)
+        for cf in coefs:
+            bits.w(cf & ((1 << prec) - 1), prec)
+        _flac_write_residual(bits, resid)
+        return
+    # fixed orders 0-4: residual via repeated differencing
+    best = None  # (cost, order, resid)
+    diff = np.asarray(ch_s, dtype=np.int64)
+    for order in range(0, min(4, nb - 1) + 1):
+        if order > 0:
+            diff = np.diff(diff)
+        resid_l = [int(v) for v in diff]
+        for k in range(14):
+            cost = order * bps + 2 + 4 + 4 + _rice_cost(resid_l, k)
+            if best is None or cost < best[0]:
+                best = (cost, order, resid_l, k)
+        if resid_l:  # raw-bits escape
+            mx = max(max(resid_l), -min(resid_l) - 1, 0)
+            rawbits = mx.bit_length() + 1
+            cost = order * bps + 2 + 4 + 4 + 5 + rawbits * len(resid_l)
+            if best is None or cost < best[0]:
+                best = (cost, order, resid_l, ("raw", rawbits))
+    if best is None or nb * bps < best[0]:
+        bits.w(0b000001, 6)  # VERBATIM
+        bits.w(0, 1)
+        for v in sl:
+            bits.w(v & mask, bps)
+        return
+    _cost, order, resid_l, _kk = best
+    bits.w(0b001000 | order, 6)
+    bits.w(0, 1)  # no wasted bits
+    for v in sl[:order]:
+        bits.w(v & mask, bps)
+    _flac_write_residual(bits, resid_l)
+
+
+_FLAC_STEREO_CODES = {"left-side": 8, "right-side": 9, "mid-side": 10}
+
+
 def _flac_encode(samples, rate: int, channels: int = 1,
-                 block_size: int = 4096) -> bytes:
-    """Encode 16-bit PCM to a real FLAC stream (fixed-predictor subset).
+                 block_size: int = 4096, stereo_mode: str | None = None,
+                 lpc=None) -> bytes:
+    """Encode 16-bit PCM to a real FLAC stream.
 
     ``samples``: int16 array — flat mono, or interleaved (n*ch,), or
-    (n, ch). Picks per block/channel the cheapest of CONSTANT / FIXED
-    order 0-4 (partition order 0, best Rice parameter or the raw-bits
-    escape) / VERBATIM. Writes real CRC-8/CRC-16 and the STREAMINFO MD5
-    of the little-endian PCM, which _flac_decode verifies."""
+    (n, ch). Per block/channel picks the cheapest of CONSTANT / FIXED
+    order 0-4 (best Rice parameter or the raw-bits escape) / VERBATIM.
+    ``stereo_mode`` (2-channel only): "left-side" / "right-side" /
+    "mid-side" inter-channel decorrelation — the side channel carries
+    bps+1 bits per the spec. ``lpc``: (coefs, shift, precision) forces
+    LPC subframes with that fixed model (fixture generator for the LPC
+    decode path; a production encoder would estimate coefficients).
+    Writes real CRC-8/CRC-16 and the STREAMINFO MD5 of the little-endian
+    PCM, which _flac_decode verifies."""
     import hashlib
 
     import numpy as np
@@ -2892,6 +2994,8 @@ def _flac_encode(samples, rate: int, channels: int = 1,
     channels = x.shape[1]
     n_total = x.shape[0]
     bps = 16
+    if stereo_mode and channels != 2:
+        raise ValueError("stereo_mode needs exactly 2 channels")
 
     md5 = hashlib.md5(
         np.ascontiguousarray(x.astype("<i2")).tobytes()).digest()
@@ -2908,6 +3012,8 @@ def _flac_encode(samples, rate: int, channels: int = 1,
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last block
 
+    ch_asgn = _FLAC_STEREO_CODES[stereo_mode] if stereo_mode \
+        else channels - 1
     for fi, start in enumerate(range(0, max(n_total, 1), block_size)):
         blk = x[start:start + block_size]
         nb = blk.shape[0]
@@ -2919,69 +3025,27 @@ def _flac_encode(samples, rate: int, channels: int = 1,
         hdr.w(0, 1)  # fixed-blocksize strategy; coded number = frame index
         hdr.w(0b0111, 4)   # blocksize: 16-bit value-1 at header end
         hdr.w(0b0000, 4)   # sample rate: from STREAMINFO
-        hdr.w(channels - 1, 4)  # independent channels
+        hdr.w(ch_asgn, 4)
         hdr.w(0b100, 3)    # 16 bits per sample
         hdr.w(0, 1)        # reserved
         hb = bytes(hdr.buf) + _flac_utf8_encode(fi) + \
             (nb - 1).to_bytes(2, "big")
         frame = bytearray(hb + bytes([_crc8(hb)]))
         bits = _FlacBits()
-        for c in range(channels):
-            ch_s = blk[:, c]
-            bits.w(0, 1)  # subframe pad bit
-            if nb and int(ch_s.min()) == int(ch_s.max()):
-                bits.w(0b000000, 6)
-                bits.w(0, 1)  # no wasted bits
-                bits.w(int(ch_s[0]) & 0xFFFF, bps)
-                continue
-            # fixed orders 0-4: residual via repeated differencing
-            best = None  # (cost, order, resid, k_or_escape)
-            diff = ch_s.copy()
-            for order in range(0, min(4, nb - 1) + 1):
-                resid = diff[order:] if order == 0 else None
-                if order > 0:
-                    diff = np.diff(diff)
-                    resid = diff
-                resid_l = [int(v) for v in resid]
-                for k in range(15):
-                    cost = order * bps + 2 + 4 + 4 + _rice_cost(resid_l, k) \
-                        if k < 14 else None
-                    if k == 14:
-                        break
-                    if best is None or cost < best[0]:
-                        best = (cost, order, resid_l, k)
-                # raw-bits escape: max needed bits
-                if resid_l:
-                    mx = max(max(resid_l), -min(resid_l) - 1, 0)
-                    rawbits = mx.bit_length() + 1
-                    cost = order * bps + 2 + 4 + 4 + 5 + rawbits * len(resid_l)
-                    if best is None or cost < best[0]:
-                        best = (cost, order, resid_l, ("raw", rawbits))
-            verb_cost = nb * bps
-            if best is None or verb_cost < best[0]:
-                bits.w(0b000001, 6)
-                bits.w(0, 1)
-                for v in ch_s:
-                    bits.w(int(v) & 0xFFFF, bps)
-                continue
-            _cost, order, resid_l, kk = best
-            bits.w(0b001000 | order, 6)
-            bits.w(0, 1)  # no wasted bits
-            for v in ch_s[:order]:
-                bits.w(int(v) & 0xFFFF, bps)
-            bits.w(0b00, 2)   # residual method: 4-bit Rice
-            bits.w(0, 4)      # partition order 0
-            if isinstance(kk, tuple):
-                bits.w(0b1111, 4)
-                bits.w(kk[1], 5)
-                for r in resid_l:
-                    bits.w(r & ((1 << kk[1]) - 1), kk[1])
-            else:
-                bits.w(kk, 4)
-                for r in resid_l:
-                    u = (r << 1) if r >= 0 else ((-r) << 1) - 1
-                    bits.w_unary(u >> kk)
-                    bits.w(u & ((1 << kk) - 1), kk)
+        if stereo_mode:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if stereo_mode == "left-side":
+                subs = [(left, bps), (side, bps + 1)]
+            elif stereo_mode == "right-side":
+                subs = [(side, bps + 1), (right, bps)]
+            else:  # mid-side: mid = (l+r)>>1 (floor), side = l-r
+                subs = [((left + right) >> 1, bps), (side, bps + 1)]
+            for ch_s, sbps in subs:
+                _flac_write_subframe(bits, ch_s, sbps, lpc=lpc)
+        else:
+            for c in range(channels):
+                _flac_write_subframe(bits, blk[:, c], bps, lpc=lpc)
         bits.w_align()
         frame += bytes(bits.buf)
         frame += _crc16(bytes(frame)).to_bytes(2, "big")
@@ -2989,13 +3053,40 @@ def _flac_encode(samples, rate: int, channels: int = 1,
     return bytes(out)
 
 
+def _flac_read_residual(bits: "_FlacBits", nb: int, order: int) -> list:
+    """Rice-coded residual block: 2-bit method, partition order, per
+    partition a 4/5-bit parameter or the raw-bits escape."""
+    method = bits.r(2)
+    if method > 1:
+        raise ValueError("FLAC: reserved residual method")
+    pbits = 4 if method == 0 else 5
+    porder = bits.r(4)
+    resid: list = []
+    for p in range(1 << porder):
+        cnt = (nb >> porder) - (order if p == 0 else 0)
+        k = bits.r(pbits)
+        if k == (1 << pbits) - 1:
+            rawbits = bits.r(5)
+            # rawbits 0 = legal escape meaning all residuals are zero
+            resid.extend((bits.r_signed(rawbits) if rawbits else 0)
+                         for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                q = bits.r_unary()
+                u = (q << k) | bits.r(k)
+                resid.append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+    return resid
+
+
 def _flac_decode(b: bytes):
-    """Decode a fixed-predictor-subset FLAC stream → (rate, channels,
-    bps, samples float64 ndarray interleaved) — the _wav_parse contract.
-    Verifies CRC-8 per frame header, CRC-16 per frame, and the
-    STREAMINFO MD5 when present. Raises ValueError on LPC subframes or
-    side-channel decorrelation (outside the supported subset) and on any
-    CRC/MD5 mismatch; returns None if not a FLAC stream."""
+    """Decode a FLAC stream → (rate, channels, bps, samples float64
+    ndarray interleaved) — the _wav_parse contract. Subframes: CONSTANT,
+    VERBATIM, FIXED 0-4, and LPC (quantized coefficients + shift);
+    channel assignments: independent AND left/right/mid-side
+    decorrelation (the side channel reads bps+1 bits). Verifies CRC-8
+    per frame header, CRC-16 per frame, and the STREAMINFO MD5 when
+    present; raises ValueError on any mismatch or reserved encoding;
+    returns None if not a FLAC stream."""
     import hashlib
 
     import numpy as np
@@ -3034,10 +3125,9 @@ def _flac_decode(b: bytes):
         ch_asgn = bits.r(4)
         ss_code = bits.r(3)
         bits.r(1)
-        if ch_asgn >= 8:
-            raise ValueError("FLAC: side-channel decorrelation unsupported "
-                             "(fixed-predictor subset)")
-        fch = ch_asgn + 1
+        if ch_asgn > 10:
+            raise ValueError("FLAC: reserved channel assignment")
+        fch = 2 if ch_asgn >= 8 else ch_asgn + 1
         fbps = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
         if fbps is None:
             raise ValueError("FLAC: reserved sample-size code")
@@ -3050,63 +3140,80 @@ def _flac_decode(b: bytes):
             nb = 256 << (bs_code - 8)
         elif bs_code >= 0b0010:
             nb = 576 << (bs_code - 2)
+        elif bs_code == 1:
+            nb = 192
         else:
-            nb = 192 if bs_code == 1 else None
+            raise ValueError("FLAC: reserved block-size code")
         if sr_code in (0b1100, 0b1101, 0b1110):
             bits.r(8 if sr_code == 0b1100 else 16)
         hdr_end = bits.rpos >> 3
         if _crc8(b[fstart:hdr_end]) != b[hdr_end]:
             raise ValueError("FLAC: frame header CRC-8 mismatch")
         bits.rpos = (hdr_end + 1) * 8
+        fr_ch: list = []
         for c in range(fch):
+            # the side channel of a decorrelated pair carries one extra bit
+            side_extra = 1 if (ch_asgn == 8 and c == 1) or \
+                (ch_asgn == 9 and c == 0) or (ch_asgn == 10 and c == 1) \
+                else 0
             if bits.r(1) != 0:
                 raise ValueError("FLAC: bad subframe padding bit")
             stype = bits.r(6)
             wasted = 0
             if bits.r(1):
                 wasted = bits.r_unary() + 1
-            eff = fbps - wasted
+            eff = fbps + side_extra - wasted
             if stype == 0:
                 v = bits.r_signed(eff) << wasted
-                chans[c].extend([v] * nb)
+                fr_ch.append([v] * nb)
             elif stype == 1:
-                chans[c].extend(bits.r_signed(eff) << wasted
-                                for _ in range(nb))
+                fr_ch.append([bits.r_signed(eff) << wasted
+                              for _ in range(nb)])
             elif 8 <= stype <= 12:
                 order = stype - 8
                 warm = [bits.r_signed(eff) for _ in range(order)]
-                method = bits.r(2)
-                if method > 1:
-                    raise ValueError("FLAC: reserved residual method")
-                pbits = 4 if method == 0 else 5
-                porder = bits.r(4)
-                resid: list = []
-                nparts = 1 << porder
-                for p in range(nparts):
-                    cnt = (nb >> porder) - (order if p == 0 else 0)
-                    k = bits.r(pbits)
-                    if k == (1 << pbits) - 1:
-                        rawbits = bits.r(5)
-                        # rawbits 0 = a legal escape meaning all residuals
-                        # in the partition are zero
-                        resid.extend((bits.r_signed(rawbits) if rawbits
-                                      else 0) for _ in range(cnt))
-                    else:
-                        for _ in range(cnt):
-                            q = bits.r_unary()
-                            u = (q << k) | bits.r(k)
-                            resid.append((u >> 1) if (u & 1) == 0
-                                         else -((u + 1) >> 1))
+                resid = _flac_read_residual(bits, nb, order)
                 coefs = _FLAC_FIXED_COEFS[order]
                 s = warm[:]
                 for r in resid:
-                    v = r + sum(co * s[-i - 1]
-                                for i, co in enumerate(coefs))
-                    s.append(v)
-                chans[c].extend(v << wasted for v in s)
+                    s.append(r + sum(co * s[-i - 1]
+                                     for i, co in enumerate(coefs)))
+                fr_ch.append([v << wasted for v in s])
+            elif stype >= 32:
+                order = (stype & 0x1F) + 1
+                warm = [bits.r_signed(eff) for _ in range(order)]
+                prec = bits.r(4)
+                if prec == 0b1111:
+                    raise ValueError("FLAC: invalid LPC precision")
+                prec += 1
+                shift = bits.r_signed(5)
+                if shift < 0:
+                    raise ValueError("FLAC: negative LPC shift is reserved")
+                coefs = [bits.r_signed(prec) for _ in range(order)]
+                resid = _flac_read_residual(bits, nb, order)
+                s = warm[:]
+                for r in resid:
+                    pred = sum(coefs[j] * s[-1 - j]
+                               for j in range(order)) >> shift
+                    s.append(r + pred)
+                fr_ch.append([v << wasted for v in s])
             else:
-                raise ValueError("FLAC: LPC subframes unsupported "
-                                 "(fixed-predictor subset)")
+                raise ValueError("FLAC: reserved subframe type")
+        if ch_asgn == 8:      # left-side: right = left - side
+            left, side = fr_ch
+            fr_ch = [left, [l - sd for l, sd in zip(left, side)]]
+        elif ch_asgn == 9:    # right-side: left = right + side
+            side, right = fr_ch
+            fr_ch = [[r + sd for r, sd in zip(right, side)], right]
+        elif ch_asgn == 10:   # mid-side
+            mid, side = fr_ch
+            lr = []
+            for m, sd in zip(mid, side):
+                m2 = (m << 1) | (sd & 1)
+                lr.append(((m2 + sd) >> 1, (m2 - sd) >> 1))
+            fr_ch = [[t[0] for t in lr], [t[1] for t in lr]]
+        for c in range(len(fr_ch)):
+            chans[c].extend(fr_ch[c])
         bits.r_align()
         fend = bits.rpos >> 3
         if _crc16(b[fstart:fend]) != int.from_bytes(b[fend:fend + 2], "big"):
@@ -3167,9 +3274,10 @@ def audio_features(df: DataFrame) -> DataFrame:
     averaging interleaved channels before analysis. The curation use:
     silence/clipping detection (rms, energy), noisiness (zero-crossing
     rate), and bandwidth screens (centroid/rolloff) over a speech corpus.
-    FLAC payloads in the fixed-predictor subset decode natively
-    (_flac_decode — real Rice/CRC/MD5 bitstream work, no codec library);
-    other payloads (incl. LPC/side-channel FLAC) yield null features."""
+    FLAC payloads decode natively — all subframe types incl. LPC and all
+    channel assignments incl. mid/side (_flac_decode — real Rice/CRC/MD5
+    bitstream work, no codec library); other payloads yield null
+    features."""
     import numpy as np
 
     def feats(b: bytes):

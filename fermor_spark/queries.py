@@ -4157,16 +4157,17 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FLAC encode→decode→feature round trip, value-checked (NEW in
-    r10 — the FLAC sample-decode stub is now a REAL fixed-predictor-subset
-    codec): the SAME deterministic PCM signal as multimodal_wav_features
-    is encoded through a real FLAC bitstream (multimodal._flac_encode —
-    fixed predictors 0-4, Rice-coded residuals with the raw-bits escape,
-    UTF-8 frame numbers, CRC-8/CRC-16, STREAMINFO MD5; block_size=32 so
-    every file spans multiple frames) and decoded back by
-    multimodal._flac_decode inside audio_features, which verifies both
-    CRCs and the MD5. The oracle restates the closed-form signal — a hash
-    match proves the whole compressed round trip sample-exact. LPC and
-    mid/side decorrelation remain honestly stubbed (support matrix)."""
+    r10 — the FLAC sample-decode stub is now a REAL codec): the SAME
+    deterministic PCM signal as multimodal_wav_features is encoded through
+    a real FLAC bitstream (multimodal._flac_encode — fixed predictors 0-4,
+    Rice-coded residuals with the raw-bits escape, UTF-8 frame numbers,
+    CRC-8/CRC-16, STREAMINFO MD5; block_size=32 so every file spans
+    multiple frames) and decoded back by multimodal._flac_decode inside
+    audio_features, which verifies both CRCs and the MD5. The oracle
+    restates the closed-form signal — a hash match proves the whole
+    compressed round trip sample-exact. The decoder also covers LPC
+    subframes and left/right/mid-side decorrelation (property-tested in
+    tests/test_properties.py; this gate exercises the fixed path)."""
     from fermor_spark.pipeline import multimodal
 
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 89 == 0)

@@ -528,6 +528,69 @@ def test_flac_round_trip_bit_exact(sig, block, ch):
     assert inter.astype(np.int64).tolist() == x.astype(np.int64).tolist()
 
 
+@settings(max_examples=8, deadline=None)
+@given(sig=flac_signals, block=st.sampled_from([16, 64, 4096]),
+       mode=st.sampled_from(["left-side", "right-side", "mid-side"]))
+def test_flac_stereo_decorrelation_round_trip(sig, block, mode):
+    """left-side / right-side / mid-side channel assignments survive
+    encode->decode bit-exactly: the side channel carries bps+1 bits and
+    the decoder reconstructs L/R from the decorrelated pair."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _flac_decode, _flac_encode
+
+    x = np.asarray(sig[: (len(sig) // 2) * 2], dtype=np.int16)
+    if x.size == 0:
+        x = np.zeros(2, dtype=np.int16)
+    blob = _flac_encode(x, 8000, channels=2, block_size=block,
+                        stereo_mode=mode)
+    rate, och, bps, inter = _flac_decode(blob)
+    assert (rate, och, bps) == (8000, 2, 16)
+    assert inter.astype(np.int64).tolist() == x.astype(np.int64).tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(sig=st.lists(st.integers(min_value=-32768, max_value=32767),
+                    min_size=6, max_size=300),
+       block=st.sampled_from([32, 4096]),
+       order=st.integers(min_value=1, max_value=4))
+def test_flac_lpc_subframe_round_trip(sig, block, order):
+    """LPC subframes (quantized coefficients + shift) decode bit-exactly.
+    The encoder's ``lpc=`` fixture hook forces a fixed coefficient model;
+    the decoder must invert it regardless of the model's quality."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _flac_decode, _flac_encode
+
+    # a deterministic, deliberately imperfect predictor model
+    coefs = [3, -2, 1, 1][:order]
+    x = np.asarray(sig, dtype=np.int16)
+    blob = _flac_encode(x, 8000, channels=1, block_size=block,
+                        lpc=(coefs, 1, 6))
+    rate, och, bps, inter = _flac_decode(blob)
+    assert (rate, och, bps) == (8000, 1, 16)
+    assert inter.astype(np.int64).tolist() == x.astype(np.int64).tolist()
+
+
+def test_flac_lpc_stereo_combined_round_trip():
+    """LPC subframes under mid-side decorrelation — both new decode
+    paths composed in one stream — reconstruct bit-exactly."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import _flac_decode, _flac_encode
+
+    t = np.arange(1000)
+    left = (3000 * np.sin(t / 7.0)).astype(np.int16)
+    right = (2000 * np.sin(t / 11.0 + 1.0)).astype(np.int16)
+    x = np.stack([left, right], axis=1)
+    blob = _flac_encode(x, 16000, channels=2, block_size=256,
+                        stereo_mode="mid-side", lpc=([2, -1], 0, 4))
+    rate, och, bps, inter = _flac_decode(blob)
+    assert (rate, och, bps) == (16000, 2, 16)
+    assert inter.astype(np.int64).reshape(-1, 2).tolist() == \
+        x.astype(np.int64).tolist()
+
+
 def test_flac_crc_corruption_detected():
     """A single flipped bit inside a frame fails the CRC-16 (or CRC-8 /
     MD5) check — the decoder never silently returns wrong samples."""
