@@ -5167,7 +5167,9 @@ _GATE_PRIORITY = [
     "text_token_count", "window_lag_user_delta",
     # (4) the remaining r10 additions (a registered query gates the round
     # it lands): sample.token_budget, the stateful streaming dedup gate,
-    # and the FLAC fixed-predictor-subset codec round trip. The r9-fresh
+    # and the FLAC codec round trip (late-r10: decoder extended to LPC
+    # subframes + stereo decorrelation — this gate re-runs the changed
+    # _flac_decode on its fixed-path stream). The r9-fresh
     # spares (dedup_ngram_jaccard, g_kcore_distributed — both staleness 1,
     # code unchanged r10) ceded their slots; the parity sweep covers them.
     "sample_token_budget", "events_streaming_dedup",
