@@ -129,9 +129,13 @@ BENCH_QUERIES = [
     # r10 addition: stateful streaming dedup — the dedup state store is
     # the one stateful shape the other es_* lines don't execute
     "events_streaming_dedup",
-    # r10 addition: FLAC fixed-predictor-subset encode->decode->features
-    # (real Rice/CRC/MD5 bitstream round trip, multi-frame files)
+    # r10 addition: FLAC encode->decode->features (real Rice/CRC/MD5
+    # bitstream round trip, multi-frame files; late-r10 the decoder grew
+    # LPC subframes + stereo decorrelation)
     "multimodal_flac_features",
+    # late-r10 addition: arithmetic-coded JPEG (SOF9 QM-coder) pair
+    # decode — byte-equality against the Huffman twin per image
+    "multimodal_arith_jpeg",
 ]
 
 

@@ -22,11 +22,18 @@ JPEG progressive SOF2   ``_jpeg_progressive`` (spectral selection,   REAL
 JPEG lossless SOF3,     ``_jpeg_lossless_scan`` (annex-H predictors  REAL
 8-bit single-comp       1-7, point transform, restarts; encoder
                         ``_jpeg_lossless_encode`` for fixtures)
+JPEG arithmetic SOF9/   ``_jpeg_arith_scan`` / ``_jpeg_arith_prog_``  REAL
+SOF10 (sequential +     ``scan`` — T.81 Annex D QM-coder (Table D.3
+progressive, QM-coder)  state machine) + Annex F DC/AC statistical
+                        models, DAC conditioning, restart reinit;
+                        interop-tested against embedded
+                        libjpeg-turbo streams both directions;
+                        encoder ``_jpeg_arith_encode`` for fixtures
 JPEG lossless SOF3,     returns "compressed" (needs a 16-bit pixel   STUB
 >8-bit / multi-comp     contract / external codec)
-JPEG arithmetic /       returns "compressed" (needs PIL/opencv)      STUB
-hierarchical (SOF5-15
-ex. 7,11)
+JPEG arithmetic         returns "compressed" (SOF11/SOF13-15 +       STUB
+lossless /              the differential-frame hierarchy)
+hierarchical
 WAV (RIFF PCM)          ``decode_wav`` + FFT features                REAL
 Audio METADATA          ``audio_metadata`` — WAV fmt/data math,      REAL
 (wav / flac / mp3)      FLAC STREAMINFO bit unpack, MP3 ID3-skip
@@ -660,6 +667,20 @@ def _jpeg_parse_dht(data, huff) -> None:
 
 
 @_none_on_malformed
+def _jpeg_parse_dac(data, dac) -> None:
+    """DAC segment (T.81 B.2.4.3): pairs of (Tc<<4|Tb, Cs). For DC tables
+    (Tc=0) Cs packs the conditioning bounds (U<<4)|L; for AC tables (Tc=1)
+    Cs is Kx, the low/high band split for the X2 escape states."""
+    i = 0
+    while i + 1 < len(data):
+        tc, tb, cs = data[i] >> 4, data[i] & 0x0F, data[i + 1]
+        if tc == 0:
+            dac[(0, tb)] = (cs & 0x0F, cs >> 4)   # (L, U)
+        else:
+            dac[(1, tb)] = cs                      # Kx
+        i += 2
+
+
 def _jpeg_decode(b: bytes):
     """REAL pure-Python/numpy JPEG decode → (width, height, channels,
     bytes) | None | 'compressed' (arithmetic/lossless/hierarchical, which
@@ -679,11 +700,13 @@ def _jpeg_decode(b: bytes):
         return None
     qt: dict = {}
     huff: dict = {}
+    dac: dict = {}
     comps = None
     w = h = 0
     dri = 0
     progressive = False
     lossless = False
+    arith = False
     pos = 2
     try:
         while pos + 4 <= len(b):
@@ -702,8 +725,8 @@ def _jpeg_decode(b: bytes):
                 _jpeg_parse_dqt(data, qt)
             elif marker == 0xC4:    # DHT
                 _jpeg_parse_dht(data, huff)
-            elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 baseline,
-                # SOF2 progressive, SOF3 lossless
+            elif marker in (0xC0, 0xC1, 0xC2, 0xC3,   # Huffman SOFs
+                            0xC9, 0xCA):              # arithmetic seq/prog
                 _prec, h, w = struct.unpack(">BHH", data[0:5])
                 nc = data[5]
                 comps = []
@@ -711,11 +734,13 @@ def _jpeg_decode(b: bytes):
                     cid, hv, tq = data[6 + 3 * ci:9 + 3 * ci]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                                   "tq": tq})
-                progressive = marker == 0xC2
+                progressive = marker in (0xC2, 0xCA)
                 lossless = marker == 0xC3
-            elif marker in (0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return "compressed"   # arithmetic / hierarchical
+                arith = marker in (0xC9, 0xCA)
+            elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+                return "compressed"   # hierarchical / arithmetic lossless
+            elif marker == 0xCC:    # DAC: arithmetic conditioning
+                _jpeg_parse_dac(data, dac)
             elif marker == 0xDD:    # DRI
                 dri = struct.unpack(">H", data[:2])[0]
             elif marker == 0xDA:    # SOS → entropy-coded data follows
@@ -728,13 +753,16 @@ def _jpeg_decode(b: bytes):
                     # hand the whole remaining segment stream (this scan +
                     # later DHT/DQT/DRI/SOS segments) to the multi-scan walker
                     return _jpeg_progressive(b, pos, w, h, comps, qt, huff,
-                                             dri)
+                                             dri, arith=arith, dac=dac)
                 ns = data[0]
                 sos = {}
                 for ci in range(ns):
                     cid, tt = data[1 + 2 * ci:3 + 2 * ci]
                     sos[cid] = (tt >> 4, tt & 0x0F)
                 scan_start = pos + 2 + seg_len
+                if arith:
+                    return _jpeg_arith_scan(b, scan_start, w, h, comps,
+                                            sos, qt, dri, dac)
                 return _jpeg_scan(b, scan_start, w, h, comps, sos, qt,
                                   huff, dri)
             elif marker == 0xD9:
@@ -977,11 +1005,14 @@ def _jpeg_scan(b, pos, w, h, comps, sos, qt, huff, dri):
     return _jpeg_color(w, h, comps, hmax, vmax, planes)
 
 
-def _jpeg_progressive(b, pos, w, h, comps, qt, huff, dri):
-    """Progressive (SOF2) JPEG: walk every scan from the first SOS marker
-    (``pos`` points at 0xFFDA), accumulating zigzag coefficients per
-    component across spectral-selection / successive-approximation passes,
-    then reconstruct once (dequant + IDCT + upsample + color)."""
+def _jpeg_progressive(b, pos, w, h, comps, qt, huff, dri,
+                      arith=False, dac=None):
+    """Progressive (SOF2/SOF10) JPEG: walk every scan from the first SOS
+    marker (``pos`` points at 0xFFDA), accumulating zigzag coefficients
+    per component across spectral-selection / successive-approximation
+    passes, then reconstruct once (dequant + IDCT + upsample + color).
+    ``arith`` selects the QM-coder scan decoder (SOF10) with ``dac``
+    conditioning in place of Huffman tables."""
     import struct
 
     import numpy as np
@@ -1022,12 +1053,19 @@ def _jpeg_progressive(b, pos, w, h, comps, qt, huff, dri):
                 _jpeg_parse_dqt(data, qt)
             elif marker == 0xC4:
                 _jpeg_parse_dht(data, huff)
+            elif marker == 0xCC:
+                _jpeg_parse_dac(data, dac if dac is not None else {})
             elif marker == 0xDD:
                 dri = struct.unpack(">H", data[:2])[0]
             elif marker == 0xDA:
                 scan_start = pos + 2 + seg_len
-                _jpeg_prog_scan(b, scan_start, data, comps, coefs, nblk,
-                                huff, dri, mcux, mcuy)
+                if arith:
+                    _jpeg_arith_prog_scan(b, scan_start, data, comps,
+                                          coefs, nblk, dac or {}, dri,
+                                          mcux, mcuy)
+                else:
+                    _jpeg_prog_scan(b, scan_start, data, comps, coefs,
+                                    nblk, huff, dri, mcux, mcuy)
                 # entropy data holds no bare markers (0xFF is stuffed /
                 # RSTn): the next segment starts at the first other marker.
                 # T.81 B.1.1.2 allows any number of 0xFF fill bytes before
@@ -1210,6 +1248,730 @@ def _jpeg_prog_scan(b, pos, hdr, comps, coefs, nblk, huff, dri, mcux, mcuy):
                         blk[k] += p1 if blk[k] > 0 else m1
                     k += 1
                 eobrun -= 1
+
+
+# --------------------------------------------------------------------------
+# JPEG ARITHMETIC entropy coding (SOF9 sequential / SOF10 progressive) —
+# T.81 Annex D (QM-coder) + Annex F (DCT statistical models), pure Python.
+# The Qe probability-estimation state machine below is T.81 Table D.3
+# (spec data, 113 adaptive states; index 113 is the fixed ~0.5 state used
+# for non-adaptive decisions such as AC signs). The table was transcribed
+# from the published spec and byte-verified against the system
+# libjpeg-turbo's copy at build time.
+
+_JPEG_ARITAB = (  # (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS)
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithDecoder:
+    """QM arithmetic DECODER (T.81 D.2): registers C/A, bit counter ct,
+    BYTEIN with 0xFF00 unstuffing and marker stall (markers are legal
+    terminators of arithmetic entropy data — once one is seen, zero bytes
+    are stuffed forever and the marker position is remembered so the scan
+    loop can resume the segment walk there). State bytes pack the Table
+    D.3 index in bits 0-6 and the current MPS sense in bit 7, so a whole
+    statistics area is one mutable bytearray."""
+
+    __slots__ = ("b", "p", "c", "a", "ct", "marker", "mpos")
+
+    def __init__(self, b, pos):
+        self.b = b
+        self.reinit(pos)
+
+    def reinit(self, pos):
+        self.p = pos
+        self.c = 0
+        self.a = 0
+        self.ct = -16      # pull two initial bytes on the first decision
+        self.marker = 0
+        self.mpos = -1
+
+    def _byte(self):
+        if self.marker:
+            return 0
+        b, p = self.b, self.p
+        if p >= len(b):
+            self.marker = 0xD9
+            return 0
+        d = b[p]
+        p += 1
+        if d == 0xFF:
+            ff_at = p - 1
+            while p < len(b) and b[p] == 0xFF:   # fill bytes (B.1.1.2)
+                p += 1
+            if p >= len(b):
+                self.marker, self.mpos = 0xD9, ff_at
+                return 0
+            if b[p] == 0x00:                     # stuffed zero: data 0xFF
+                self.p = p + 1
+                return 0xFF
+            self.marker, self.mpos = b[p], p - 1
+            return 0
+        self.p = p
+        return d
+
+    def decode(self, st, i):
+        """One binary decision against state byte st[i] (D.2.4/D.2.5)."""
+        a, c, ct = self.a, self.c, self.ct
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._byte()
+                ct += 8
+                if ct < 0:
+                    ct += 1
+                    if ct == 0:
+                        a = 0x8000   # two init bytes in: A=0x10000 below
+            a <<= 1
+        sv = st[i]
+        qe, nl, nm, sw = _JPEG_ARITAB[sv & 0x7F]
+        mps = sv >> 7
+        a -= qe
+        temp = a << ct
+        if c >= temp:
+            c -= temp
+            # landed in the Qe-sized subinterval
+            if a < qe:   # conditional exchange: larger interval is MPS
+                sym = mps
+                st[i] = (sv & 0x80) | nm
+            else:
+                sym = mps ^ 1
+                st[i] = ((mps ^ sw) << 7) | nl
+            a = qe
+        elif a < 0x8000:
+            # MPS subinterval with renormalization pending
+            if a < qe:   # conditional exchange: smaller interval is LPS
+                sym = mps ^ 1
+                st[i] = ((mps ^ sw) << 7) | nl
+            else:
+                sym = mps
+                st[i] = (sv & 0x80) | nm
+        else:
+            sym = mps    # no renorm, no estimation update
+        self.a, self.c, self.ct = a, c, ct
+        return sym
+
+    def restart(self):
+        """Byte-align past the next RSTn and reinitialize the registers
+        (statistics are the caller's to reset)."""
+        b = self.b
+        p = self.mpos if self.mpos >= 0 else self.p
+        while p + 1 < len(b) and not (
+                b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
+            p += 1
+        self.reinit(p + 2)
+
+
+def _arith_dc_diff(dec, dst, dc_ctx, ci, L, U):
+    """Decode one DC difference (T.81 F.2.4.1, Figures F.19-F.24) and
+    update the component's conditioning context."""
+    base = dc_ctx[ci]
+    if dec.decode(dst, base) == 0:
+        dc_ctx[ci] = 0
+        return 0
+    sign = dec.decode(dst, base + 1)
+    i = base + 2 + sign
+    m = dec.decode(dst, i)
+    if m:
+        i = 20                     # Table F.4: X1
+        while dec.decode(dst, i):
+            m <<= 1
+            if m >= 0x8000:
+                raise ValueError("arith DC magnitude overflow")
+            i += 1
+    if m < (1 << L) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << U) >> 1:
+        dc_ctx[ci] = 12 + 4 * sign
+    else:
+        dc_ctx[ci] = 4 + 4 * sign
+    v = m
+    if m:
+        i += 14                    # magnitude bits share one bin at X+14
+        mm = m >> 1
+        while mm:
+            if dec.decode(dst, i):
+                v |= mm
+            mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _arith_ac_value(dec, ast, fixed, base, k, kx):
+    """Decode one nonzero AC value at zigzag index k (F.2.4.2); the
+    caller has already consumed the EOB and zero-run decisions down to
+    ``base`` = 3*(k-1)."""
+    sign = dec.decode(fixed, 0)
+    i = base + 2
+    m = dec.decode(ast, i)
+    if m:
+        if dec.decode(ast, i):
+            m = 2
+            i = 189 if k <= kx else 217   # Table F.5: X2 low/high bands
+            while dec.decode(ast, i):
+                m <<= 1
+                if m >= 0x8000:
+                    raise ValueError("arith AC magnitude overflow")
+                i += 1
+    v = m
+    if m:
+        i += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(ast, i):
+                v |= mm
+            mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _jpeg_arith_scan(b, pos, w, h, comps, sos, qt, dri, dac):
+    """SEQUENTIAL DCT scan with arithmetic entropy coding (SOF9): the
+    same MCU walk / dequant / IDCT / color tail as the Huffman path, with
+    the QM-coder statistical models of T.81 Annex F in place of Huffman
+    tables. ``dac`` holds DAC-marker conditioning: (0,Td)→(L,U) bounds
+    for the DC context, (1,Ta)→Kx for the AC band split (defaults 0,1,5
+    per F.1.4.4.1.2/F.1.4.4.2)."""
+    import numpy as np
+
+    if not comps or w == 0 or h == 0:
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        return None
+    if w * h > (1 << 26):
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    T = _jpeg_idct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                       dtype=np.float64) for c in comps]
+
+    dec = _ArithDecoder(b, pos)
+    dc_stats: dict = {}
+    ac_stats: dict = {}
+    for c in comps:
+        td, ta = sos[c["id"]]
+        dc_stats.setdefault(td, bytearray(64))
+        ac_stats.setdefault(ta, bytearray(256))
+    fixed = bytearray([113])
+    last_dc = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    mcu_count = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    dec.restart()
+                    for st in dc_stats.values():
+                        st[:] = bytes(len(st))
+                    for st in ac_stats.values():
+                        st[:] = bytes(len(st))
+                    fixed[0] = 113
+                    last_dc = [0] * len(comps)
+                    dc_ctx = [0] * len(comps)
+                mcu_count += 1
+                for ci, c in enumerate(comps):
+                    td, ta = sos[c["id"]]
+                    dst, ast = dc_stats[td], ac_stats[ta]
+                    L, U = dac.get((0, td), (0, 1))
+                    kx = dac.get((1, ta), 5)
+                    q = qt[c["tq"]]
+                    for by_ in range(c["v"]):
+                        for bx in range(c["h"]):
+                            last_dc[ci] += _arith_dc_diff(
+                                dec, dst, dc_ctx, ci, L, U)
+                            coef = np.zeros(64, dtype=np.int64)
+                            coef[0] = last_dc[ci]
+                            k = 1
+                            while k <= 63:
+                                base = 3 * (k - 1)
+                                if dec.decode(ast, base):
+                                    break          # EOB
+                                while dec.decode(ast, base + 1) == 0:
+                                    base += 3
+                                    k += 1
+                                    if k > 63:
+                                        raise ValueError("arith AC overflow")
+                                coef[k] = _arith_ac_value(
+                                    dec, ast, fixed, base, k, kx)
+                                k += 1
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[zz] = coef * q
+                            px = T.T @ blk.reshape(8, 8) @ T + 128.0
+                            y0 = (my * c["v"] + by_) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    except (ValueError, KeyError, IndexError):
+        return None
+    return _jpeg_color(w, h, comps, hmax, vmax, planes)
+
+
+def _jpeg_arith_prog_scan(b, pos, hdr, comps, coefs, nblk, dac, dri,
+                          mcux, mcuy):
+    """Decode ONE progressive scan with ARITHMETIC coding (SOF10, T.81
+    G.1.3) into the accumulated zigzag coefficient grids. Unlike the
+    Huffman path there are no EOB runs — every block carries its own
+    context-coded EOB decision; refinement correction bits ride the
+    per-index SC bin (3k+2) and newly-significant signs the fixed bin."""
+    ns = hdr[0]
+    scomp = []
+    for ci in range(ns):
+        cid, tt = hdr[1 + 2 * ci:3 + 2 * ci]
+        matches = [i for i, c in enumerate(comps) if c["id"] == cid]
+        if not matches:
+            raise ValueError("SOS references unknown component")
+        scomp.append((matches[0], tt >> 4, tt & 0x0F))
+    ss, se, ahal = hdr[1 + 2 * ns], hdr[2 + 2 * ns], hdr[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral selection")
+    dec = _ArithDecoder(b, pos)
+    fixed = bytearray([113])
+
+    if ss == 0:
+        # ---- DC scan ----
+        dc_stats = {}
+        for _idx, td, _ta in scomp:
+            dc_stats.setdefault(td, bytearray(64))
+        last_dc = [0] * len(comps)
+        dc_ctx = [0] * len(comps)
+        unit = 0
+
+        def reset():
+            for st in dc_stats.values():
+                st[:] = bytes(len(st))
+            fixed[0] = 113
+
+        def dc_block(idx, td, by, bx):
+            blk = coefs[idx][by, bx]
+            if ah == 0:
+                L, U = dac.get((0, td), (0, 1))
+                last_dc[idx] += _arith_dc_diff(
+                    dec, dc_stats[td], dc_ctx, idx, L, U)
+                blk[0] = last_dc[idx] << al
+            elif dec.decode(fixed, 0):
+                blk[0] |= 1 << al
+
+        if ns > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and unit and unit % dri == 0:
+                        dec.restart()
+                        reset()
+                        last_dc = [0] * len(comps)
+                        dc_ctx = [0] * len(comps)
+                    unit += 1
+                    for idx, td, _ta in scomp:
+                        c = comps[idx]
+                        for by_ in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(idx, td,
+                                         my * c["v"] + by_, mx * c["h"] + bx)
+        else:
+            idx, td, _ta = scomp[0]
+            rows, cols = nblk[idx]
+            for by in range(rows):
+                for bx in range(cols):
+                    if dri and unit and unit % dri == 0:
+                        dec.restart()
+                        reset()
+                        last_dc = [0] * len(comps)
+                        dc_ctx = [0] * len(comps)
+                    unit += 1
+                    dc_block(idx, td, by, bx)
+        return
+
+    # ---- AC scan: always one component ----
+    if ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    idx, _td, ta = scomp[0]
+    ast = bytearray(256)
+    kx = dac.get((1, ta), 5)
+    rows, cols = nblk[idx]
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for by in range(rows):
+        for bx in range(cols):
+            if dri and unit and unit % dri == 0:
+                dec.restart()
+                ast[:] = bytes(256)
+                fixed[0] = 113
+            unit += 1
+            blk = coefs[idx][by, bx]
+            if ah == 0:
+                k = ss
+                while k <= se:
+                    base = 3 * (k - 1)
+                    if dec.decode(ast, base):
+                        break      # EOB
+                    while dec.decode(ast, base + 1) == 0:
+                        base += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError("arith AC overflow")
+                    blk[k] = _arith_ac_value(
+                        dec, ast, fixed, base, k, kx) << al
+                    k += 1
+                continue
+            # refinement (G.1.3.3): EOBx = previous-stage end of block
+            kex = se
+            while kex > 0 and blk[kex] == 0:
+                kex -= 1
+            k = ss
+            while k <= se:
+                base = 3 * (k - 1)
+                if k > kex and dec.decode(ast, base):
+                    break          # EOB
+                while True:
+                    if blk[k]:
+                        if dec.decode(ast, base + 2):
+                            blk[k] += m1 if blk[k] < 0 else p1
+                        break
+                    if dec.decode(ast, base + 1):
+                        blk[k] = m1 if dec.decode(fixed, 0) else p1
+                        break
+                    base += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError("arith AC refine overflow")
+                k += 1
+
+
+class _ArithEncoder:
+    """QM arithmetic ENCODER (T.81 D.1) — the fixture/oracle side of
+    _ArithDecoder, with the byte-stuffing / carry-stacking output rules
+    of D.1.6-D.1.8 (pending-0xFF stacking, carry resolution, trailing
+    zero suppression, 0x00 stuffing after emitted 0xFF data bytes)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.c = 0
+        self.a = 0x10000
+        self.ct = 11              # 3 spacer bits below the first byte out
+        self.buffer = -1          # last byte awaiting possible carry
+        self.sc = 0               # stacked 0xFF bytes awaiting carry
+        self.zc = 0               # pending 0x00 bytes (dropped if trailing)
+
+    def _zeros(self):
+        if self.zc:
+            self.out += b"\x00" * self.zc
+            self.zc = 0
+
+    def _carry(self):
+        if self.buffer >= 0:
+            self._zeros()
+            v = self.buffer + 1
+            self.out.append(v)
+            if v == 0xFF:
+                self.out.append(0)
+        self.zc += self.sc        # carried-over 0xFFs become 0x00s
+        self.sc = 0
+
+    def _plain(self):
+        if self.buffer == 0:
+            self.zc += 1
+        elif self.buffer >= 0:
+            self._zeros()
+            self.out.append(self.buffer)
+        if self.sc:
+            self._zeros()
+            self.out += b"\xff\x00" * self.sc
+            self.sc = 0
+
+    def encode(self, st, i, bit):
+        sv = st[i]
+        qe, nl, nm, sw = _JPEG_ARITAB[sv & 0x7F]
+        mps = sv >> 7
+        a = self.a - qe
+        if bit != mps:
+            if a >= qe:           # no exchange: LPS takes the upper Qe
+                self.c += a
+                a = qe
+            st[i] = ((mps ^ sw) << 7) | nl
+        else:
+            if a >= 0x8000:
+                self.a = a
+                return
+            if a < qe:            # exchange: MPS takes the upper Qe
+                self.c += a
+                a = qe
+            st[i] = (sv & 0x80) | nm
+        c, ct = self.c, self.ct
+        while True:               # renormalize & emit (D.1.6)
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                temp = c >> 19
+                if temp > 0xFF:
+                    self._carry()
+                    self.buffer = temp & 0xFF
+                elif temp == 0xFF:
+                    self.sc += 1
+                else:
+                    self._plain()
+                    self.buffer = temp
+                c &= 0x7FFFF
+                ct = 8
+            if a >= 0x8000:
+                break
+        self.a, self.c, self.ct = a, c, ct
+
+    def flush(self):
+        """D.1.8 termination: pick the in-interval code point with the
+        most trailing zeros, emit the remaining significant bytes."""
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            self._carry()
+        else:
+            self._plain()
+        self.buffer = -1
+        if self.c & 0x7FFF800:
+            self._zeros()
+            b1 = (self.c >> 19) & 0xFF
+            self.out.append(b1)
+            if b1 == 0xFF:
+                self.out.append(0)
+            if self.c & 0x7F800:
+                b2 = (self.c >> 11) & 0xFF
+                self.out.append(b2)
+                if b2 == 0xFF:
+                    self.out.append(0)
+        data = bytes(self.out)
+        self.out = bytearray()
+        return data
+
+
+def _arith_encode_dc(enc, dst, dc_ctx, ci, diff, L, U):
+    """Encode one DC difference (F.1.4.1/F.1.4.4.1) — _arith_dc_diff's
+    mirror."""
+    base = dc_ctx[ci]
+    if diff == 0:
+        enc.encode(dst, base, 0)
+        dc_ctx[ci] = 0
+        return
+    enc.encode(dst, base, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(dst, base + 1, sign)
+    v = (-diff if sign else diff) - 1
+    i = base + 2 + sign
+    m = 0
+    if v:
+        enc.encode(dst, i, 1)
+        m = 1
+        i = 20
+        v2 = v >> 1
+        while v2:
+            enc.encode(dst, i, 1)
+            m <<= 1
+            i += 1
+            v2 >>= 1
+    enc.encode(dst, i, 0)
+    if m < (1 << L) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << U) >> 1:
+        dc_ctx[ci] = 12 + 4 * sign
+    else:
+        dc_ctx[ci] = 4 + 4 * sign
+    i += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(dst, i, 1 if v & mm else 0)
+        mm >>= 1
+
+
+def _arith_encode_ac(enc, ast, fixed, base, k, kx, val):
+    """Encode one nonzero AC value (F.1.4.2) — _arith_ac_value's mirror;
+    the caller has emitted the EOB/zero-run decisions down to ``base``."""
+    sign = 1 if val < 0 else 0
+    enc.encode(fixed, 0, sign)
+    v = (-val if sign else val) - 1
+    i = base + 2
+    m = 0
+    if v:
+        enc.encode(ast, i, 1)
+        m = 1
+        v2 = v >> 1
+        if v2:
+            enc.encode(ast, i, 1)
+            m = 2
+            i = 189 if k <= kx else 217
+            v2 >>= 1
+            while v2:
+                enc.encode(ast, i, 1)
+                m <<= 1
+                i += 1
+                v2 >>= 1
+    enc.encode(ast, i, 0)
+    i += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(ast, i, 1 if v & mm else 0)
+        mm >>= 1
+
+
+def _jpeg_arith_encode(arr, subsample=False, q=8, dri=0):
+    """Fixture/oracle-side SEQUENTIAL ARITHMETIC JPEG encoder (SOF9) —
+    the same forward-DCT/quant fabric as _jpeg_encode with the QM-coder
+    entropy core in place of Huffman tables (no DHT segments; default
+    conditioning L=0, U=1, Kx=5, so no DAC segment either). Interop
+    verified both ways against libjpeg-turbo at build time; the in-repo
+    guarantee is the round trip through _jpeg_decode."""
+    import struct
+
+    import numpy as np
+
+    T = _jpeg_idct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def half(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                            mode="edge")
+                return (ph[0::2, 0::2] + ph[1::2, 0::2]
+                        + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+            planes = [y, half(cb), half(cr)]
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            factors = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (fh, fv) in zip(planes, factors):
+        th, tw = mcuy * fv * 8, mcux * fh * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode="edge"))
+
+    out = bytearray(b"\xff\xd8")
+    qtab = np.full(64, q, dtype=np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab.tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + qtab.tobytes()
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
+    out += b"\xff\xc9" + struct.pack(">H", len(sof) + 2) + sof
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([nc])
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    enc = _ArithEncoder()
+    dc_stats = {t: bytearray(64) for t in ({0} if nc == 1 else {0, 1})}
+    ac_stats = {t: bytearray(256) for t in ({0} if nc == 1 else {0, 1})}
+    fixed = bytearray([113])
+    pred = [0] * nc
+    dc_ctx = [0] * nc
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + ((mcu_count // dri - 1) % 8)])
+                enc = _ArithEncoder()
+                for st in dc_stats.values():
+                    st[:] = bytes(len(st))
+                for st in ac_stats.values():
+                    st[:] = bytes(len(st))
+                fixed[0] = 113
+                pred = [0] * nc
+                dc_ctx = [0] * nc
+            mcu_count += 1
+            for ci in range(nc):
+                t = 0 if ci == 0 else 1
+                dst, ast = dc_stats[t], ac_stats[t]
+                fh, fv = factors[ci]
+                for by_ in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by_) * 8
+                        x0 = (mx * fh + bx) * 8
+                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        Fq = T @ blk @ T.T
+                        seq = np.round(Fq / q).astype(np.int64).reshape(-1)[zz]
+                        dc = int(seq[0])
+                        _arith_encode_dc(enc, dst, dc_ctx, ci,
+                                         dc - pred[ci], 0, 1)
+                        pred[ci] = dc
+                        ke = 63
+                        while ke >= 1 and seq[ke] == 0:
+                            ke -= 1
+                        k = 1
+                        while k <= ke:
+                            base = 3 * (k - 1)
+                            enc.encode(ast, base, 0)   # not EOB
+                            while seq[k] == 0:
+                                enc.encode(ast, base + 1, 0)
+                                base += 3
+                                k += 1
+                            enc.encode(ast, base + 1, 1)
+                            _arith_encode_ac(enc, ast, fixed, base, k, 5,
+                                             int(seq[k]))
+                            k += 1
+                        if k <= 63:
+                            enc.encode(ast, 3 * (k - 1), 1)   # EOB
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _jpeg_encode(arr, subsample=False, q=8, dri=0):
@@ -1839,13 +2601,13 @@ def decode_image(df: DataFrame, fake: bool = False,
     8/24/32-bit BMP (BI_RGB, incl. bottom-up row order + 4-byte row
     padding), PNG (full zlib inflate + unfilter via _png_decode — all five
     scanline filters, bit depths 1-16, color types 0/2/3/4/6, Adam7), GIF
-    (_gif_decode — LZW), and JPEG, both baseline SOF0/1 and progressive
-    SOF2 (_jpeg_decode — Huffman + multi-scan spectral selection /
-    successive approximation + IDCT). Arithmetic-coded/lossless/
-    hierarchical JPEG would need PIL/opencv — those payloads raise
-    NotImplementedError unless ``fake=True``, which substitutes a
-    deterministic stub decode so the full mapInPandas pipeline can still be
-    exercised. Unrecognized payloads yield null dims.
+    (_gif_decode — LZW), and JPEG: baseline SOF0/1, progressive SOF2, and
+    ARITHMETIC-coded SOF9/SOF10 (_jpeg_decode — Huffman + QM-coder entropy,
+    multi-scan spectral selection / successive approximation + IDCT), plus
+    8-bit grayscale lossless SOF3. Hierarchical and arithmetic-lossless
+    JPEG payloads raise NotImplementedError unless ``fake=True``, which
+    substitutes a deterministic stub decode so the full mapInPandas
+    pipeline can still be exercised. Unrecognized payloads yield null dims.
     """
 
     def decode_one(b: bytes):
@@ -1905,12 +2667,12 @@ def decode_image(df: DataFrame, fake: bool = False,
                 got = decode_one(bytes(c)) if c is not None else None
                 if got == "compressed" and not fake:
                     raise NotImplementedError(
-                        "arithmetic/hierarchical JPEG (and >8-bit or "
-                        "multi-component lossless) decode requires "
-                        "PIL/opencv, unavailable in this environment "
-                        "(Huffman baseline, progressive, and 8-bit "
-                        "grayscale lossless decode natively); pass "
-                        "fake=True for the deterministic stub")
+                        "hierarchical / arithmetic-lossless JPEG (and "
+                        ">8-bit or multi-component lossless) decode needs "
+                        "an external codec (Huffman baseline, progressive, "
+                        "arithmetic SOF9/SOF10, and 8-bit grayscale "
+                        "lossless decode natively); pass fake=True for "
+                        "the deterministic stub")
                 if got in ("compressed", None) and fake and c is not None:
                     got = (((c[0] if len(c) else 0) % 64) + 1,
                            ((c[1] if len(c) > 1 else 0) % 64) + 1, 3, c)
@@ -1961,6 +2723,48 @@ def synth_jpeg_pair_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     * np.cos((yy + mid % 3) / 5.0), 0, 255).astype(np.uint8)
                 ids.extend([2 * mid, 2 * mid + 1])
                 blobs.extend([_jpeg_prog_encode(arr), _jpeg_encode(arr)])
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["image"] * len(ids),
+                "content": blobs, "meta": [{}] * len(ids),
+            })
+
+    return df.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_arith_jpeg_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per input id, TWO media rows holding the SAME deterministic image —
+    media_id = 2·id encoded with ARITHMETIC entropy coding (SOF9, QM-coder)
+    and media_id = 2·id+1 encoded BASELINE Huffman (SOF0). Both encoders
+    share the forward-DCT/quant fabric, so decoding the pair must produce
+    byte-identical pixel buffers: the arithmetic-decode driver-gate
+    contract (the progressive-pair pattern). Even ids are grayscale, odd
+    ids 4:2:0 color; restart interval = id % 3 (0 = none) so the QM
+    restart path is in the gate.
+
+    Image: width = 8 + id % 17, height = 8 + id % 13, smooth sinusoid."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 8 + mid % 17, 8 + mid % 13
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = 128 + 80 * np.sin((xx + mid % 5) / 7.0) \
+                    * np.cos((yy + mid % 3) / 5.0)
+                if mid % 2:
+                    arr = np.clip(np.stack(
+                        [base, 255 - base, (base + 64) % 256], axis=-1),
+                        0, 255).astype(np.uint8)
+                    sub = True
+                else:
+                    arr = np.clip(base, 0, 255).astype(np.uint8)
+                    sub = False
+                ids.extend([2 * mid, 2 * mid + 1])
+                blobs.extend([
+                    _jpeg_arith_encode(arr, subsample=sub, dri=mid % 3),
+                    _jpeg_encode(arr, subsample=sub, dri=mid % 3)])
             yield pd.DataFrame({
                 "media_id": ids, "kind": ["image"] * len(ids),
                 "content": blobs, "meta": [{}] * len(ids),

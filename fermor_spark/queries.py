@@ -3934,6 +3934,45 @@ def multimodal_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_arith_jpeg",
+    """
+    SELECT doc_id AS media_id,
+           (8 + doc_id % 17)::INT AS width,
+           (8 + doc_id % 13)::INT AS height,
+           (CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END)::INT AS channels,
+           TRUE AS matches_baseline
+    FROM documents WHERE doc_id % 61 = 0
+    """,
+)
+def multimodal_arith_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded (SOF9, T.81 Annex D QM-coder) JPEG decode
+    contract, driver-gated (NEW late-r10 — the arithmetic-JPEG stub is now
+    a REAL pure-Python codec): per selected doc the same deterministic
+    image (grayscale or 4:2:0 color by parity, restart interval id % 3) is
+    encoded both arithmetic (multimodal._jpeg_arith_encode) and baseline
+    Huffman, decoded through the real mapInPandas decode path with pixels,
+    and compared byte-for-byte. Both encoders share the DCT/quant fabric,
+    so any QM-coder, statistical-model, conditioning, or restart defect
+    breaks the byte equality the oracle's TRUE demands. Interop is pinned
+    separately in pytest against embedded libjpeg-turbo-encoded streams
+    (sequential + progressive + restart), both decode directions."""
+    from fermor_spark.pipeline import multimodal
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 61 == 0)
+    dec = multimodal.decode_image(
+        multimodal.synth_arith_jpeg_table(d, "doc_id"), with_pixels=True)
+    ar = dec.where(F.col("media_id") % 2 == 0).select(
+        (F.col("media_id") / 2).cast("long").alias("media_id"),
+        "width", "height", "channels", F.col("content").alias("_ac"))
+    base = dec.where(F.col("media_id") % 2 == 1).select(
+        ((F.col("media_id") - 1) / 2).cast("long").alias("media_id"),
+        F.col("content").alias("_bc"))
+    return ar.join(base, "media_id").select(
+        "media_id", "width", "height", "channels",
+        (F.col("_ac") == F.col("_bc")).alias("matches_baseline"))
+
+
+@query(
     "multimodal_lossless_jpeg",
     """
     WITH d AS (
@@ -5133,19 +5172,21 @@ _GATE_PRIORITY = [
     # 40 remaining r6-vintage rows rotate in, restoring the <=2-round
     # staleness invariant at the full registry for the first time since
     # r7. The driver records the FIRST 50 registry rows; this list is
-    # exactly 50: 1 new + 7 changed-code + 40 staleness-3 + 2 spares.
+    # exactly 50: 5 new-in-r10 + 5 changed-code + 40 staleness-3.
     #
     # (1) new in r10 — a registered query is gated the round it lands:
     "pipeline_curate_v2",
     # (2) changed in r10 — must re-gate regardless of vintage: the eager
-    # shingle cache in minhash_dedup_pairs (curate_e2e + both minhash
-    # rows), the 6dp cosine rounding + NaN guard on both engine sides
-    # (embedding-cosine + SemDeDup), and the SCC flood's reached
+    # shingle cache in minhash_dedup_pairs (curate_e2e + dedup_minhash_lsh
+    # gate it; dedup_clusters_minhash shares that one change and ceded its
+    # slot to the late-r10 arithmetic-JPEG gate below — parity sweep
+    # covers it), the 6dp cosine rounding + NaN guard on both engine
+    # sides (embedding-cosine + SemDeDup), and the SCC flood's reached
     # checkpointing (g_scc_distributed is the forced leg that EXECUTES
     # flood; g_scc_nation_ring takes the driver-local hybrid path at gate
     # scale — the changed code never runs in its gate, so its r9 row
     # stands and its slot goes to the flac addition below)
-    "pipeline_curate_e2e", "dedup_minhash_lsh", "dedup_clusters_minhash",
+    "pipeline_curate_e2e", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "semantic_dedup_keep",
     "g_scc_distributed",
     # (3) the 40 r6-vintage rows (staleness 3 — the rotation debt r8's
@@ -5174,6 +5215,8 @@ _GATE_PRIORITY = [
     # code unchanged r10) ceded their slots; the parity sweep covers them.
     "sample_token_budget", "events_streaming_dedup",
     "multimodal_flac_features",
+    # late-r10 addition: the arithmetic-JPEG (SOF9 QM-coder) decode gate
+    "multimodal_arith_jpeg",
 ]
 
 

@@ -189,21 +189,22 @@ def test_multimodal_decode_stub(spark):
     decoded = {r["media_id"]: r for r in multimodal.decode_image(df, fake=True).collect()}
     assert decoded[1]["width"] == 11 and decoded[1]["height"] == 21
     assert decoded[1]["n_bytes"] == 4
-    # PNG/GIF/baseline/progressive/lossless-JPEG are decoded for real now;
-    # only ARITHMETIC-coded jpeg (SOF9) stays stubbed without fake=True
-    arith = (b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
-             + b"\xff\xd9")
+    # PNG/GIF/baseline/progressive/lossless/ARITHMETIC-JPEG decode for
+    # real now; arithmetic-LOSSLESS (SOF11) stays stubbed without fake=True
+    alossless = (b"\xff\xd8\xff\xcb\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11"
+                 b"\x00\xff\xd9")
     jpg = multimodal.media_table(
-        spark, [(3, "image", arith, {"source": "s", "mime": "image/jpeg"})])
+        spark, [(3, "image", alossless, {"source": "s", "mime": "image/jpeg"})])
     with pytest.raises(Exception):
         multimodal.decode_image(jpg, fake=False).collect()
-    # a truncated progressive file (SOF2, no scans) degrades to null dims
-    prog = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
-            + b"\xff\xd9")
-    trunc = multimodal.media_table(
-        spark, [(4, "image", prog, {"source": "s", "mime": "image/jpeg"})])
-    r = multimodal.decode_image(trunc, fake=False).collect()[0]
-    assert r["width"] is None
+    # truncated progressive files (SOF2/SOF10, no scans) degrade to null dims
+    for mid, sof in ((4, b"\xc2"), (5, b"\xca")):
+        prog = (b"\xff\xd8\xff" + sof
+                + b"\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00\xff\xd9")
+        trunc = multimodal.media_table(
+            spark, [(mid, "image", prog, {"source": "s", "mime": "image/jpeg"})])
+        r = multimodal.decode_image(trunc, fake=False).collect()[0]
+        assert r["width"] is None
 
 
 def test_multimodal_png_roundtrip_all_types(spark):
@@ -581,6 +582,40 @@ def test_multimodal_jpeg_external_files(spark):
         assert 0 < a.mean() < 255
     if not found:
         pytest.skip("external JPEG fixtures not present")
+
+
+def test_jpeg_arith_libjpeg_interop():
+    """Arithmetic-coded (SOF9/SOF10) decode against REAL libjpeg-turbo
+    streams: each embedded pair holds the same image Huffman- and
+    QM-coded; identical coefficients through one shared IDCT must yield
+    byte-identical pixels. Covers sequential gray/4:2:0/4:4:4,
+    progressive gray/4:2:0, and a restart_interval=2 stream (QM restart
+    reinit), all with libjpeg's own DAC segments."""
+    from fermor_spark.pipeline.multimodal import _jpeg_decode
+    from tests.jpeg_arith_fixtures import PAIRS
+
+    for name, huff, arith in PAIRS:
+        rh = _jpeg_decode(huff)
+        ra = _jpeg_decode(arith)
+        assert not isinstance(ra, (str, type(None))), name
+        assert ra[:3] == rh[:3] == (37, 29, ra[2]), name
+        assert ra[3] == rh[3], f"{name}: arithmetic decode diverges"
+
+
+def test_jpeg_arith_spark_gate_contract(spark):
+    """synth_arith_jpeg_table → decode_image through mapInPandas: every
+    arithmetic/baseline pair byte-matches (the driver gate's contract),
+    across gray/color and restart-interval variants."""
+    ids = [0, 1, 2, 5, 61, 122]
+    d = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    dec = {r["media_id"]: r for r in multimodal.decode_image(
+        multimodal.synth_arith_jpeg_table(d, "doc_id"),
+        with_pixels=True).collect()}
+    for mid in ids:
+        a, b = dec[2 * mid], dec[2 * mid + 1]
+        assert a["width"] == 8 + mid % 17 and a["height"] == 8 + mid % 13
+        assert a["channels"] == (3 if mid % 2 else 1)
+        assert a["content"] == b["content"], mid
 
 
 def test_multimodal_png_spark_roundtrip(spark):

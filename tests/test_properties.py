@@ -502,6 +502,33 @@ def test_token_budget_invariants(spark, rows, budget):
         assert any(k[0] == src for k in got), f"source {src} empty"
 
 
+@settings(max_examples=8, deadline=None)
+@given(w=st.integers(min_value=1, max_value=40),
+       h=st.integers(min_value=1, max_value=40),
+       seed=st.integers(min_value=0, max_value=2**31),
+       color=st.booleans(), sub=st.booleans(),
+       dri=st.integers(min_value=0, max_value=3))
+def test_jpeg_arith_encoder_matches_huffman_twin(w, h, seed, color, sub, dri):
+    """ANY image encoded by _jpeg_arith_encode (QM-coder, SOF9) and by
+    _jpeg_encode (Huffman, SOF0) with the same quant decodes to
+    byte-identical pixels — the entropy layer is exactly lossless for
+    arbitrary dims (edge MCUs), gray/4:4:4/4:2:0, and restart intervals."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import (_jpeg_arith_encode,
+                                                  _jpeg_decode, _jpeg_encode)
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    arr = rng.integers(0, 256, size=shape).astype(np.uint8)
+    sub = sub and color
+    ra = _jpeg_decode(_jpeg_arith_encode(arr, subsample=sub, dri=dri))
+    rh = _jpeg_decode(_jpeg_encode(arr, subsample=sub, dri=dri))
+    assert not isinstance(ra, (str, type(None)))
+    assert ra[:3] == rh[:3] == (w, h, 3 if color else 1)
+    assert ra[3] == rh[3]
+
+
 flac_signals = st.lists(st.integers(min_value=-32768, max_value=32767),
                         min_size=1, max_size=300)
 
