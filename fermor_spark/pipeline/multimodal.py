@@ -20,7 +20,10 @@ JPEG progressive SOF2   ``_jpeg_progressive`` (spectral selection,   REAL
                         successive approximation + AC refinement,
                         EOB runs, restart markers)
 JPEG lossless SOF3,     ``_jpeg_lossless_scan`` (annex-H predictors  REAL
-8-bit single-comp       1-7, point transform, restarts; encoder
+2-16 bit, single- AND   1-7, point transform, restarts, mod-2^16
+multi-component         diffs incl. SSSS=16; interleaved 1x1-factor
+(1x1 factors)           multi-comp scans; >8-bit emits the high
+                        byte, the PNG-16 contract; encoder
                         ``_jpeg_lossless_encode`` for fixtures)
 JPEG arithmetic SOF9/   ``_jpeg_arith_scan`` / ``_jpeg_arith_prog_``  REAL
 SOF10 (sequential +     ``scan`` — T.81 Annex D QM-coder (Table D.3
@@ -29,11 +32,10 @@ progressive, QM-coder)  state machine) + Annex F DC/AC statistical
                         interop-tested against embedded
                         libjpeg-turbo streams both directions;
                         encoder ``_jpeg_arith_encode`` for fixtures
-JPEG lossless SOF3,     returns "compressed" (needs a 16-bit pixel   STUB
->8-bit / multi-comp     contract / external codec)
 JPEG arithmetic         returns "compressed" (SOF11/SOF13-15 +       STUB
-lossless /              the differential-frame hierarchy)
-hierarchical
+lossless /              the differential-frame hierarchy; lossless
+hierarchical /          with non-uniform sampling factors)
+mixed-factor lossless
 WAV (RIFF PCM)          ``decode_wav`` + FFT features                REAL
 Audio METADATA          ``audio_metadata`` — WAV fmt/data math,      REAL
 (wav / flac / mp3)      FLAC STREAMINFO bit unpack, MP3 ID3-skip
@@ -843,10 +845,13 @@ def _jpeg_bitreader(b, pos):
 def _jpeg_lossless_scan(b, pos, w, h, comps, hdr, huff, dri, prec):
     """Decode a LOSSLESS (SOF3, T.81 annex H) scan: no DCT, no quantization
     — each sample is a Huffman-coded difference from a neighbor prediction
-    (predictors 1-7 over Ra/Rb/Rc, point transform Pt). Supported: 8-bit
-    single-component raster scans (the common grayscale shape); deeper
-    precisions and interleaved multi-component lossless still return
-    "compressed" (they need a 16-bit pixel contract / external codecs).
+    (predictors 1-7 over Ra/Rb/Rc, point transform Pt). Supported: 2-16
+    bit precision, single-component raster scans AND interleaved
+    multi-component scans with uniform 1x1 sampling factors (the MCU of a
+    lossless interleaved scan is then one sample per component, H.2.1);
+    non-uniform sampling factors return "compressed". Deep precisions
+    follow the PNG-16 output contract: the emitted byte is the high byte
+    of the reconstructed (P-bit << Pt) sample.
 
     Prediction boundary rules (H.1.2.1): the first sample of the scan and
     the first sample after a restart use the default 1 << (P-1-Pt); the
@@ -856,59 +861,71 @@ def _jpeg_lossless_scan(b, pos, w, h, comps, hdr, huff, dri, prec):
     import numpy as np
 
     ns = hdr[0]
-    if ns != 1 or len(comps) != 1 or prec != 8:
+    if ns != len(comps) or not 2 <= prec <= 16:
         return "compressed"
-    td = hdr[2] >> 4
+    if ns > 1 and any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        return "compressed"
+    luts = []
+    for ci in range(ns):
+        td = hdr[2 + 2 * ci] >> 4
+        lut = huff.get((0, td))
+        if lut is None:
+            return None
+        luts.append(lut)
     sv = hdr[1 + 2 * ns]            # Ss field = predictor selector
     pt = hdr[3 + 2 * ns] & 0x0F     # Al field = point transform
-    lut = huff.get((0, td))
-    if lut is None or not 1 <= sv <= 7 or pt >= prec:
+    if not 1 <= sv <= 7 or pt >= prec:
         return None
     getbits, decode_huff, restart = _jpeg_bitreader(b, pos)
     default = 1 << (prec - 1 - pt)
-    out = np.zeros((h, w), dtype=np.int32)
-    o = out  # local alias for the hot loop
+    out = np.zeros((ns, h, w), dtype=np.int32)
     count = 0
-    reset = True
+    reset = [True] * ns
     for y in range(h):
-        row = o[y]
-        up = o[y - 1] if y else None
+        rows = out[:, y]
+        ups = out[:, y - 1] if y else None
         for x in range(w):
             if dri and count and count % dri == 0:
                 restart()
-                reset = True
+                reset = [True] * ns
             count += 1
-            s = decode_huff(lut)
-            if s == 16:             # H.1.2.2: SSSS=16 → diff 32768, no bits
-                diff = 32768
-            else:
-                diff = _jpeg_extend(getbits(s), s) if s else 0
-            if reset:
-                px = default
-                reset = False
-            elif y == 0:
-                px = int(row[x - 1])
-            elif x == 0:
-                px = int(up[x])
-            else:
-                ra, rb, rc = int(row[x - 1]), int(up[x]), int(up[x - 1])
-                if sv == 1:
-                    px = ra
-                elif sv == 2:
-                    px = rb
-                elif sv == 3:
-                    px = rc
-                elif sv == 4:
-                    px = ra + rb - rc
-                elif sv == 5:
-                    px = ra + ((rb - rc) >> 1)
-                elif sv == 6:
-                    px = rb + ((ra - rc) >> 1)
+            for ci in range(ns):
+                s = decode_huff(luts[ci])
+                if s == 16:         # H.1.2.2: SSSS=16 → diff 32768, no bits
+                    diff = 32768
                 else:
-                    px = (ra + rb) >> 1
-            row[x] = (px + diff) & 0xFFFF
-    px_bytes = (out.astype(np.uint16) << pt).astype(np.uint8).tobytes()
-    return w, h, 1, px_bytes
+                    diff = _jpeg_extend(getbits(s), s) if s else 0
+                row = rows[ci]
+                if reset[ci]:
+                    px = default
+                    reset[ci] = False
+                elif y == 0:
+                    px = int(row[x - 1])
+                elif x == 0:
+                    px = int(ups[ci][x])
+                else:
+                    up = ups[ci]
+                    ra, rb, rc = int(row[x - 1]), int(up[x]), int(up[x - 1])
+                    if sv == 1:
+                        px = ra
+                    elif sv == 2:
+                        px = rb
+                    elif sv == 3:
+                        px = rc
+                    elif sv == 4:
+                        px = ra + rb - rc
+                    elif sv == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif sv == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                row[x] = (px + diff) & 0xFFFF
+    full = out.astype(np.uint32) << pt
+    if prec > 8:                    # PNG-16 contract: high byte out
+        full >>= prec - 8
+    px = full.astype(np.uint8).transpose(1, 2, 0)   # (h, w, ns) interleave
+    return w, h, ns, px.tobytes()
 
 
 def _jpeg_color(w, h, comps, hmax, vmax, planes):
@@ -2449,37 +2466,48 @@ def _jpeg_prog_encode(arr, q=8, subsample=False, al=1,
     return bytes(out)
 
 
-def _jpeg_lossless_encode(arr, predictor=1, pt=0, dri=0):
-    """LOSSLESS (SOF3) grayscale 8-bit encoder — the fixture/oracle side of
-    the annex-H decoder: decode(encode(a)) must reproduce a exactly for
-    Pt=0, and (a >> Pt) << Pt for a nonzero point transform. Emits a fixed
-    12-category DC-style Huffman table, the scan-header predictor in Ss and
-    Pt in Al, restart markers every `dri` samples, and 0xFF-stuffed
-    entropy data; mirrors the boundary/restart prediction rules of
-    _jpeg_lossless_scan."""
+def _jpeg_lossless_encode(arr, predictor=1, pt=0, dri=0, prec=8):
+    """LOSSLESS (SOF3) encoder — the fixture/oracle side of the annex-H
+    decoder: decode(encode(a)) must reproduce a exactly for Pt=0, and
+    (a >> Pt) << Pt for a nonzero point transform (high byte out for
+    prec > 8, the PNG-16 contract). ``arr`` is (h, w) or (h, w, nc≤4)
+    holding prec-bit samples; nc > 1 emits an interleaved multi-component
+    scan with 1x1 sampling factors. Emits a fixed 17-category DC-style
+    Huffman table (SSSS 0-16 — 16-bit diffs reduce mod 2**16 into
+    [-32768, 32767] with the SSSS=16 escape for -32768), the scan-header
+    predictor in Ss and Pt in Al, restart markers every `dri` MCUs, and
+    0xFF-stuffed entropy data; mirrors the boundary/restart prediction
+    rules of _jpeg_lossless_scan."""
     import struct
 
     import numpy as np
 
-    h, w = arr.shape
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
     s = (arr.astype(np.int32) >> pt)
     out = bytearray(b"\xff\xd8")
-    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", prec, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
     out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
     dc_counts = [0] * 16
-    dc_counts[3] = 12               # 12 codes of length 4, symbols 0-11
-    dc_syms = list(range(12))
+    dc_counts[4] = 17               # 17 codes of length 5, symbols 0-16
+    dc_syms = list(range(17))
     body = bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
     out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
     if dri:
         out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
-    sos = bytes([1, 1, 0x00, predictor, 0, pt & 0x0F])
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt & 0x0F])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     lut = {}
     code = 0
-    for k in range(12):             # all codes are length 4 here
-        lut[k] = (4, code)
+    for k in range(17):             # all codes are length 5 here
+        lut[k] = (5, code)
         code += 1
 
     acc = [0, 0]
@@ -2504,33 +2532,40 @@ def _jpeg_lossless_encode(arr, predictor=1, pt=0, dri=0):
                 out.append(0x00)
             acc[0] = acc[1] = 0
 
-    default = 1 << (8 - 1 - pt)
+    default = 1 << (prec - 1 - pt)
     count = 0
-    reset = True
+    reset = [True] * nc
     for y in range(h):
         for x in range(w):
             if dri and count and count % dri == 0:
                 flush()
                 out += bytes([0xFF, 0xD0 + ((count // dri - 1) % 8)])
-                reset = True
+                reset = [True] * nc
             count += 1
-            if reset:
-                px = default
-                reset = False
-            elif y == 0:
-                px = int(s[y, x - 1])
-            elif x == 0:
-                px = int(s[y - 1, x])
-            else:
-                ra, rb, rc = int(s[y, x - 1]), int(s[y - 1, x]), int(s[y - 1, x - 1])
-                px = (ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
-                      rb + ((ra - rc) >> 1), (ra + rb) >> 1)[predictor - 1]
-            diff = int(s[y, x]) - px
-            cat = abs(diff).bit_length()
-            ln, c = lut[cat]
-            put(c, ln)
-            if cat:
-                put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            for ci in range(nc):
+                if reset[ci]:
+                    px = default
+                    reset[ci] = False
+                elif y == 0:
+                    px = int(s[y, x - 1, ci])
+                elif x == 0:
+                    px = int(s[y - 1, x, ci])
+                else:
+                    ra, rb, rc = (int(s[y, x - 1, ci]), int(s[y - 1, x, ci]),
+                                  int(s[y - 1, x - 1, ci]))
+                    px = (ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+                          rb + ((ra - rc) >> 1), (ra + rb) >> 1)[predictor - 1]
+                # modulo-2**16 reduction into [-32768, 32767] (H.1.2.2)
+                diff = (int(s[y, x, ci]) - px + 0x8000) % 0x10000 - 0x8000
+                if diff == -0x8000:
+                    ln, c = lut[16]             # SSSS=16: no extra bits
+                    put(c, ln)
+                    continue
+                cat = abs(diff).bit_length()
+                ln, c = lut[cat]
+                put(c, ln)
+                if cat:
+                    put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
     flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -327,6 +327,41 @@ def test_lossless_jpeg_roundtrip_exact(w, h, seedv, predictor, pt, dri):
     assert got[3] == ((arr >> pt) << pt).astype(np.uint8).tobytes()
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    seedv=st.integers(min_value=0, max_value=2**31 - 1),
+    predictor=st.integers(min_value=1, max_value=7),
+    prec=st.sampled_from([4, 8, 12, 16]),
+    nc=st.sampled_from([1, 2, 3]),
+    dri=st.sampled_from([0, 2]),
+)
+def test_lossless_jpeg_deep_multicomp_roundtrip(w, h, seedv, predictor,
+                                                prec, nc, dri):
+    """Extended LOSSLESS shapes: 2-16 bit precision and interleaved
+    multi-component scans (1x1 factors) round-trip exactly under the
+    PNG-16 output contract — the emitted byte is the high byte of the
+    reconstructed P-bit sample (identity for P<=8). Covers the 16-bit
+    mod-2**16 diff reduction incl. the SSSS=16 escape."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import (
+        _jpeg_decode, _jpeg_lossless_encode)
+
+    shape = (h, w) if nc == 1 else (h, w, nc)
+    arr = np.random.RandomState(seedv).randint(
+        0, 1 << prec, size=shape, dtype=np.int64).astype(np.int32)
+    got = _jpeg_decode(_jpeg_lossless_encode(arr, predictor=predictor,
+                                             dri=dri, prec=prec))
+    assert got not in (None, "compressed")
+    assert got[:3] == (w, h, nc)
+    a3 = arr if arr.ndim == 3 else arr[:, :, None]
+    exp = (a3.astype(np.uint32) >> (prec - 8 if prec > 8 else 0)
+           ).astype(np.uint8)
+    assert got[3] == exp.tobytes()
+
+
 @settings(max_examples=12, deadline=None)
 @given(seedv=st.integers(min_value=0, max_value=2**31 - 1),
        k=st.sampled_from([3, 5, 8]))
