@@ -4391,6 +4391,66 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_bloom_membership",
+    """
+    SELECT 2 * (SELECT count(*) FROM customer)::BIGINT AS n_probed,
+           (SELECT count(*) FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey))::BIGINT
+               AS n_members,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_within_bound
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership contract gate (NEW late r10; heads the r11
+    window): build the filter over orders.o_custkey (per-partition bitmap
+    partials, fan-in-16 OR tree — sketches.bloom_build), broadcast it, and
+    probe map-side (bloom_member_col, Arrow-batched bit tests — the
+    zero-shuffle "seen before?" path a crawl/curation pipeline runs at
+    100 TB). Probe set = every c_custkey PLUS its negation −(k+1), keys
+    that can never appear in orders, so BOTH contract legs are
+    non-vacuous even when every customer has orders. The oracle states
+    the probe/member counts and the two Bloom guarantees; the Spark side
+    EARNS them: every ordering customer must hit (no false negatives — a
+    hard property, not a bound), and the planted non-members may
+    false-positive at most max(5, 3·fpp·n_nonmembers). The filter is
+    deterministic (murmur3 double hashing, no RNG), so the gate is
+    stable across runs."""
+    from fermor_spark import sketches
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    sketch = sketches.bloom_build(o, "o_custkey",
+                                  expected_items=o.count(), fpp=0.01)
+    keys = c.select(F.col("c_custkey").cast("long").alias("key"))
+    probe_set = keys.unionByName(
+        keys.select((-F.col("key") - 1).alias("key")))
+    probed = sketches.bloom_member_col(probe_set, "key", sketch)
+    truth = o.select(F.col("o_custkey").cast("long").alias("key")) \
+        .distinct().withColumn("is_member", F.lit(True))
+    j = probed.join(F.broadcast(truth), "key", "left") \
+        .select("bloom_hit", F.coalesce("is_member", F.lit(False))
+                .alias("is_member"))
+    agg = j.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum((F.col("is_member") & ~F.col("bloom_hit")).cast("long"))
+        .alias("n_fn"),
+        F.sum((~F.col("is_member") & F.col("bloom_hit")).cast("long"))
+        .alias("n_fp"),
+    )
+    return agg.select(
+        "n_probed", "n_members",
+        (F.col("n_fn") == 0).alias("no_false_negatives"),
+        (F.col("n_fp") <= F.greatest(
+            F.lit(5).cast("double"),
+            3 * 0.01 * (F.col("n_probed") - F.col("n_members"))
+        )).alias("fp_within_bound"),
+    )
+
+
+@query(
     "sample_stratified_source",
     """
     SELECT doc_id, source FROM documents
@@ -5217,6 +5277,9 @@ _GATE_PRIORITY = [
     "multimodal_flac_features",
     # late-r10 addition: the arithmetic-JPEG (SOF9 QM-coder) decode gate
     "multimodal_arith_jpeg",
+    # NOT in this 50: sketch_bloom_membership (registered late-r10, tail
+    # position — the rotation promise holds; it is QUEUED TO HEAD THE R11
+    # WINDOW with anything else that changes in r11; parity-swept now)
 ]
 
 

@@ -169,3 +169,163 @@ def _has_cms_estimate(spark) -> bool:
         return False
 
 
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: the membership sketch a crawl/curation pipeline uses for
+# "seen this URL/doc-hash before?" at corpus scale. Build is a mergeable
+# per-partition bitmap aggregation (each task emits one fixed-size
+# partial, a tree-shaped OR collapses them — raw values never shuffle);
+# probe is a broadcast of the finished filter + an Arrow-batched
+# vectorized bit test, so filtering a 100 TB table against it is
+# map-side with zero shuffle and no join.
+#
+# Serialization (big-endian, own format, documented like cms_estimate's):
+# version:int32 = 1, k:int32, m:int64 (bits), bitset bytes (ceil(m/8),
+# bit i = byte i>>3, mask 1 << (i & 7)). Hashing is Kirsch-Mitzenmacher
+# double hashing over the same Spark-variant murmur3_x86_32 used for the
+# CMS probe: h1 = murmur(bytes, 0), h2 = murmur(bytes, h1), position_i =
+# Java-abs((h1 + (i+1)·h2) wrapped to int32) % m for i in 0..k-1.
+
+
+def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (k hash functions, m bits) for n items at the target false
+    positive rate: m = -n·ln(p)/ln(2)^2, k = (m/n)·ln(2)."""
+    import math
+
+    n = max(1, expected_items)
+    m = max(8, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    return k, m
+
+
+def _bloom_positions(data: bytes, k: int, m: int) -> list[int]:
+    h1 = _murmur3_x86_32(data, 0)
+    h2 = _murmur3_x86_32(data, h1 & 0xFFFFFFFF)
+    out = []
+    for i in range(1, k + 1):
+        h = (h1 + i * h2) & 0xFFFFFFFF          # Java int wrap
+        if h >= (1 << 31):
+            h -= 1 << 32
+        out.append(abs(h) % m)
+    return out
+
+
+def bloom_build(df: DataFrame, col: str, expected_items: int,
+                fpp: float = 0.01) -> bytes:
+    """Build a serialized Bloom filter over a string column.
+
+    Scale shape: one mapInPandas pass emits ONE m-bit partial bitmap per
+    partition (fixed-size state, map-side only — the analog of Spark's
+    own stat.bloomFilter treeAggregate); partials then OR-collapse
+    through a fan-in-16 tree of tiny stages so driver ingress is bounded
+    by 16 bitmaps, not numPartitions bitmaps. The finished filter is by
+    definition driver-sized (like the CMS sketch)."""
+    import numpy as np
+    import pandas as pd
+
+    k, m = bloom_params(expected_items, fpp)
+    nbytes = (m + 7) >> 3
+
+    def partials(batches):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                touched = True
+                for p in _bloom_positions(str(v).encode("utf-8"), k, m):
+                    bits[p >> 3] |= 1 << (p & 7)
+        if touched:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    part = df.select(F.col(col).cast("string").alias(col)) \
+        .mapInPandas(partials, "bits binary")
+
+    def orfold(batches):
+        acc = None
+        for pdf in batches:
+            for b in pdf["bits"]:
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                acc = a.copy() if acc is None else acc | a
+        if acc is not None:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    # fan-in-16 OR tree: each level cuts partial count 16x, so the final
+    # collect sees at most 16 bitmaps no matter how many input partitions
+    nparts = df.rdd.getNumPartitions()
+    while nparts > 16:
+        nparts = max(1, nparts // 16)
+        part = part.repartition(nparts).mapInPandas(orfold, "bits binary")
+    rows = part.collect()
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for r in rows:
+        bits |= np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+    import struct
+    return struct.pack(">iiq", 1, k, m) + bits.tobytes()
+
+
+def bloom_contains(sketch: bytes, item: str) -> bool:
+    """Pure-Python membership probe over the serialized filter (the
+    cms_estimate analog): no false negatives ever; false positives at
+    most the build-time fpp."""
+    import struct
+
+    version, k, m = struct.unpack_from(">iiq", sketch, 0)
+    if version != 1:
+        raise ValueError(f"unsupported bloom serialization version {version}")
+    bits = sketch[16:]
+    for p in _bloom_positions(item.encode("utf-8"), k, m):
+        if not bits[p >> 3] & (1 << (p & 7)):
+            return False
+    return True
+
+
+def bloom_merge(a: bytes, b: bytes) -> bytes:
+    """OR-merge two filters built with identical (k, m) — the mergeable
+    property that lets shards/days/sources build independently."""
+    import struct
+
+    import numpy as np
+
+    if a[:16] != b[:16]:
+        raise ValueError("bloom merge requires identical version/k/m")
+    av = np.frombuffer(a[16:], dtype=np.uint8)
+    bv = np.frombuffer(b[16:], dtype=np.uint8)
+    return a[:16] + (av | bv).tobytes()
+
+
+def bloom_member_col(df: DataFrame, col: str, sketch: bytes,
+                     out_col: str = "bloom_hit") -> DataFrame:
+    """Tag every row with Bloom membership of ``col`` — the 100 TB probe
+    path: the finished filter rides an explicit SparkContext broadcast,
+    each Arrow batch is tested vectorized (numpy gather + bit mask per
+    hash round), no shuffle, no join. Filter with .where(out_col) or
+    .where(~col(out_col)) for the seen/unseen split."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    version, k, m = struct.unpack_from(">iiq", sketch, 0)
+    if version != 1:
+        raise ValueError(f"unsupported bloom serialization version {version}")
+    bc = df.sparkSession.sparkContext.broadcast(sketch[16:])
+
+    def _probe(s):
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        out = np.zeros(len(s), dtype=bool)
+        for j, v in enumerate(s):
+            if v is None:
+                continue
+            hit = True
+            for p in _bloom_positions(str(v).encode("utf-8"), k, m):
+                if not bits[p >> 3] & (1 << (p & 7)):
+                    hit = False
+                    break
+            out[j] = hit
+        return pd.Series(out)
+
+    probe = F.pandas_udf(_probe, "boolean")
+    return df.withColumn(out_col, probe(F.col(col).cast("string")))

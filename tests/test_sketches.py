@@ -67,3 +67,52 @@ def test_cms_estimate_matches_jvm_buckets(spark):
         for s, c in items:
             assert sketches.cms_estimate(sk, s) == c, (seed, s)
         assert sketches.cms_estimate(sk, "never-seen-item") == 0
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Bloom over planted urls: zero false negatives (hard guarantee),
+    false-positive rate within 3x of the build fpp on disjoint probes,
+    via both the pure-Python probe and the broadcast column probe."""
+    items = [(f"url-{i}",) for i in range(2000)]
+    df = spark.createDataFrame(items, "u string").repartition(40)
+    b = sketches.bloom_build(df, "u", expected_items=2000, fpp=0.01)
+    assert all(sketches.bloom_contains(b, f"url-{i}") for i in range(2000))
+    fps = sum(sketches.bloom_contains(b, f"other-{i}") for i in range(5000))
+    assert fps <= 3 * 0.01 * 5000
+    probe = spark.createDataFrame(
+        [(f"url-{i}",) for i in range(3000)], "u string")
+    got = sketches.bloom_member_col(probe, "u", b).toPandas()
+    hits = set(got[got.bloom_hit]["u"])
+    assert all(f"url-{i}" in hits for i in range(2000))
+    assert all((f"url-{i}" in hits) == sketches.bloom_contains(b, f"url-{i}")
+               for i in range(0, 3000, 7))
+
+
+def test_bloom_merge_equals_union_build(spark):
+    """Shard-built filters OR-merge to exactly the union-built filter —
+    the mergeable property that lets days/sources build independently."""
+    items = [(f"u{i}",) for i in range(1000)]
+    whole = sketches.bloom_build(
+        spark.createDataFrame(items, "u string"), "u", 1000, 0.02)
+    h1 = sketches.bloom_build(
+        spark.createDataFrame(items[:500], "u string"), "u", 1000, 0.02)
+    h2 = sketches.bloom_build(
+        spark.createDataFrame(items[500:], "u string"), "u", 1000, 0.02)
+    assert sketches.bloom_merge(h1, h2) == whole
+    with pytest.raises(ValueError):
+        other = sketches.bloom_build(
+            spark.createDataFrame(items, "u string"), "u", 99, 0.5)
+        sketches.bloom_merge(h1, other)
+
+
+def test_bloom_gate_contract_real_tables(spark):
+    """The driver-gate shape on real testdata: filter over orders'
+    custkeys, probe customers — every ordering customer hits, orderless
+    false positives bounded."""
+    from fermor_spark.queries import QUERIES
+
+    row = QUERIES["sketch_bloom_membership"](spark, SF).collect()[0]
+    assert row["n_probed"] > 0
+    assert 0 < row["n_members"] < row["n_probed"]   # non-members planted
+    assert row["no_false_negatives"] is True
+    assert row["fp_within_bound"] is True
