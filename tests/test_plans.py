@@ -240,3 +240,15 @@ def test_token_budget_window_is_source_keyed_no_global_sort(spark, registry):
     assert "rangepartitioning" not in p
     assert "Exchange SinglePartition" not in p
     assert p.count("Window") >= 1
+
+
+def test_bloom_probe_is_broadcast_no_sort_merge(spark, registry):
+    """The Bloom membership gate's probe side must stay map-side: the
+    truth join is a BroadcastHashJoin and the plan has no SortMergeJoin
+    or CartesianProduct — at 100 TB the probed table never shuffles; only
+    the finished filter (a broadcast variable) and the distinct member
+    keys move."""
+    plan = plan_of(registry["sketch_bloom_membership"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
