@@ -4391,6 +4391,56 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_warc_roundtrip",
+    """
+    SELECT lang, count(*) AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           sum(doc_id)::BIGINT AS sum_ids
+    FROM documents GROUP BY lang
+    """,
+)
+def pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-format INGEST round trip under the gate (NEW late r10;
+    heads the r11 window with sketch_bloom_membership): write the
+    documents as WARC/1.0 response records — per-record gzip members, the
+    Common Crawl layout — with lang and doc_id carried in the target URI
+    (pipeline.warc.write_warc), read the files back through the
+    binaryFile + mapInPandas record walk (read_warc: one file = one
+    task, partition-local record split + HTTP envelope strip, zero
+    shuffle), recover (lang, doc_id, text) from URI + payload, and
+    aggregate count + char mass + id checksum per lang. Matching the
+    oracle (the same aggregate over the source table) proves every
+    record, header, and payload byte survived — including bodies that
+    embed CRLFCRLF and WARC version strings (length-driven parsing).
+    WARC is the boundary a web-corpus pipeline ingests at 100 TB;
+    parquet stays the internal format."""
+    import shutil
+    import tempfile
+
+    from fermor_spark.pipeline.warc import read_warc, write_warc
+
+    d = table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://corpus.example/"), "lang", F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode("text", "UTF-8").alias("payload"))
+    tmp = tempfile.mkdtemp(prefix="fermor_warc_gate_")
+    write_warc(d, f"{tmp}/crawl", n_files=8, compress=True)
+    back = read_warc(spark, f"{tmp}/crawl")
+    parts = F.split(F.col("url"), "/")
+    agg = back.select(
+        F.element_at(parts, -2).alias("lang"),
+        F.element_at(parts, -1).cast("long").alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+    ).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_text_chars"),
+        F.sum("doc_id").alias("sum_ids"))
+    rows = agg.localCheckpoint(eager=True)   # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
+@query(
     "sketch_bloom_membership",
     """
     SELECT 2 * (SELECT count(*) FROM customer)::BIGINT AS n_probed,
@@ -5277,9 +5327,10 @@ _GATE_PRIORITY = [
     "multimodal_flac_features",
     # late-r10 addition: the arithmetic-JPEG (SOF9 QM-coder) decode gate
     "multimodal_arith_jpeg",
-    # NOT in this 50: sketch_bloom_membership (registered late-r10, tail
-    # position — the rotation promise holds; it is QUEUED TO HEAD THE R11
-    # WINDOW with anything else that changes in r11; parity-swept now)
+    # NOT in this 50: sketch_bloom_membership and pipeline_warc_roundtrip
+    # (registered late-r10, tail position — the rotation promise holds;
+    # they are QUEUED TO HEAD THE R11 WINDOW with anything else that
+    # changes in r11; parity-swept now)
 ]
 
 

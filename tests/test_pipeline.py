@@ -1553,3 +1553,52 @@ def test_token_budget_fill_then_cut_per_source(spark):
                         ("b", 10), ("b", 11), ("b", 12), ("b", 13)}
     assert got[("a", 2)] == 110      # crossing doc included, mass audited
     assert got[("b", 13)] == 120
+
+
+def test_warc_roundtrip_adversarial_payloads(spark):
+    """WARC write→read reproduces payload bytes exactly even when bodies
+    embed CRLFCRLF blank lines and literal 'WARC/1.0' version strings —
+    record parsing is Content-Length-driven, never delimiter scanning.
+    Covers per-record gzip members (the Common Crawl layout) and plain
+    files, and the HTTP envelope strip (status/content-type recovered)."""
+    from fermor_spark.pipeline import warc
+
+    rows = [(f"http://x.example/{i}",
+             ("p-" + "x\r\n\r\nWARC/1.0\r\n" * (i % 3) + f"doc{i}é")
+             .encode("utf-8"))
+            for i in range(40)] + [("http://x.example/empty", b"")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    import shutil
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    try:
+        for sub, compress in (("gz", True), ("plain", False)):
+            warc.write_warc(df, f"{tmp}/{sub}", n_files=3, compress=compress)
+            back = warc.read_warc(spark, f"{tmp}/{sub}").collect()
+            got = {r["url"]: bytes(r["payload"]) for r in back}
+            assert got == dict(rows), sub
+            assert all(r["http_status"] == 200 for r in back)
+            assert all(r["content_type"].startswith("text/plain")
+                       for r in back)
+            assert all(r["record_type"] == "response" for r in back)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_warc_warcinfo_filter_and_malformed(spark):
+    """warcinfo records are filtered by default but reachable via
+    record_types; a truncated record fails loudly (ValueError), never
+    yields partial rows."""
+    import pytest as _pytest
+
+    from fermor_spark.pipeline.warc import _parse_warc_stream, warc_bytes
+
+    blob = warc_bytes([{"url": "http://a", "payload": b"hello"}],
+                      warcinfo=True, compress=False)
+    rows = list(_parse_warc_stream("f", blob))
+    assert [r[1] for r in rows] == ["warcinfo", "response"]
+    assert rows[1][6] == b"hello" and rows[1][4] == 200
+    with _pytest.raises(ValueError):
+        list(_parse_warc_stream("f", blob[:-10]))
+    with _pytest.raises(ValueError):
+        list(_parse_warc_stream("f", b"NOTWARC/1.0\r\nx: y\r\n\r\n"))
