@@ -4441,6 +4441,73 @@ def pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_web_e2e",
+    """
+    SELECT lang, count(*) AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           sum(doc_id)::BIGINT AS sum_ids,
+           TRUE AS titles_ok
+    FROM documents GROUP BY lang
+    """,
+)
+def pipeline_web_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED web-ingest pipeline under the gate (NEW late r10; heads
+    the r11 window): documents → synthetic HTML pages (entity-bearing
+    title, script noise, link-dense nav/footer boilerplate, the doc text
+    HTML-escaped into an <article>) → WARC/1.0 gzip files on disk →
+    read_warc (file-parallel record walk) → html_to_text (stdlib-parser
+    extraction, link-density boilerplate drop) → per-lang aggregates.
+
+    Every stage is load-bearing for the hash match: WARC must round-trip
+    payload bytes; the extractor must decode entities (titles_ok compares
+    against the un-escaped closed form), skip the script subtree, DROP
+    the nav/footer blocks (their chars would inflate sum_text_chars),
+    and KEEP the article text exactly (whitespace-collapse is identity
+    on the single-spaced corpus). The oracle restates the source table —
+    the whole crawl→curate front half, value-checked end to end."""
+    import shutil
+    import tempfile
+
+    from fermor_spark.pipeline.html import html_to_text
+    from fermor_spark.pipeline.warc import read_warc, write_warc
+
+    d = table(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"),
+                         "<", "&lt;"), ">", "&gt;")
+    page = F.concat(
+        F.lit('<html><head><title>Doc '), F.col("doc_id"),
+        F.lit(' &amp; friends</title><script>var x="<p>not text</p>";'
+              '</script></head><body><nav><a href="/">Home</a> '
+              '<a href="/x">More</a> <a href="/y">Links</a></nav>'
+              '<article><p>'), esc,
+        F.lit('</p></article><footer><a href="/t">Terms</a> '
+              '<a href="/p">Privacy</a></footer></body></html>'))
+    pages = d.select(
+        F.concat(F.lit("http://corpus.example/"), "lang", F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(page, "UTF-8").alias("payload"))
+    tmp = tempfile.mkdtemp(prefix="fermor_web_gate_")
+    write_warc(pages, f"{tmp}/crawl", n_files=8, compress=True)
+    ex = html_to_text(read_warc(spark, f"{tmp}/crawl"), col="payload")
+    parts = F.split(F.col("url"), "/")
+    agg = ex.select(
+        F.element_at(parts, -2).alias("lang"),
+        F.element_at(parts, -1).cast("long").alias("doc_id"),
+        "extracted_title", "extracted_text",
+    ).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("extracted_text")).alias("sum_text_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min(F.col("extracted_title") == F.concat(
+            F.lit("Doc "), F.col("doc_id"), F.lit(" & friends")))
+        .alias("titles_ok"))
+    rows = agg.localCheckpoint(eager=True)   # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
+@query(
     "sketch_bloom_membership",
     """
     SELECT 2 * (SELECT count(*) FROM customer)::BIGINT AS n_probed,
@@ -5327,10 +5394,10 @@ _GATE_PRIORITY = [
     "multimodal_flac_features",
     # late-r10 addition: the arithmetic-JPEG (SOF9 QM-coder) decode gate
     "multimodal_arith_jpeg",
-    # NOT in this 50: sketch_bloom_membership and pipeline_warc_roundtrip
-    # (registered late-r10, tail position — the rotation promise holds;
-    # they are QUEUED TO HEAD THE R11 WINDOW with anything else that
-    # changes in r11; parity-swept now)
+    # NOT in this 50: sketch_bloom_membership, pipeline_warc_roundtrip,
+    # and pipeline_web_e2e (registered late-r10, tail position — the
+    # rotation promise holds; they are QUEUED TO HEAD THE R11 WINDOW with
+    # anything else that changes in r11; parity-swept now)
 ]
 
 

@@ -1602,3 +1602,42 @@ def test_warc_warcinfo_filter_and_malformed(spark):
         list(_parse_warc_stream("f", blob[:-10]))
     with _pytest.raises(ValueError):
         list(_parse_warc_stream("f", b"NOTWARC/1.0\r\nx: y\r\n\r\n"))
+
+
+def test_html_extract_semantics():
+    """Extractor unit contract: entities decode, script/style/template
+    subtrees drop, <br> breaks lines, block tags delimit, link-dense
+    blocks (nav/footer) are boilerplate, inline links in prose survive,
+    titles recover, malformed input degrades without raising."""
+    from fermor_spark.pipeline.html import extract_html
+
+    t, x, nb, nl = extract_html(
+        '<html><head><title> A&amp;B </title><style>p{}</style>'
+        '<script>var s="<p>no</p>";</script></head><body>'
+        '<nav><a href="/">Home</a> <a href="/b">Blog</a></nav>'
+        '<p>one&nbsp;two &lt;3&gt;</p><p>line<br>break</p>'
+        '<p>prose with <a href="x">a link</a> kept by density</p>'
+        '<footer><a href="/t">T</a>·<a href="/p">P</a></footer>'
+        '</body></html>')
+    assert t == "A&B"
+    assert x == "one two <3>\nline break\nprose with a link kept by density"
+    assert nb == 3 and nl == 5
+    assert extract_html("<p>unclosed <b>bold")[1] == "unclosed bold"
+    assert extract_html("")[1] == ""
+    # all-boilerplate page extracts to empty text, not None
+    assert extract_html('<div><a href="/">only links</a></div>')[1] == ""
+
+
+def test_html_to_text_spark_binary_and_null(spark):
+    """The Arrow-batched wrapper handles binary payloads (the WARC
+    composition shape), nulls, and column-name prefixing."""
+    from fermor_spark.pipeline.html import html_to_text
+
+    rows = [(1, "<html><title>T1</title><p>alpha beta</p></html>".encode()),
+            (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {r["doc_id"]: r for r in
+           html_to_text(df, col="html").collect()}
+    assert got[1]["extracted_text"] == "alpha beta"
+    assert got[1]["extracted_title"] == "T1"
+    assert got[2]["extracted_text"] is None
