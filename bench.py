@@ -136,6 +136,11 @@ BENCH_QUERIES = [
     # late-r10 addition: arithmetic-coded JPEG (SOF9 QM-coder) pair
     # decode — byte-equality against the Huffman twin per image
     "multimodal_arith_jpeg",
+    # late-r10 additions: Bloom membership (JVM-side hashing + vectorized
+    # bitmap partials) and the composed web-ingest front half
+    # (documents -> HTML -> WARC gzip -> read_warc -> html_to_text)
+    "sketch_bloom_membership",
+    "pipeline_web_e2e",
 ]
 
 

@@ -183,9 +183,16 @@ def _has_cms_estimate(spark) -> bool:
 # Serialization (big-endian, own format, documented like cms_estimate's):
 # version:int32 = 1, k:int32, m:int64 (bits), bitset bytes (ceil(m/8),
 # bit i = byte i>>3, mask 1 << (i & 7)). Hashing is Kirsch-Mitzenmacher
-# double hashing over the same Spark-variant murmur3_x86_32 used for the
-# CMS probe: h1 = murmur(bytes, 0), h2 = murmur(bytes, h1), position_i =
-# Java-abs((h1 + (i+1)·h2) wrapped to int32) % m for i in 0..k-1.
+# double hashing with BOTH base hashes computable JVM-side — the
+# 100 TB-critical property: h1 = F.hash(col) (Spark murmur3, seed 42)
+# and h2 = F.hash(col, lit("bloom2")) (Spark's seed-chaining multi-arg
+# hash) are column expressions, so build and probe hash inside
+# whole-stage codegen and Python only does vectorized numpy position
+# math over int columns — never per-row byte hashing. position_i =
+# ((h1 + (i+1)·h2) mod 2^32) mod m for i in 0..k-1 (pure unsigned).
+# The pure-Python reader replays the chain with _murmur3_x86_32:
+# h1 = murmur(bytes, 42), h2 = murmur(b"bloom2", h1) — verified
+# bit-identical to the JVM pair in tests.
 
 
 def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -200,27 +207,35 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
 
 
 def _bloom_positions(data: bytes, k: int, m: int) -> list[int]:
-    h1 = _murmur3_x86_32(data, 0)
-    h2 = _murmur3_x86_32(data, h1 & 0xFFFFFFFF)
-    out = []
-    for i in range(1, k + 1):
-        h = (h1 + i * h2) & 0xFFFFFFFF          # Java int wrap
-        if h >= (1 << 31):
-            h -= 1 << 32
-        out.append(abs(h) % m)
-    return out
+    h1 = _murmur3_x86_32(data, 42)                       # == F.hash(col)
+    h2 = _murmur3_x86_32(b"bloom2", h1 & 0xFFFFFFFF)     # == F.hash(col, 'bloom2')
+    return [((h1 + i * h2) & 0xFFFFFFFF) % m for i in range(1, k + 1)]
+
+
+def _bloom_positions_np(h1, h2, k: int, m: int):
+    """Vectorized positions: (n, k) uint64 array from int32 hash columns
+    — the same unsigned mod-2^32 / mod-m math as _bloom_positions."""
+    import numpy as np
+
+    a = np.asarray(h1, dtype=np.int64)[:, None] & 0xFFFFFFFF
+    b = np.asarray(h2, dtype=np.int64)[:, None] & 0xFFFFFFFF
+    i = np.arange(1, k + 1, dtype=np.int64)[None, :]
+    return (((a + i * b) & 0xFFFFFFFF) % m).astype(np.int64)
 
 
 def bloom_build(df: DataFrame, col: str, expected_items: int,
                 fpp: float = 0.01) -> bytes:
     """Build a serialized Bloom filter over a string column.
 
-    Scale shape: one mapInPandas pass emits ONE m-bit partial bitmap per
-    partition (fixed-size state, map-side only — the analog of Spark's
-    own stat.bloomFilter treeAggregate); partials then OR-collapse
-    through a fan-in-16 tree of tiny stages so driver ingress is bounded
-    by 16 bitmaps, not numPartitions bitmaps. The finished filter is by
-    definition driver-sized (like the CMS sketch)."""
+    Scale shape: hashing happens JVM-side (two F.hash column
+    expressions inside whole-stage codegen — Python never touches the
+    raw values); one mapInPandas pass then turns the int hash columns
+    into ONE m-bit partial bitmap per partition via vectorized numpy
+    position math (fixed-size state, map-side only — the analog of
+    Spark's own stat.bloomFilter treeAggregate); partials OR-collapse
+    through a fan-in-16 tree of tiny stages so driver ingress is
+    bounded by 16 bitmaps, not numPartitions bitmaps. The finished
+    filter is by definition driver-sized (like the CMS sketch)."""
     import numpy as np
     import pandas as pd
 
@@ -231,17 +246,20 @@ def bloom_build(df: DataFrame, col: str, expected_items: int,
         bits = np.zeros(nbytes, dtype=np.uint8)
         touched = False
         for pdf in batches:
-            for v in pdf[col]:
-                if v is None:
-                    continue
-                touched = True
-                for p in _bloom_positions(str(v).encode("utf-8"), k, m):
-                    bits[p >> 3] |= 1 << (p & 7)
+            if not len(pdf):
+                continue
+            touched = True
+            pos = _bloom_positions_np(pdf["h1"], pdf["h2"], k, m).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             (1 << (pos & 7)).astype(np.uint8))
         if touched:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    part = df.select(F.col(col).cast("string").alias(col)) \
-        .mapInPandas(partials, "bits binary")
+    hashed = df.select(F.col(col).cast("string").alias("_v")) \
+        .where(F.col("_v").isNotNull()) \
+        .select(F.hash("_v").alias("h1"),
+                F.hash("_v", F.lit("bloom2")).alias("h2"))
+    part = hashed.mapInPandas(partials, "bits binary")
 
     def orfold(batches):
         acc = None
@@ -299,10 +317,12 @@ def bloom_merge(a: bytes, b: bytes) -> bytes:
 def bloom_member_col(df: DataFrame, col: str, sketch: bytes,
                      out_col: str = "bloom_hit") -> DataFrame:
     """Tag every row with Bloom membership of ``col`` — the 100 TB probe
-    path: the finished filter rides an explicit SparkContext broadcast,
-    each Arrow batch is tested vectorized (numpy gather + bit mask per
-    hash round), no shuffle, no join. Filter with .where(out_col) or
-    .where(~col(out_col)) for the seen/unseen split."""
+    path: hashing is two JVM column expressions, the finished filter
+    rides an explicit SparkContext broadcast, and each Arrow batch is
+    tested fully vectorized (one (n, k) numpy position grid, one gather,
+    one bit-mask reduce) — no shuffle, no join, no per-row Python.
+    Filter with .where(out_col) or .where(~col(out_col)) for the
+    seen/unseen split."""
     import struct
 
     import numpy as np
@@ -313,19 +333,19 @@ def bloom_member_col(df: DataFrame, col: str, sketch: bytes,
         raise ValueError(f"unsupported bloom serialization version {version}")
     bc = df.sparkSession.sparkContext.broadcast(sketch[16:])
 
-    def _probe(s):
+    def _probe(h1, h2):
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-        out = np.zeros(len(s), dtype=bool)
-        for j, v in enumerate(s):
-            if v is None:
-                continue
-            hit = True
-            for p in _bloom_positions(str(v).encode("utf-8"), k, m):
-                if not bits[p >> 3] & (1 << (p & 7)):
-                    hit = False
-                    break
-            out[j] = hit
+        valid = h1.notna().to_numpy()
+        out = np.zeros(len(h1), dtype=bool)
+        if valid.any():
+            pos = _bloom_positions_np(h1[valid].to_numpy(np.int64),
+                                      h2[valid].to_numpy(np.int64), k, m)
+            hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            out[valid] = hit.all(axis=1)
         return pd.Series(out)
 
     probe = F.pandas_udf(_probe, "boolean")
-    return df.withColumn(out_col, probe(F.col(col).cast("string")))
+    v = F.col(col).cast("string")
+    hit = F.when(v.isNull(), F.lit(False)).otherwise(
+        probe(F.hash(v), F.hash(v, F.lit("bloom2"))))
+    return df.withColumn(out_col, hit)
