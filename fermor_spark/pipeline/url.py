@@ -1,0 +1,123 @@
+"""URL canonicalization + domain filtering: the crawl-curation stage
+between ingest and dedup — "same page, different URL string" collapses
+(tracking params, default ports, case-variant hosts, sloppy slashes)
+and blocklisted domains drop before any expensive text work.
+
+Everything here is pure JVM column expressions — parse_url,
+higher-order array functions, regexp — inside whole-stage codegen. No
+Python executes per row, so these run at scan speed on 100 TB and
+normalization composes with exact dedup as a plain groupBy on the
+normalized column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters that identify a click, not a page (C4/CC-style screen)
+TRACKING_PARAMS = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)(=|$)"
+
+
+def _part(col: Column, what: str) -> Column:
+    return F.parse_url(col, F.lit(what))
+
+
+def url_normalize(df: DataFrame, col: str = "url",
+                  out_col: str = "norm_url",
+                  drop_params: str = TRACKING_PARAMS) -> DataFrame:
+    """Append the canonical form of a URL column:
+
+    - scheme and host lowercase (path stays case-sensitive)
+    - default ports stripped (http:80, https:443); others kept
+    - repeated slashes in the path collapse, one trailing slash strips
+      (the root path stays "/"); an empty path becomes "/"
+    - query parameters matching ``drop_params`` (tracking ids) drop,
+      remaining params keep their ORDER (reordering would merge
+      genuinely different urls on servers that care); an emptied query
+      drops its "?"
+    - the fragment is always dropped (never sent to the server)
+
+    Malformed URLs (no scheme/host parse) yield null, so downstream
+    filters see them explicitly rather than as accidental singletons."""
+    u = F.col(col)
+    scheme = F.lower(_part(u, "PROTOCOL"))
+    host = F.lower(_part(u, "HOST"))
+    port = F.regexp_extract(_part(u, "AUTHORITY"), r":(\d+)$", 1)
+    port_norm = F.when(
+        (port == "") | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(F.coalesce(_part(u, "PATH"), F.lit("/")),
+                            "/{2,}", "/")
+    path = F.regexp_replace(path, "(.)/$", "$1")
+    path = F.when(path == "", "/").otherwise(path)
+    q = F.filter(
+        F.split(F.coalesce(_part(u, "QUERY"), F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(drop_params))
+    qpart = F.when(F.size(q) > 0,
+                   F.concat(F.lit("?"), F.array_join(q, "&"))
+                   ).otherwise(F.lit(""))
+    norm = F.when(
+        scheme.isNotNull() & host.isNotNull() & (host != ""),
+        F.concat(scheme, F.lit("://"), host, port_norm, path, qpart))
+    return df.withColumn(out_col, norm)
+
+
+def url_host(df: DataFrame, col: str = "url",
+             out_col: str = "host") -> DataFrame:
+    """Append the lowercased host of a URL column."""
+    return df.withColumn(out_col, F.lower(_part(F.col(col), "HOST")))
+
+
+def _suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host with >= 2 labels, e.g.
+    a.b.example.com -> [a.b.example.com, b.example.com, example.com] —
+    the candidate set a domain blocklist matches against. A single-label
+    host yields just itself."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."))
+
+
+def domain_filter(df: DataFrame, host_col: str, blocked,
+                  out_col: str = "kept") -> DataFrame:
+    """Append a boolean: False when the host equals a blocked domain or
+    sits under one (suffix match on label boundaries).
+
+    ``blocked`` is a Python list/tuple (→ a literal array +
+    arrays_overlap, zero joins, whole-stage codegen — the common
+    bounded-blocklist case) or a DataFrame with a ``domain`` column —
+    the UT1-scale path: a blocklist is a driver-sized artifact (like a
+    sketch), so it collects ONCE, rides a SparkContext broadcast as a
+    Python set, and each Arrow batch suffix-tests against it map-side.
+    Either way the 100 TB side never shuffles and never joins."""
+    import pandas as pd
+
+    host = F.lower(F.col(host_col))
+    if isinstance(blocked, (list, tuple)):
+        lit = F.array(*[F.lit(str(b).lower()) for b in blocked])
+        return df.withColumn(
+            out_col,
+            F.coalesce(~F.arrays_overlap(_suffixes(host), lit),
+                       F.lit(True)))   # null host can't match a blocklist
+    dom = [r["domain"].lower() for r in
+           blocked.select("domain").distinct().collect()]
+    bc = df.sparkSession.sparkContext.broadcast(frozenset(dom))
+
+    def _test(s):
+        bl = bc.value
+        out = []
+        for h in s:
+            if h is None:
+                out.append(True)
+                continue
+            parts = h.lower().split(".")
+            out.append(not any(".".join(parts[i:]) in bl
+                               for i in range(max(1, len(parts) - 1))))
+        return pd.Series(out)
+
+    kept = F.pandas_udf(_test, "boolean")
+    return df.withColumn(out_col, kept(host))

@@ -4441,6 +4441,69 @@ def pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_url_canonical",
+    """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+           || '://'
+           || (CASE source WHEN 'src0' THEN 'ads.example.com'
+                           WHEN 'src1' THEN 'www.news.example.org'
+                           ELSE 'blog.example.net' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+           || '/Dir/sub/' || doc_id
+           || (CASE WHEN doc_id % 11 = 0 THEN '' ELSE '?id=' || doc_id
+               END)
+               AS norm_url,
+           (CASE source WHEN 'src0' THEN 'ads.example.com'
+                        WHEN 'src1' THEN 'www.news.example.org'
+                        ELSE 'blog.example.net' END) AS host,
+           (source != 'src0') AS kept
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def pipeline_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain-blocklist contract gate (NEW late
+    r10; heads the r11 window): per selected doc a deliberately messy
+    URL is synthesized — uppercase scheme/host, default and non-default
+    ports, doubled slashes, a trailing slash, tracking parameters
+    (utm_*/fbclid) around the real ``id`` param (dropped entirely on
+    doc_id%11 rows so the emptied-query path gates too), and a fragment.
+    pipeline.url.url_normalize (pure JVM: parse_url + higher-order array
+    filter + regexp, whole-stage codegen, zero Python) must reduce it to
+    EXACTLY the closed form the oracle states; url_host + domain_filter
+    (literal-blocklist arrays_overlap path) must drop the ads domain.
+    The messy-input construction lives only Spark-side — the oracle
+    states the canonical ANSWER, so any normalization defect
+    hash-mismatches."""
+    from fermor_spark.pipeline.url import domain_filter, url_host, \
+        url_normalize
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 0)
+    messy = d.select(
+        "doc_id", "source",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, "HTTP://").otherwise(
+                "https://"),
+            F.when(F.col("source") == "src0", "Ads.Example.COM")
+            .when(F.col("source") == "src1", "WWW.News.Example.ORG")
+            .otherwise("blog.example.net"),
+            F.when(F.col("doc_id") % 7 == 0, ":8080")
+            .when(F.col("doc_id") % 2 == 0, ":80").otherwise(":443"),
+            F.lit("/Dir//sub/"), F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.when(F.col("doc_id") % 11 == 0,
+                   "?utm_source=x&fbclid=y").otherwise(
+                F.concat(F.lit("?utm_source=x&id="),
+                         F.col("doc_id").cast("string"),
+                         F.lit("&fbclid=y"))),
+            F.lit("#frag")).alias("url"))
+    out = domain_filter(
+        url_host(url_normalize(messy, "url"), "url"),
+        "host", ["ads.example.com"])
+    return out.select("doc_id", "norm_url", "host", "kept")
+
+
+@query(
     "pipeline_web_e2e",
     """
     SELECT lang, count(*) AS n_docs,
@@ -5395,9 +5458,10 @@ _GATE_PRIORITY = [
     # late-r10 addition: the arithmetic-JPEG (SOF9 QM-coder) decode gate
     "multimodal_arith_jpeg",
     # NOT in this 50: sketch_bloom_membership, pipeline_warc_roundtrip,
-    # and pipeline_web_e2e (registered late-r10, tail position — the
-    # rotation promise holds; they are QUEUED TO HEAD THE R11 WINDOW with
-    # anything else that changes in r11; parity-swept now)
+    # pipeline_web_e2e, and pipeline_url_canonical (registered late-r10,
+    # tail position — the rotation promise holds; they are QUEUED TO
+    # HEAD THE R11 WINDOW with anything else that changes in r11;
+    # parity-swept now)
 ]
 
 

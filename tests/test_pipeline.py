@@ -1641,3 +1641,35 @@ def test_html_to_text_spark_binary_and_null(spark):
     assert got[1]["extracted_text"] == "alpha beta"
     assert got[1]["extracted_title"] == "T1"
     assert got[2]["extracted_text"] is None
+
+
+def test_url_normalize_semantics(spark):
+    """Canonicalization unit contract: case, default ports, slash
+    cleanup, tracking-param removal with order preserved, fragment drop,
+    empty-query drop, malformed -> null; both blocklist paths (literal
+    arrays_overlap and broadcast-set UDF) agree including suffix matches
+    and null hosts."""
+    from fermor_spark.pipeline.url import (domain_filter, url_host,
+                                           url_normalize)
+
+    cases = {
+        "HTTP://Ads.Example.COM:80/Path//x/?utm_source=a&id=7&fbclid=z#f":
+            ("http://ads.example.com/Path/x?id=7", False),
+        "https://www.Example.org:443/a/b?x=1&utm_campaign=c&y=2":
+            ("https://www.example.org/a/b?x=1&y=2", True),
+        "https://example.net:8080//": ("https://example.net:8080/", True),
+        "http://example.com": ("http://example.com/", True),
+        "http://Sub.ADS.example.com/p?ref=s":
+            ("http://sub.ads.example.com/p", False),
+        "http://notads.example.com/": ("http://notads.example.com/", True),
+        "notaurl": (None, True),
+    }
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    out = domain_filter(url_host(url_normalize(df, "url"), "url"),
+                        "host", ["ads.example.com"])
+    got = {r["url"]: (r["norm_url"], r["kept"]) for r in out.collect()}
+    assert got == cases
+    bl = spark.createDataFrame([("ads.example.com",)], "domain string")
+    got2 = {r["url"]: r["kept"] for r in domain_filter(
+        url_host(df, "url"), "host", bl).collect()}
+    assert got2 == {u: k for u, (_, k) in cases.items()}
