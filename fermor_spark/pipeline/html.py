@@ -29,7 +29,8 @@ _BLOCK_TAGS = {
     "footer", "nav", "aside", "main", "body", "figure", "figcaption",
 }
 
-HTML_EXTRACT_SCHEMA = "title string, text string, n_blocks int, n_links int"
+HTML_EXTRACT_SCHEMA = ("title string, text string, n_blocks int, "
+                       "n_links int, lang string, noindex boolean")
 
 
 class _Extractor(HTMLParser):
@@ -43,8 +44,16 @@ class _Extractor(HTMLParser):
         self.in_title = False
         self.title_parts: list[str] = []
         self.n_links = 0
+        self.lang = None          # <html lang="..">
+        self.robots = None        # <meta name=robots content="..">
 
     def handle_starttag(self, tag, attrs):
+        if tag == "html" and self.lang is None:
+            self.lang = dict(attrs).get("lang")
+        elif tag == "meta":
+            a = {k.lower(): (v or "") for k, v in attrs}
+            if a.get("name", "").lower() == "robots":
+                self.robots = a.get("content", "").lower()
         if tag in _SKIP_SUBTREES:
             self.skip_depth += 1
             return
@@ -85,16 +94,19 @@ class _Extractor(HTMLParser):
 
 
 def extract_html(raw: str, max_link_density: float = 0.5):
-    """(title, text, n_blocks, n_links) from one HTML string. Blocks
-    whose non-whitespace characters sit mostly inside links are dropped
-    as boilerplate; surviving blocks join with single newlines, inner
-    whitespace collapsed."""
+    """(title, text, n_blocks, n_links, lang, noindex) from one HTML
+    string. Blocks whose non-whitespace characters sit mostly inside
+    links are dropped as boilerplate; surviving blocks join with single
+    newlines, inner whitespace collapsed. ``lang`` is the declared
+    <html lang> attribute (a curation hint, not detection — pair with
+    text.lang_id); ``noindex`` reflects a robots meta directive, the
+    politeness signal a crawler-derived corpus must honor."""
     p = _Extractor()
     try:
         p.feed(raw)
         p.close()
     except Exception:
-        return None, None, None, None   # malformed beyond recovery
+        return None, None, None, None, None, None   # malformed beyond recovery
     out = []
     for chars, link_chars in p.blocks:
         textraw = "".join(chars)
@@ -106,7 +118,8 @@ def extract_html(raw: str, max_link_density: float = 0.5):
             continue
         out.append(text)
     title = " ".join("".join(p.title_parts).split()) or None
-    return title, "\n".join(out), len(out), p.n_links
+    noindex = "noindex" in p.robots if p.robots is not None else False
+    return title, "\n".join(out), len(out), p.n_links, p.lang, noindex
 
 
 def html_to_text(df: DataFrame, col: str = "html",
@@ -121,19 +134,18 @@ def html_to_text(df: DataFrame, col: str = "html",
         rows = []
         for v in s:
             if v is None:
-                rows.append((None, None, None, None))
+                rows.append((None, None, None, None, None, None))
                 continue
             raw = v.decode("utf-8", "replace") if isinstance(
                 v, (bytes, bytearray)) else str(v)
             rows.append(extract_html(raw, max_link_density))
-        return pd.DataFrame(rows, columns=["title", "text",
-                                           "n_blocks", "n_links"])
+        return pd.DataFrame(rows, columns=["title", "text", "n_blocks",
+                                           "n_links", "lang", "noindex"])
 
     udf = F.pandas_udf(run, HTML_EXTRACT_SCHEMA)
     ex = df.withColumn("_ex", udf(F.col(col)))
     return ex.select(
         *df.columns,
-        F.col("_ex.title").alias(f"{prefix}title"),
-        F.col("_ex.text").alias(f"{prefix}text"),
-        F.col("_ex.n_blocks").alias(f"{prefix}n_blocks"),
-        F.col("_ex.n_links").alias(f"{prefix}n_links"))
+        *[F.col(f"_ex.{c}").alias(f"{prefix}{c}")
+          for c in ("title", "text", "n_blocks", "n_links",
+                    "lang", "noindex")])

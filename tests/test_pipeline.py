@@ -1611,7 +1611,7 @@ def test_html_extract_semantics():
     titles recover, malformed input degrades without raising."""
     from fermor_spark.pipeline.html import extract_html
 
-    t, x, nb, nl = extract_html(
+    t, x, nb, nl, lang, noindex = extract_html(
         '<html><head><title> A&amp;B </title><style>p{}</style>'
         '<script>var s="<p>no</p>";</script></head><body>'
         '<nav><a href="/">Home</a> <a href="/b">Blog</a></nav>'
@@ -1622,10 +1622,15 @@ def test_html_extract_semantics():
     assert t == "A&B"
     assert x == "one two <3>\nline break\nprose with a link kept by density"
     assert nb == 3 and nl == 5
+    assert lang is None and noindex is False
     assert extract_html("<p>unclosed <b>bold")[1] == "unclosed bold"
     assert extract_html("")[1] == ""
     # all-boilerplate page extracts to empty text, not None
     assert extract_html('<div><a href="/">only links</a></div>')[1] == ""
+    # declared language + robots directive surface for curation
+    r = extract_html('<html lang="de"><head><meta name="Robots" '
+                     'content="noindex,nofollow"></head><p>x</p></html>')
+    assert r[4] == "de" and r[5] is True
 
 
 def test_html_to_text_spark_binary_and_null(spark):
