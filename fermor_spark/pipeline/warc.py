@@ -186,3 +186,39 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
 
     bucketed.groupBy("_b").applyInPandas(
         write_bucket, "bucket int, n long").collect()
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     record_types: tuple[str, ...] = ("response",),
+                     glob: str = "*.warc*",
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """STREAMING WARC ingestion — the landing-zone shape: crawl files
+    arrive in a directory, records flow out as they land. Same
+    binaryFile one-file-per-task scan and partition-local record walk
+    as read_warc, on a readStream source (the parse is stateless
+    mapInPandas, so the exact batch code runs unchanged); pair with
+    streaming.run_to_files for exactly-once landing via checkpoint +
+    commit log, and maxFilesPerTrigger to bound per-batch work."""
+    reader = spark.readStream.format("binaryFile") \
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary") \
+        .option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)   # all members
+                for row in _parse_warc_stream(str(name), data):
+                    if row[1] in record_types:
+                        rows.append(row)
+            cols = ["warc_file", "record_type", "url", "warc_date",
+                    "http_status", "content_type", "payload"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, WARC_SCHEMA)

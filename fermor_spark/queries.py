@@ -4441,6 +4441,54 @@ def pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_streaming_warc",
+    """
+    SELECT lang, count(*) AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           sum(doc_id)::BIGINT AS sum_ids
+    FROM documents GROUP BY lang
+    """,
+)
+def pipeline_streaming_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WARC ingestion under the gate (NEW late r10; heads the
+    r11 window): the landing-zone shape — crawl files arrive in a
+    directory, records flow out as they land. The documents table is
+    written as WARC/1.0 gzip files, then read back through a REAL
+    Structured-Streaming drain (readStream binaryFile source with
+    maxFilesPerTrigger=2 so the drain spans multiple micro-batches, the
+    stateless mapInPandas record walk running unchanged on the stream,
+    availableNow → memory sink), and the per-lang aggregates of the
+    drained table must match the source-table oracle — every record of
+    every micro-batch accounted for."""
+    import shutil
+    import tempfile
+
+    from fermor_spark.pipeline.warc import read_warc_stream, write_warc
+    from fermor_spark.streaming import run_to_memory
+
+    d = table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://corpus.example/"), "lang", F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode("text", "UTF-8").alias("payload"))
+    tmp = tempfile.mkdtemp(prefix="fermor_swarc_gate_")
+    write_warc(d, f"{tmp}/landing", n_files=8, compress=True)
+    s = read_warc_stream(spark, f"{tmp}/landing", max_files_per_trigger=2)
+    parts = F.split(F.col("url"), "/")
+    recs = s.select(
+        F.element_at(parts, -2).alias("lang"),
+        F.element_at(parts, -1).cast("long").alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"))
+    name = run_to_memory(recs, "swarc_gate")
+    agg = spark.table(name).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_text_chars"),
+        F.sum("doc_id").alias("sum_ids"))
+    rows = agg.localCheckpoint(eager=True)   # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
+@query(
     "pipeline_url_canonical",
     """
     SELECT doc_id,
@@ -5458,10 +5506,10 @@ _GATE_PRIORITY = [
     # late-r10 addition: the arithmetic-JPEG (SOF9 QM-coder) decode gate
     "multimodal_arith_jpeg",
     # NOT in this 50: sketch_bloom_membership, pipeline_warc_roundtrip,
-    # pipeline_web_e2e, and pipeline_url_canonical (registered late-r10,
-    # tail position — the rotation promise holds; they are QUEUED TO
-    # HEAD THE R11 WINDOW with anything else that changes in r11;
-    # parity-swept now)
+    # pipeline_web_e2e, pipeline_url_canonical, and
+    # pipeline_streaming_warc (registered late-r10, tail position — the
+    # rotation promise holds; they are QUEUED TO HEAD THE R11 WINDOW
+    # with anything else that changes in r11; parity-swept now)
 ]
 
 

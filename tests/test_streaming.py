@@ -201,3 +201,31 @@ def test_file_sink_matches_memory_sink(spark, batch_events, tmp_path):
                      round(r.total_value, 4))
     assert sorted(map(key, back.collect())) == sorted(map(key, mem.collect()))
     assert back.count() > 0
+
+
+def test_streaming_warc_multi_batch_exact(spark):
+    """read_warc_stream drains a landing directory through REAL
+    micro-batches (maxFilesPerTrigger=1 over 3 files) and reproduces
+    every payload byte — the batch record walk running unchanged as a
+    stateless streaming transform."""
+    import shutil
+    import tempfile
+
+    from fermor_spark.pipeline import warc
+    from fermor_spark.streaming import run_to_memory
+
+    rows = [(f"http://x.example/{i}", f"doc{i}-é".encode("utf-8"))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    tmp = tempfile.mkdtemp()
+    try:
+        warc.write_warc(df, f"{tmp}/landing", n_files=3, compress=True)
+        s = warc.read_warc_stream(spark, f"{tmp}/landing",
+                                  max_files_per_trigger=1)
+        assert s.isStreaming
+        run_to_memory(s.select("url", "payload"), "swarc_test")
+        got = {r["url"]: bytes(r["payload"])
+               for r in spark.table("swarc_test").collect()}
+        assert got == dict(rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
