@@ -684,3 +684,54 @@ def test_flac_and_wav_features_agree(spark):
     assert set(wav) == set(flac) == set(range(12))
     for k in wav:
         assert wav[k] == flac[k]
+
+
+@settings(max_examples=12, deadline=None)
+@given(host=st.from_regex(r"([A-Za-z][A-Za-z0-9-]{0,7}\.){1,3}[A-Za-z]{2,6}",
+                          fullmatch=True),
+       scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+       port=st.sampled_from(["", ":80", ":443", ":8080"]),
+       path=st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,4}/?", fullmatch=True),
+       params=st.lists(st.sampled_from(
+           ["id=1", "q=x", "utm_source=a", "fbclid=b", "ref=c", "a=b"]),
+           max_size=4),
+       frag=st.sampled_from(["", "#x", "#a/b"]))
+def test_url_normalize_idempotent(spark, host, scheme, port, path,
+                                  params, frag):
+    """Canonicalization is IDEMPOTENT: norm(norm(u)) == norm(u) for any
+    well-formed URL — the property that makes normalized URLs safe as
+    dedup keys (a second pass can't split a group)."""
+    from fermor_spark.pipeline.url import url_normalize
+
+    u = f"{scheme}://{host}{port}{path}"
+    if params:
+        u += "?" + "&".join(params)
+    u += frag
+    df = spark.createDataFrame([(u,)], "url string")
+    once = url_normalize(df, "url").collect()[0]["norm_url"]
+    assert once is not None, u
+    twice = url_normalize(
+        spark.createDataFrame([(once,)], "url string"),
+        "url").collect()[0]["norm_url"]
+    assert twice == once, (u, once, twice)
+
+
+@settings(max_examples=10, deadline=None)
+@given(payloads=st.lists(st.binary(max_size=200), min_size=1, max_size=12),
+       compress=st.booleans())
+def test_warc_roundtrip_arbitrary_binary(payloads, compress):
+    """ANY binary payloads — including bytes that look like WARC/HTTP
+    framing — survive warc_bytes → _parse_warc_stream byte-exactly, in
+    both plain and per-record-gzip layouts (driver-side parse; the
+    Spark path shares this exact code)."""
+    import gzip as _gzip
+
+    from fermor_spark.pipeline.warc import _parse_warc_stream, warc_bytes
+
+    recs = [{"url": f"http://h.example/{i}", "payload": p}
+            for i, p in enumerate(payloads)]
+    blob = warc_bytes(recs, compress=compress)
+    data = _gzip.decompress(blob) if compress else blob
+    rows = [r for r in _parse_warc_stream("f", data) if r[1] == "response"]
+    assert [r[6] for r in rows] == payloads
+    assert [r[2] for r in rows] == [r["url"] for r in recs]
