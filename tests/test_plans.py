@@ -252,3 +252,14 @@ def test_bloom_probe_is_broadcast_no_sort_merge(spark, registry):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_canonicalization_is_scan_stage_only(spark, registry):
+    """URL canonicalization + literal-blocklist filtering is claimed to
+    run at scan speed: the gate's plan must contain NO exchange, no
+    join, and no Python evaluation — one codegen'd project over the
+    parquet scan."""
+    plan = plan_of(registry["pipeline_url_canonical"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
