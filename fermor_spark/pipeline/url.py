@@ -121,3 +121,122 @@ def domain_filter(df: DataFrame, host_col: str, blocked,
 
     kept = F.pandas_udf(_test, "boolean")
     return df.withColumn(out_col, kept(host))
+
+
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309 Robots Exclusion Protocol): the politeness gate a
+# crawler-derived corpus applies per host before keeping a page —
+# complements the per-page robots-meta noindex that pipeline.html
+# extracts. Rule evaluation is longest-match with allow winning ties,
+# '*' wildcards and '$' end anchors per the RFC. Honest scope: exact
+# (case-insensitive) product-token group match with '*' fallback,
+# merged duplicate groups; percent-decoding equivalence is NOT applied
+# (rules and paths compare as written).
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """robots.txt → the (allow, pattern) rules of the group that governs
+    ``agent``: the group(s) named with the exact product token
+    (case-insensitive) when present, else the '*' group(s). Rules with
+    empty patterns are ignored per the RFC (an empty Disallow allows
+    everything)."""
+    groups: dict = {}
+    current: list = []
+    last_was_rule = True
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if last_was_rule:
+                current = []
+            current.append(val.lower())
+            last_was_rule = False
+        elif key in ("allow", "disallow"):
+            last_was_rule = True
+            if not val:
+                continue
+            for a in current:
+                groups.setdefault(a, []).append((key == "allow", val))
+        else:
+            last_was_rule = True
+    return groups.get(agent.lower(), groups.get("*", []))
+
+
+def _robots_match_len(pattern: str, path: str) -> int:
+    """Octet length of ``pattern`` when it matches ``path`` (prefix
+    semantics, '*' wildcard, '$' end anchor), else -1."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+
+    def rec(pos: int, pi: int) -> int:
+        if pi == len(parts):
+            return pos
+        seg = parts[pi]
+        if pi == 0:
+            if not path.startswith(seg, pos):
+                return -1
+            return rec(pos + len(seg), 1)
+        if seg == "" and pi == len(parts) - 1:
+            return len(path)   # trailing '*' consumes the remainder
+        i = path.find(seg, pos)
+        while i >= 0:
+            end = rec(i + len(seg), pi + 1)
+            if end >= 0 and (not anchored or pi + 1 < len(parts)
+                             or end == len(path)):
+                return end
+            i = path.find(seg, i + 1)
+        return -1
+
+    end = rec(0, 0)
+    if end < 0 or (anchored and end != len(path)):
+        return -1
+    return len(pattern) + (1 if anchored else 0)
+
+
+def robots_allowed(path: str, rules: list[tuple[bool, str]]) -> bool:
+    """RFC 9309 decision: the longest matching rule wins; allow wins a
+    length tie; no match → allowed."""
+    best_len, best_allow = -1, True
+    for allow, pattern in rules:
+        ln = _robots_match_len(pattern, path)
+        if ln > best_len or (ln == best_len and allow and not best_allow):
+            if ln >= 0:
+                best_len, best_allow = ln, allow
+    return best_allow
+
+
+def robots_filter(df: DataFrame, url_col: str, robots_df: DataFrame,
+                  agent: str = "*", out_col: str = "robots_ok") -> DataFrame:
+    """Append the per-URL robots verdict. ``robots_df`` holds (host,
+    robots_txt) — one fetched robots.txt per host, a driver-sized
+    artifact like a blocklist: rules parse ONCE on the driver, ride a
+    SparkContext broadcast, and each Arrow batch evaluates map-side
+    (host → rules lookup + longest-match walk). Hosts with no
+    robots.txt allow everything; the 100 TB side never shuffles."""
+    import pandas as pd
+
+    fetched = robots_df.select(F.lower(F.col("host")).alias("h"),
+                               F.col("robots_txt")).collect()
+    rules = {r["h"]: parse_robots(r["robots_txt"] or "", agent)
+             for r in fetched}
+    bc = df.sparkSession.sparkContext.broadcast(rules)
+    u = F.col(url_col)
+    host = F.lower(_part(u, "HOST"))
+    path = F.coalesce(_part(u, "PATH"), F.lit("/"))
+
+    def _verdict(hosts, paths):
+        table = bc.value
+        out = []
+        for h, p in zip(hosts, paths):
+            r = table.get(h) if h is not None else None
+            out.append(True if not r else robots_allowed(p or "/", r))
+        return pd.Series(out)
+
+    verdict = F.pandas_udf(_verdict, "boolean")
+    return df.withColumn(out_col, verdict(host, path))

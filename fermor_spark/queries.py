@@ -4441,6 +4441,64 @@ def pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_robots_filter",
+    """
+    SELECT doc_id,
+           (CASE source WHEN 'src0' THEN 'ads.example.com'
+                        WHEN 'src1' THEN 'www.news.example.org'
+                        ELSE 'blog.example.net' END) AS host,
+           (CASE WHEN source = 'src0' THEN FALSE
+                 WHEN source = 'src1' AND doc_id % 3 = 1 THEN FALSE
+                 ELSE TRUE END) AS robots_ok
+    FROM documents WHERE doc_id % 17 = 0
+    """,
+)
+def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate (RFC 9309; NEW late r10; heads the r11
+    window): per-host robots rules — a full Disallow on the ads host, a
+    Disallow /private/ with a LONGER wildcard Allow /private/pr* carve-
+    out on the news host, no robots.txt at all on the blog host — are
+    evaluated against per-doc URLs whose paths land in the allowed,
+    disallowed, and carve-out regions by doc_id residue. The oracle
+    states the verdict closed-form, so group selection, longest-match
+    precedence (the Allow carve-out MUST beat the shorter Disallow),
+    wildcard matching, and the no-robots default are all load-bearing.
+    Rules parse once on the driver and ride a broadcast; evaluation is
+    map-side (pipeline.url.robots_filter)."""
+    from fermor_spark.pipeline.url import robots_filter
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    urls = d.select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("source") == "src0", "ads.example.com")
+            .when(F.col("source") == "src1", "www.news.example.org")
+            .otherwise("blog.example.net"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("/private/pr"),
+                            F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("/private/x"),
+                           F.col("doc_id").cast("string")))
+            .otherwise(F.concat(F.lit("/public/"),
+                                F.col("doc_id").cast("string")))
+        ).alias("url"))
+    robots = spark.createDataFrame([
+        ("ads.example.com", "User-agent: *\nDisallow: /"),
+        ("www.news.example.org",
+         "User-agent: *\nDisallow: /private/\nAllow: /private/pr*"),
+    ], "host string, robots_txt string")
+    out = robots_filter(urls, "url", robots)
+    return out.select(
+        "doc_id",
+        F.when(F.col("source") == "src0", "ads.example.com")
+        .when(F.col("source") == "src1", "www.news.example.org")
+        .otherwise("blog.example.net").alias("host"),
+        "robots_ok")
+
+
+@query(
     "pipeline_streaming_warc",
     """
     SELECT lang, count(*) AS n_docs,
@@ -5506,10 +5564,10 @@ _GATE_PRIORITY = [
     # late-r10 addition: the arithmetic-JPEG (SOF9 QM-coder) decode gate
     "multimodal_arith_jpeg",
     # NOT in this 50: sketch_bloom_membership, pipeline_warc_roundtrip,
-    # pipeline_web_e2e, pipeline_url_canonical, and
-    # pipeline_streaming_warc (registered late-r10, tail position — the
-    # rotation promise holds; they are QUEUED TO HEAD THE R11 WINDOW
-    # with anything else that changes in r11; parity-swept now)
+    # pipeline_web_e2e, pipeline_url_canonical, pipeline_streaming_warc,
+    # and pipeline_robots_filter (registered late-r10, tail position —
+    # the rotation promise holds; they are QUEUED TO HEAD THE R11
+    # WINDOW with anything else that changes in r11; parity-swept now)
 ]
 
 

@@ -1678,3 +1678,61 @@ def test_url_normalize_semantics(spark):
     got2 = {r["url"]: r["kept"] for r in domain_filter(
         url_host(df, "url"), "host", bl).collect()}
     assert got2 == {u: k for u, (_, k) in cases.items()}
+
+
+def test_robots_rules_semantics():
+    """RFC 9309 unit contract: group selection (exact token beats '*',
+    stacked user-agent lines, merged duplicate groups), longest-match
+    precedence with allow winning ties, '*' wildcards, '$' anchors,
+    empty-Disallow ignored, comments stripped, no-match -> allowed."""
+    from fermor_spark.pipeline.url import parse_robots, robots_allowed
+
+    txt = """# corpus politeness
+User-agent: gptbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp*
+Allow: /private/press/
+Disallow: /*.pdf$
+Disallow:
+Allow: /
+
+User-agent: otherbot
+User-agent: thirdbot
+Disallow: /shared/
+"""
+    star = parse_robots(txt, "*")
+    for path, exp in [("/", True), ("/public/x", True),
+                      ("/private/doc", False), ("/private/press/x", True),
+                      ("/tmpfile", False), ("/a/b.pdf", False),
+                      ("/a/b.pdfx", True), ("/a.pdf/c", True)]:
+        assert robots_allowed(path, star) == exp, path
+    assert robots_allowed("/", parse_robots(txt, "GPTBot")) is False
+    assert robots_allowed("/shared/x", parse_robots(txt, "thirdbot")) is False
+    assert robots_allowed("/private/x", parse_robots(txt, "nobody")) is False
+    assert robots_allowed("/anything", parse_robots("", "*")) is True
+
+
+def test_robots_filter_spark(spark):
+    """robots_filter: per-host rules broadcast once, URLs evaluated
+    map-side; hosts without a fetched robots.txt allow everything."""
+    from fermor_spark.pipeline.url import robots_filter
+
+    robots = spark.createDataFrame([
+        ("a.example", "User-agent: *\nDisallow: /private/"),
+        ("b.example", "User-agent: *\nDisallow: /"),
+    ], "host string, robots_txt string")
+    urls = spark.createDataFrame([
+        ("http://a.example/ok",), ("http://A.EXAMPLE/private/x",),
+        ("https://b.example/anything",), ("http://c.example/no-robots",),
+    ], "url string")
+    got = {r["url"]: r["robots_ok"]
+           for r in robots_filter(urls, "url", robots).collect()}
+    assert got == {
+        "http://a.example/ok": True,
+        "http://A.EXAMPLE/private/x": False,
+        "https://b.example/anything": False,
+        "http://c.example/no-robots": True,
+    }
