@@ -739,3 +739,42 @@ def decontaminate(
         .distinct()
     )
     return train.join(flagged, train_id, "left_anti")
+
+
+def incremental_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
+                            id_col: str, text_col: str,
+                            fpp: float = 0.001,
+                            out_col: str = "is_new") -> DataFrame:
+    """Incremental ingest dedup: tag each NEW document as novel or
+    already-in-corpus by exact text match — the check every periodic
+    crawl snapshot runs against the accumulated corpus before paying
+    for downstream curation.
+
+    Scale shape (the Bloom filter's composition role): the corpus's
+    text hashes build a Bloom filter once (sketches.bloom_build —
+    mergeable partials, so per-snapshot filters can also be kept and
+    OR-merged instead of rebuilt); every new doc probes it map-side.
+    A MISS is definitely novel (Bloom has no false negatives) and
+    skips all further work — at crawl scale that is most documents.
+    Only the HIT minority joins the corpus hash column for exact
+    verification (false positives are corrected, so the result is
+    exact), shrinking the join's probe side from |new| to roughly
+    |dups| + fpp·|new|. Hashing is xxhash64 over the text — both
+    sides JVM-side column expressions."""
+    from fermor_spark.sketches import bloom_build, bloom_member_col
+
+    corpus_h = corpus_df.select(
+        F.xxhash64(text_col).cast("string").alias("_th")).distinct()
+    n = corpus_h.count()
+    sketch = bloom_build(corpus_h, "_th", expected_items=max(1, n),
+                         fpp=fpp)
+    probed = bloom_member_col(
+        new_df.withColumn("_th", F.xxhash64(text_col).cast("string")),
+        "_th", sketch, out_col="_maybe_dup")
+    hits = probed.where(F.col("_maybe_dup")).join(
+        corpus_h.withColumnRenamed("_th", "_cth"),
+        F.col("_th") == F.col("_cth"), "left_semi") \
+        .select(id_col).withColumn("_confirmed", F.lit(True))
+    return probed.join(hits, id_col, "left").select(
+        *new_df.columns,
+        F.coalesce(~F.col("_confirmed"), F.lit(True)).alias(out_col))

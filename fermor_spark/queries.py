@@ -4441,6 +4441,37 @@ def pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_corpus",
+    """
+    SELECT n.doc_id,
+           NOT EXISTS (SELECT 1 FROM documents c
+                       WHERE c.doc_id % 3 != 0 AND c.text = n.text)
+               AS is_new
+    FROM documents n WHERE n.doc_id % 4 = 0
+    """,
+)
+def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup under the gate (NEW late r10; heads the
+    r11 window): a "new snapshot" (doc_id%4=0) is checked against the
+    "accumulated corpus" (doc_id%3!=0) — overlapping subsets, so real
+    exact-text duplicates exist — via
+    pipeline.dedup.incremental_exact_dedup: corpus text hashes build a
+    Bloom filter (the sketch composed into a pipeline, not just gated
+    standalone), new docs probe it map-side, misses short-circuit as
+    novel, and only Bloom hits pay the exact-verify join (correcting
+    any false positive). The oracle states the exact NOT EXISTS answer,
+    so a Bloom false NEGATIVE (impossible by construction), a missed
+    verification, or an uncorrected false positive all hash-mismatch."""
+    from fermor_spark.pipeline.dedup import incremental_exact_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    out = incremental_exact_dedup(new, corpus, "doc_id", "text")
+    return out.select("doc_id", "is_new")
+
+
+@query(
     "pipeline_robots_filter",
     """
     SELECT doc_id,
@@ -5565,9 +5596,10 @@ _GATE_PRIORITY = [
     "multimodal_arith_jpeg",
     # NOT in this 50: sketch_bloom_membership, pipeline_warc_roundtrip,
     # pipeline_web_e2e, pipeline_url_canonical, pipeline_streaming_warc,
-    # and pipeline_robots_filter (registered late-r10, tail position —
-    # the rotation promise holds; they are QUEUED TO HEAD THE R11
-    # WINDOW with anything else that changes in r11; parity-swept now)
+    # pipeline_robots_filter, and dedup_incremental_corpus (registered
+    # late-r10, tail position — the rotation promise holds; they are
+    # QUEUED TO HEAD THE R11 WINDOW with anything else that changes in
+    # r11; parity-swept now)
 ]
 
 

@@ -1736,3 +1736,21 @@ def test_robots_filter_spark(spark):
         "https://b.example/anything": False,
         "http://c.example/no-robots": True,
     }
+
+
+def test_incremental_exact_dedup_bloom_screen(spark):
+    """incremental_exact_dedup: exact answer (bloom misses are novel,
+    bloom false positives corrected by the verify join) on planted
+    overlaps, including duplicate TEXTS under different ids."""
+    from fermor_spark.pipeline.dedup import incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(100)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1000 + i, f"text-{i}") for i in range(50, 60)]   # dups
+        + [(2000 + i, f"fresh-{i}") for i in range(10)],    # novel
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["is_new"] for r in
+           incremental_exact_dedup(new, corpus, "doc_id", "text").collect()}
+    assert all(got[1000 + i] is False for i in range(50, 60))
+    assert all(got[2000 + i] is True for i in range(10))
