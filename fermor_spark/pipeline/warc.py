@@ -77,6 +77,29 @@ def warc_bytes(records: list[dict], warcinfo: bool = True,
     return bytes(out)
 
 
+def _iter_warc_records(name: str, data: bytes):
+    """Yield WARC record rows from raw file bytes, gzip-aware WITHOUT
+    whole-file materialization: a .warc.gz is decompressed MEMBER BY
+    MEMBER (zlib, gzip framing), so per-record-gzip files — the Common
+    Crawl layout, ~1 GB compressed holding several GB raw — hold at most
+    one member's records in memory at a time. A single-member gzip (or
+    a plain file) degrades to one whole-stream parse."""
+    import zlib
+
+    if data[:2] != b"\x1f\x8b":
+        yield from _parse_warc_stream(name, data)
+        return
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        member = d.decompress(rest)
+        member += d.flush()
+        yield from _parse_warc_stream(name, member)
+        rest = d.unused_data
+    if rest.strip(b"\r\n"):
+        raise ValueError(f"{name}: trailing non-gzip bytes after members")
+
+
 def _parse_warc_stream(name: str, data: bytes):
     """Walk one (decompressed) WARC byte stream → row tuples matching
     WARC_SCHEMA. Length-driven; raises ValueError on a malformed record
@@ -144,18 +167,16 @@ def read_warc(spark: SparkSession, path: str,
         .select("path", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["warc_file", "record_type", "url", "warc_date",
+                "http_status", "content_type", "payload"]
         for pdf in batches:
-            rows = []
+            # one output frame per FILE: the task never holds more than
+            # one file's records (plus one gzip member's raw bytes)
             for name, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)   # all members
-                for row in _parse_warc_stream(str(name), data):
-                    if row[1] in record_types:
-                        rows.append(row)
-            cols = ["warc_file", "record_type", "url", "warc_date",
-                    "http_status", "content_type", "payload"]
-            yield pd.DataFrame(rows, columns=cols)
+                rows = [row for row in
+                        _iter_warc_records(str(name), bytes(content))
+                        if row[1] in record_types]
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, WARC_SCHEMA)
 
@@ -208,17 +229,15 @@ def read_warc_stream(spark: SparkSession, path: str,
     files = reader.load(path).select("path", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["warc_file", "record_type", "url", "warc_date",
+                "http_status", "content_type", "payload"]
         for pdf in batches:
-            rows = []
+            # one output frame per FILE: the task never holds more than
+            # one file's records (plus one gzip member's raw bytes)
             for name, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)   # all members
-                for row in _parse_warc_stream(str(name), data):
-                    if row[1] in record_types:
-                        rows.append(row)
-            cols = ["warc_file", "record_type", "url", "warc_date",
-                    "http_status", "content_type", "payload"]
-            yield pd.DataFrame(rows, columns=cols)
+                rows = [row for row in
+                        _iter_warc_records(str(name), bytes(content))
+                        if row[1] in record_types]
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, WARC_SCHEMA)
