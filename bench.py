@@ -137,10 +137,12 @@ BENCH_QUERIES = [
     # decode — byte-equality against the Huffman twin per image
     "multimodal_arith_jpeg",
     # late-r10 additions: Bloom membership (JVM-side hashing + vectorized
-    # bitmap partials) and the composed web-ingest front half
-    # (documents -> HTML -> WARC gzip -> read_warc -> html_to_text)
+    # bitmap partials), the composed web-ingest front half
+    # (documents -> HTML -> WARC gzip -> read_warc -> html_to_text),
+    # and the Bloom-screened incremental snapshot-vs-corpus dedup
     "sketch_bloom_membership",
     "pipeline_web_e2e",
+    "dedup_incremental_corpus",
 ]
 
 
