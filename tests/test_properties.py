@@ -735,3 +735,45 @@ def test_warc_roundtrip_arbitrary_binary(payloads, compress):
     rows = [r for r in _parse_warc_stream("f", data) if r[1] == "response"]
     assert [r[6] for r in rows] == payloads
     assert [r[2] for r in rows] == [r["url"] for r in recs]
+
+
+@settings(max_examples=20, deadline=None)
+@given(bits=st.lists(st.booleans(), min_size=0, max_size=400),
+       ctxs=st.lists(st.integers(min_value=0, max_value=19), min_size=1,
+                     max_size=5))
+def test_qm_coder_roundtrip_any_bit_sequence(bits, ctxs):
+    """The T.81 QM arithmetic coder below the JPEG layer: ANY bit
+    sequence coded against ANY schedule of adaptive context bins decodes
+    back exactly — interval subdivision, conditional MPS/LPS exchange,
+    carry stacking, byte stuffing, flush, and the BYTEIN marker stall
+    all inverse correctly. (The JPEG-layer tests cover the statistical
+    models; this pins the coder itself.)"""
+    from fermor_spark.pipeline.multimodal import _ArithDecoder, _ArithEncoder
+
+    enc = _ArithEncoder()
+    st_area = bytearray(20)
+    for i, b in enumerate(bits):
+        enc.encode(st_area, ctxs[i % len(ctxs)], 1 if b else 0)
+    data = enc.flush() + b"\xff\xd9"   # terminating marker (legal stall)
+    dec = _ArithDecoder(data, 0)
+    st2 = bytearray(20)
+    got = [dec.decode(st2, ctxs[i % len(ctxs)]) for i in range(len(bits))]
+    assert got == [1 if b else 0 for b in bits]
+
+
+@settings(max_examples=30, deadline=None)
+@given(soup=st.text(
+    alphabet=st.sampled_from(list("<>/&;=\"' abcdefps123!-\n\r\tä")),
+    max_size=300))
+def test_html_extract_never_raises_on_tag_soup(soup):
+    """extract_html over arbitrary tag soup: never raises, and when it
+    returns text the text is a whitespace-normalized string (no markup
+    control characters beyond what the soup legitimately contains as
+    data). Malformed-beyond-recovery inputs yield the all-None row."""
+    from fermor_spark.pipeline.html import extract_html
+
+    t, x, nb, nl, lang, noindex = extract_html(soup)
+    if x is not None:
+        assert isinstance(x, str)
+        assert "\r" not in x and "\t" not in x
+        assert nb >= 0 and nl >= 0
