@@ -13,5 +13,6 @@ All operators are DataFrame-in → DataFrame-out, shuffle-conscious
 (hash families are md5/xxhash64 over seed-prefixed inputs).
 """
 
-from fermor_spark.pipeline import (dedup, html, multimodal, sample,  # noqa: F401
-                                   similarity, sink, text, url, warc)
+from fermor_spark.pipeline import (dedup, html, multimodal, profile,  # noqa: F401
+                                   sample, similarity, sink, text, url,
+                                   warc)

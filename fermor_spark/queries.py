@@ -4441,6 +4441,56 @@ def pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_corpus_profile",
+    """
+    SELECT lang AS grp, count(*) AS n_docs,
+           sum(length(text))::BIGINT AS total_chars,
+           count(DISTINCT text)::BIGINT AS distinct_exact,
+           TRUE AS hll_within_bound,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM documents GROUP BY lang
+    """,
+)
+def pipeline_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profiling under the gate (NEW late r10; heads the
+    r11 window): pipeline.profile.profile_corpus computes per-lang
+    volume, char mass, exact + HLL-approx distinct texts, and GK p50/p90
+    lengths in ONE aggregation (every metric a mergeable JVM aggregate —
+    one shuffle of partial states at any scale). The oracle states the
+    exact columns plus three contract booleans the Spark side EARNS:
+    the HLL estimate within 3·rsd of exact, and each GK percentile
+    satisfying the rank definition of a valid quantile (verified against
+    exact rank counts — a second pass the GATE pays, not the operator)."""
+    from fermor_spark.pipeline.profile import profile_corpus
+
+    d = table(spark, sf_dir, "documents")
+    prof = profile_corpus(d, "lang", "text", rsd=0.05)
+    ranks = d.select(F.col("lang").alias("group"),
+                     F.length("text").alias("len")) \
+        .join(F.broadcast(prof.select("group", "p50_chars", "p90_chars")),
+              "group") \
+        .groupBy("group").agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("len") <= F.col("p50_chars")).cast("long"))
+            .alias("le50"),
+            F.sum((F.col("len") < F.col("p50_chars")).cast("long"))
+            .alias("lt50"),
+            F.sum((F.col("len") <= F.col("p90_chars")).cast("long"))
+            .alias("le90"),
+            F.sum((F.col("len") < F.col("p90_chars")).cast("long"))
+            .alias("lt90"))
+    return prof.join(ranks, "group").select(
+        F.col("group").alias("grp"), "n_docs", "total_chars",
+        "distinct_exact",
+        (F.abs(F.col("distinct_approx") - F.col("distinct_exact"))
+         <= 3 * 0.05 * F.col("distinct_exact")).alias("hll_within_bound"),
+        ((F.col("le50") >= 0.5 * F.col("n"))
+         & (F.col("lt50") <= 0.5 * F.col("n"))).alias("p50_rank_ok"),
+        ((F.col("le90") >= 0.9 * F.col("n"))
+         & (F.col("lt90") <= 0.9 * F.col("n"))).alias("p90_rank_ok"))
+
+
+@query(
     "dedup_incremental_corpus",
     """
     SELECT n.doc_id,
@@ -5596,7 +5646,8 @@ _GATE_PRIORITY = [
     "multimodal_arith_jpeg",
     # NOT in this 50: sketch_bloom_membership, pipeline_warc_roundtrip,
     # pipeline_web_e2e, pipeline_url_canonical, pipeline_streaming_warc,
-    # pipeline_robots_filter, and dedup_incremental_corpus (registered
+    # pipeline_robots_filter, dedup_incremental_corpus, and
+    # pipeline_corpus_profile (registered
     # late-r10, tail position — the rotation promise holds; they are
     # QUEUED TO HEAD THE R11 WINDOW with anything else that changes in
     # r11; parity-swept now)

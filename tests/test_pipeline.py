@@ -1754,3 +1754,23 @@ def test_incremental_exact_dedup_bloom_screen(spark):
            incremental_exact_dedup(new, corpus, "doc_id", "text").collect()}
     assert all(got[1000 + i] is False for i in range(50, 60))
     assert all(got[2000 + i] is True for i in range(10))
+
+
+def test_profile_corpus_planted_values(spark):
+    """profile_corpus on a planted corpus: exact columns exact, HLL
+    within bound, GK percentiles hit exact ranks on known lengths,
+    duplication visible as distinct_exact < n_docs."""
+    from fermor_spark.pipeline.profile import profile_corpus
+
+    rows = [(i, "en", "x" * (10 + i)) for i in range(100)] \
+        + [(100 + i, "de", "dup-text") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["group"]: r for r in
+           profile_corpus(df, "lang", "text").collect()}
+    en, de = got["en"], got["de"]
+    assert en["n_docs"] == 100 and en["distinct_exact"] == 100
+    assert en["total_chars"] == sum(10 + i for i in range(100))
+    assert abs(en["distinct_approx"] - 100) <= 3 * 0.05 * 100
+    assert 10 <= en["p50_chars"] <= 109 and en["p50_chars"] <= en["p90_chars"]
+    assert de["n_docs"] == 10 and de["distinct_exact"] == 1
+    assert de["p50_chars"] == de["p90_chars"] == 8
