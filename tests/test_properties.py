@@ -686,9 +686,26 @@ def test_flac_and_wav_features_agree(spark):
         assert wav[k] == flac[k]
 
 
+def test_url_normalize_null_on_java_rejected_host(spark):
+    """Documented null contract (pipeline/url.py): hosts Java's URI parser
+    rejects — e.g. a DNS label ending in '-' (invalid per RFC 952) — make
+    parse_url return null, so url_normalize yields null rather than passing
+    malformed hosts through. Pinned after the r10 hypothesis flake drew
+    'A-.AA' from a generator that admitted trailing-hyphen labels."""
+    from fermor_spark.pipeline.url import url_normalize
+
+    df = spark.createDataFrame([("http://ab-.example.com/x",)], "url string")
+    assert url_normalize(df, "url").collect()[0]["norm_url"] is None
+
+
 @settings(max_examples=12, deadline=None)
-@given(host=st.from_regex(r"([A-Za-z][A-Za-z0-9-]{0,7}\.){1,3}[A-Za-z]{2,6}",
-                          fullmatch=True),
+@given(host=st.from_regex(
+    # RFC-952-valid labels only: no trailing hyphen (Java's URI parser —
+    # hence Spark's parse_url — rejects hosts like 'ab-.example.com', and
+    # url_normalize documents null for those; that contract is pinned in
+    # test_url_normalize_null_on_java_rejected_host above).
+    r"([A-Za-z]([A-Za-z0-9-]{0,6}[A-Za-z0-9])?\.){1,3}[A-Za-z]{2,6}",
+    fullmatch=True),
        scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
        port=st.sampled_from(["", ":80", ":443", ":8080"]),
        path=st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,4}/?", fullmatch=True),

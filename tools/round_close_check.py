@@ -32,6 +32,14 @@ sys.path.insert(0, REPO)
 from bench import short_key  # noqa: E402
 
 
+# Scalar keys bench.py's JSON line carries besides per-query timings. The
+# r10 close parsed these six out of the tail, compared ZERO shared query
+# keys and printed "clean" — the exact vacuous comparison this tool exists
+# to refuse. Any tail parse must strip them before deciding it found data.
+_NON_QUERY_KEYS = {"value", "sf", "n", "rc", "cpus",
+                   "cc", "kcore", "scc", "bf", "bfs"}
+
+
 def load_driver_record(path: str) -> dict[str, float]:
     """Driver BENCH_r{N}.json: {'parsed': {...}} or tail-only when the line
     outgrew the capture window (r7). Returns short_key -> seconds."""
@@ -39,11 +47,32 @@ def load_driver_record(path: str) -> dict[str, float]:
     parsed = d.get("parsed")
     if parsed and parsed.get("queries"):
         return {k: float(v) for k, v in parsed["queries"].items()}
+    if parsed is not None and parsed.get("detail"):
+        # bench.py's 1950-byte overflow guard emits queries={} with a
+        # 'detail' pointer. The live BENCH_DETAIL.json is overwritten by
+        # every bench run, so prefer the per-round snapshot committed at
+        # close (BENCH_DETAIL_r{N}.json); the live file is a last resort
+        # that is only trustworthy in the same session that wrote it.
+        candidates = []
+        if d.get("n") is not None:
+            candidates.append(os.path.join(
+                REPO, f"BENCH_DETAIL_r{int(d['n']):02d}.json"))
+        candidates.append(os.path.join(REPO, str(parsed["detail"])))
+        for c in candidates:
+            if os.path.exists(c):
+                q = json.load(open(c)).get("queries") or {}
+                if q:  # detail files key by FULL query name
+                    return {short_key(k): float(v) for k, v in q.items()}
+        raise ValueError(
+            f"{path}: parsed.queries is empty (overflow guard) and no "
+            f"detail snapshot resolves (tried {candidates}) — refusing a "
+            "vacuous comparison")
     # tail fallback must accept BOTH pretty ('": 1.2') and compact ('":1.2')
     # JSON — bench.py emits compact separators, so a colon-space-only regex
     # would silently parse an empty dict and make the whole check vacuous.
     q = dict(re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d.get("tail", "")))
-    q.pop("sf", None)
+    for k in _NON_QUERY_KEYS:
+        q.pop(k, None)
     out = {short_key(k): float(v) for k, v in q.items()}
     if not out:
         raise ValueError(
@@ -121,6 +150,12 @@ def main() -> int:
         elif p > 2 * v:
             improvements.append((k, p, v))
 
+    shared = set(prev) & set(cur)
+    if not shared:
+        print(f"round_close_check: {os.path.basename(prev_path)} and "
+              f"{os.path.basename(cur_path)} share ZERO per-query keys — "
+              "vacuous comparison, refusing to certify the close")
+        return 1
     shared_prev = sum(p for k, p in prev.items() if k in cur)
     shared_cur = sum(v for k, v in cur.items() if k in prev)
     print(f"prev={os.path.basename(prev_path)} cur={os.path.basename(cur_path)}")
