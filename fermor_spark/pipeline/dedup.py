@@ -744,7 +744,8 @@ def decontaminate(
 def incremental_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
                             id_col: str, text_col: str,
                             fpp: float = 0.001,
-                            out_col: str = "is_new") -> DataFrame:
+                            out_col: str = "is_new",
+                            hash_col=None) -> DataFrame:
     """Incremental ingest dedup: tag each NEW document as novel or
     already-in-corpus by exact text match — the check every periodic
     crawl snapshot runs against the accumulated corpus before paying
@@ -756,24 +757,40 @@ def incremental_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
     OR-merged instead of rebuilt); every new doc probes it map-side.
     A MISS is definitely novel (Bloom has no false negatives) and
     skips all further work — at crawl scale that is most documents.
-    Only the HIT minority joins the corpus hash column for exact
-    verification (false positives are corrected, so the result is
-    exact), shrinking the join's probe side from |new| to roughly
-    |dups| + fpp·|new|. Hashing is xxhash64 over the text — both
-    sides JVM-side column expressions."""
+    Only the HIT minority pays exact verification, and that
+    verification compares TEXTS, not hashes: a 64-bit xxhash64
+    collision must not mark a genuinely novel document as a duplicate
+    (the result is exactly the NOT-EXISTS text answer, independent of
+    hash quality — only performance depends on the hash). The corpus
+    re-scan feeding the text compare is semi-join-filtered by the hit
+    hashes first, so only candidate rows' texts ever shuffle:
+    ~|dups| + fpp·|new| rows, not the corpus. ``hash_col`` (an expr
+    builder column -> column) is injectable so tests can force total
+    hash collisions and assert the exactness property."""
     from fermor_spark.sketches import bloom_build, bloom_member_col
 
+    hfn = hash_col or (lambda c: F.xxhash64(c).cast("string"))
     corpus_h = corpus_df.select(
-        F.xxhash64(text_col).cast("string").alias("_th")).distinct()
+        hfn(F.col(text_col)).cast("string").alias("_th")).distinct()
     n = corpus_h.count()
     sketch = bloom_build(corpus_h, "_th", expected_items=max(1, n),
                          fpp=fpp)
     probed = bloom_member_col(
-        new_df.withColumn("_th", F.xxhash64(text_col).cast("string")),
+        new_df.withColumn("_th", hfn(F.col(text_col)).cast("string")),
         "_th", sketch, out_col="_maybe_dup")
+    # Hash-keyed semi-join bounds the corpus text volume BEFORE the text
+    # equality check (AQE broadcasts the small hit-hash side at runtime);
+    # the text equi-join then decides exactly.
+    hit_hashes = probed.where(F.col("_maybe_dup")).select("_th").distinct()
+    cand = (corpus_df
+            .withColumn("_cth", hfn(F.col(text_col)).cast("string"))
+            .join(hit_hashes.withColumnRenamed("_th", "_hh"),
+                  F.col("_cth") == F.col("_hh"), "left_semi")
+            .select("_cth", F.col(text_col).alias("_ctext"))
+            .distinct())
     hits = probed.where(F.col("_maybe_dup")).join(
-        corpus_h.withColumnRenamed("_th", "_cth"),
-        F.col("_th") == F.col("_cth"), "left_semi") \
+        cand, (F.col("_th") == F.col("_cth")) &
+              (F.col(text_col) == F.col("_ctext")), "left_semi") \
         .select(id_col).withColumn("_confirmed", F.lit(True))
     return probed.join(hits, id_col, "left").select(
         *new_df.columns,

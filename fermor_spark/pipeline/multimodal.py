@@ -72,6 +72,7 @@ executor memory.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -683,10 +684,11 @@ def _jpeg_parse_dac(data, dac) -> None:
         i += 2
 
 
+@_none_on_malformed
 def _jpeg_decode(b: bytes):
     """REAL pure-Python/numpy JPEG decode → (width, height, channels,
-    bytes) | None | 'compressed' (arithmetic/lossless/hierarchical, which
-    stay stubbed). Baseline sequential DCT (SOF0/SOF1): segment walk,
+    bytes) | None | 'compressed' (hierarchical/arithmetic-lossless/
+    non-uniform-factor-lossless, which stay stubbed). Baseline sequential DCT (SOF0/SOF1): segment walk,
     canonical Huffman tables, DC-diff + AC run-length entropy decode with
     byte unstuffing and restart markers, dequant + zigzag + 8x8 IDCT
     (matrix form), chroma upsampling for 4:2:0/4:2:2, JFIF BT.601
@@ -2639,7 +2641,10 @@ def decode_image(df: DataFrame, fake: bool = False,
     (_gif_decode — LZW), and JPEG: baseline SOF0/1, progressive SOF2, and
     ARITHMETIC-coded SOF9/SOF10 (_jpeg_decode — Huffman + QM-coder entropy,
     multi-scan spectral selection / successive approximation + IDCT), plus
-    8-bit grayscale lossless SOF3. Hierarchical and arithmetic-lossless
+    lossless SOF3 at 2-16 bit precision (>8-bit emits the PNG-16 high-byte
+    contract) including interleaved multi-component scans with uniform 1x1
+    sampling factors. Hierarchical, arithmetic-lossless, and
+    non-uniform-sampling-factor lossless
     JPEG payloads raise NotImplementedError unless ``fake=True``, which
     substitutes a deterministic stub decode so the full mapInPandas
     pipeline can still be exercised. Unrecognized payloads yield null dims.
@@ -2703,11 +2708,12 @@ def decode_image(df: DataFrame, fake: bool = False,
                 if got == "compressed" and not fake:
                     raise NotImplementedError(
                         "hierarchical / arithmetic-lossless JPEG (and "
-                        ">8-bit or multi-component lossless) decode needs "
-                        "an external codec (Huffman baseline, progressive, "
-                        "arithmetic SOF9/SOF10, and 8-bit grayscale "
-                        "lossless decode natively); pass fake=True for "
-                        "the deterministic stub")
+                        "non-uniform-sampling-factor lossless) decode "
+                        "needs an external codec (Huffman baseline, "
+                        "progressive, arithmetic SOF9/SOF10, and 2-16-bit "
+                        "lossless incl. 1x1 multi-component decode "
+                        "natively); pass fake=True for the deterministic "
+                        "stub")
                 if got in ("compressed", None) and fake and c is not None:
                     got = (((c[0] if len(c) else 0) % 64) + 1,
                            ((c[1] if len(c) > 1 else 0) % 64) + 1, 3, c)
@@ -4075,13 +4081,19 @@ def _flac_decode(b: bytes):
 
 def _flac_parse_samples(b: bytes):
     """_wav_parse-shaped adapter: (rate, ch, bits, interleaved float64)
-    for supported FLAC streams, None for non-FLAC or unsupported
-    subtypes (LPC / side channels / header-only fixtures)."""
+    for supported FLAC streams, None for non-FLAC, malformed, or
+    header-only fixture streams."""
     if len(b) < 4 or b[:4] != b"fLaC":
         return None
     try:
         got = _flac_decode(b)
-    except ValueError:
+    except (ValueError, IndexError, KeyError, struct.error):
+        # _flac_decode raises ValueError on checksum/grammar violations,
+        # but truncated/corrupt streams can also escape as IndexError
+        # ('bytearray index out of range' mid-frame) or struct.error —
+        # the same exception set the other media decoders swallow. A
+        # malformed payload must yield null features, never fail the
+        # whole Arrow batch's Spark task.
         return None
     if got is None:
         return None

@@ -14,6 +14,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _np_round6_half_away(S):
+    """6dp rounding with HALF-AWAY-FROM-ZERO ties — the semantics of both
+    DuckDB round() and Spark F.round. np.round is banker's (half-to-even),
+    so a cosine landing exactly on a 6dp half-way point could flip a
+    threshold comparison between the numpy kernel and the SQL oracle;
+    copysign(floor(|x|*1e6 + 0.5), x) is direction-consistent for both
+    signs (cosines are in [-1, 1])."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(S) * 1e6 + 0.5), S) / 1e6
+
+
 def _hyperplanes(num_planes: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes without RNG state:
     component = centered hash of (seed, plane, dim index)."""
@@ -219,9 +231,10 @@ def cosine_pairs_exact(
                 # round to 6dp before thresholding (the ann_* convention):
                 # the oracle computes the same cosine with a different BLAS
                 # and boundary-value pairs must not flip between engines;
-                # zero-norm vectors clamp to cos=0 here and the oracle SQL
-                # guards its NaN to 0 to match.
-                ia, ib = np.nonzero(np.round(S, 6) >= threshold)
+                # half-away ties match DuckDB/Spark round() (np.round is
+                # banker's); zero-norm vectors clamp to cos=0 here and the
+                # oracle SQL guards its NaN to 0 to match.
+                ia, ib = np.nonzero(_np_round6_half_away(S) >= threshold)
                 if len(ia) == 0:
                     continue
                 id_a, id_b = aids[ia], bids[ib]
@@ -485,9 +498,10 @@ def semantic_dedup(
                 # round to 6dp before thresholding (the ann_* convention):
                 # the oracle computes the same cosine with a different BLAS
                 # and boundary-value pairs must not flip between engines;
-                # zero-norm vectors clamp to cos=0 here and the oracle SQL
-                # guards its NaN to 0 to match.
-                ia, ib = np.nonzero(np.round(S, 6) >= threshold)
+                # half-away ties match DuckDB/Spark round() (np.round is
+                # banker's); zero-norm vectors clamp to cos=0 here and the
+                # oracle SQL guards its NaN to 0 to match.
+                ia, ib = np.nonzero(_np_round6_half_away(S) >= threshold)
                 if len(ia) == 0:
                     continue
                 id_a, id_b = aids[ia], bids[ib]

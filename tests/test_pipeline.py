@@ -1756,6 +1756,28 @@ def test_incremental_exact_dedup_bloom_screen(spark):
     assert all(got[2000 + i] is True for i in range(10))
 
 
+def test_incremental_exact_dedup_survives_hash_collisions(spark):
+    """Exactness is independent of hash quality: with an injected
+    CONSTANT hash (every document collides — the worst case of the
+    64-bit-collision advisory), the verify stage's TEXT comparison
+    still yields exactly the NOT-EXISTS answer. Only performance may
+    degrade under collisions, never correctness."""
+    from pyspark.sql import functions as F
+
+    from fermor_spark.pipeline.dedup import incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(20)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "text-3"), (101, "text-19"), (102, "totally-novel"),
+         (103, "text-300")],  # note: 'text-300' is NOT in the corpus
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["is_new"] for r in incremental_exact_dedup(
+        new, corpus, "doc_id", "text",
+        hash_col=lambda c: F.lit("collide")).collect()}
+    assert got == {100: False, 101: False, 102: True, 103: True}
+
+
 def test_profile_corpus_planted_values(spark):
     """profile_corpus on a planted corpus: exact columns exact, HLL
     within bound, GK percentiles hit exact ranks on known lengths,

@@ -668,6 +668,23 @@ def test_flac_crc_corruption_detected():
         _flac_decode(bytes(blob))
 
 
+def test_flac_parse_samples_none_on_truncation():
+    """A truncated/corrupt FLAC payload must yield None features, never an
+    escaping exception (r10 advisory: mid-frame truncation escaped as
+    IndexError and would have failed the whole audio_features Spark
+    task) — _flac_parse_samples now swallows the same exception set as
+    _none_on_malformed."""
+    import numpy as np
+
+    from fermor_spark.pipeline.multimodal import (_flac_encode,
+                                                  _flac_parse_samples)
+
+    blob = _flac_encode(np.arange(-300, 300, dtype=np.int16), 8000,
+                        block_size=64)
+    for cut in (20, len(blob) // 2, len(blob) - 3):
+        assert _flac_parse_samples(bytes(blob[:cut])) is None
+
+
 def test_flac_and_wav_features_agree(spark):
     """synth_flac_table carries the SAME closed-form signal as
     synth_wav_table; audio_features over both containers must produce
