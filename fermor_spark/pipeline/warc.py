@@ -77,13 +77,25 @@ def warc_bytes(records: list[dict], warcinfo: bool = True,
     return bytes(out)
 
 
-def _iter_warc_records(name: str, data: bytes):
+# Raw-bytes ceiling for ONE gzip member. Per-record members (the Common
+# Crawl layout) sit far below it; a pathological SINGLE-member 1 GB
+# .warc.gz would otherwise decompress to several GB inside one task and
+# OOM the executor — the guard makes that file fail loudly with a
+# re-chunking instruction instead.
+MAX_MEMBER_BYTES = 1 << 30
+
+
+def _iter_warc_records(name: str, data: bytes,
+                       max_member_bytes: int = MAX_MEMBER_BYTES):
     """Yield WARC record rows from raw file bytes, gzip-aware WITHOUT
     whole-file materialization: a .warc.gz is decompressed MEMBER BY
     MEMBER (zlib, gzip framing), so per-record-gzip files — the Common
     Crawl layout, ~1 GB compressed holding several GB raw — hold at most
     one member's records in memory at a time. A single-member gzip (or
-    a plain file) degrades to one whole-stream parse."""
+    a plain file) degrades to one whole-stream parse, BOUNDED by
+    ``max_member_bytes`` raw bytes per member (zlib max_length caps the
+    decompression itself, so the guard trips before the memory is
+    spent, not after)."""
     import zlib
 
     if data[:2] != b"\x1f\x8b":
@@ -92,8 +104,20 @@ def _iter_warc_records(name: str, data: bytes):
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        member = d.decompress(rest)
+        member = d.decompress(rest, max_member_bytes + 1)
+        if len(member) > max_member_bytes or d.unconsumed_tail:
+            raise ValueError(
+                f"{name}: a single gzip member decompresses past "
+                f"max_member_bytes={max_member_bytes} — re-chunk the file "
+                "into per-record gzip members (the Common Crawl layout) "
+                "or raise the bound explicitly")
         member += d.flush()
+        if len(member) > max_member_bytes:
+            raise ValueError(
+                f"{name}: a single gzip member decompresses past "
+                f"max_member_bytes={max_member_bytes} — re-chunk the file "
+                "into per-record gzip members (the Common Crawl layout) "
+                "or raise the bound explicitly")
         yield from _parse_warc_stream(name, member)
         rest = d.unused_data
     if rest.strip(b"\r\n"):

@@ -1604,6 +1604,32 @@ def test_warc_warcinfo_filter_and_malformed(spark):
         list(_parse_warc_stream("f", b"NOTWARC/1.0\r\nx: y\r\n\r\n"))
 
 
+def test_warc_single_member_size_guard():
+    """A gzip member that decompresses past max_member_bytes fails
+    LOUDLY with the re-chunking message — zlib's max_length caps the
+    decompression itself, so the executor never pays the memory before
+    the guard trips. Per-record members of the same total size pass:
+    the bound is per member, not per file."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from fermor_spark.pipeline.warc import _iter_warc_records, warc_bytes
+
+    recs = [{"url": f"http://h/{i}", "payload": bytes(64)} for i in range(8)]
+    one_member = _gzip.compress(warc_bytes(recs, compress=False))
+    with _pytest.raises(ValueError, match="max_member_bytes"):
+        list(_iter_warc_records("big.warc.gz", one_member,
+                                max_member_bytes=1024))
+    # the SAME records as per-record members each sit under the bound
+    per_record = warc_bytes(recs, compress=True)
+    rows = list(_iter_warc_records("ok.warc.gz", per_record,
+                                   max_member_bytes=1024))
+    assert sum(1 for r in rows if r[1] == "response") == 8
+    # default bound: normal small files are untouched
+    assert list(_iter_warc_records("d.warc.gz", one_member))
+
+
 def test_html_extract_semantics():
     """Extractor unit contract: entities decode, script/style/template
     subtrees drop, <br> breaks lines, block tags delimit, link-dense
@@ -1736,6 +1762,56 @@ def test_robots_filter_spark(spark):
         "https://b.example/anything": False,
         "http://c.example/no-robots": True,
     }
+
+
+def test_robots_and_domain_filter_join_fallback(spark):
+    """Above the broadcast ceiling the operators must NOT collect the
+    artifact to the driver: robots rules parse distributed into a
+    (host, rules) table joined on host, and a DataFrame blocklist
+    matches via a suffix-explode join — SAME verdicts as the broadcast
+    path on the identical fixture (max_broadcast_rows=1 forces the
+    fallback; the >threshold table is synthetic padding rows)."""
+    from fermor_spark.pipeline.url import (domain_filter, robots_filter,
+                                           url_host)
+
+    robots_rows = [
+        ("a.example", "User-agent: *\nDisallow: /private/\nAllow: /private/pub"),
+        ("b.example", "User-agent: *\nDisallow: /"),
+    ] + [(f"pad{i}.example", "User-agent: *\nAllow: /") for i in range(40)]
+    robots = spark.createDataFrame(robots_rows,
+                                   "host string, robots_txt string")
+    urls = spark.createDataFrame([
+        ("http://a.example/ok",), ("http://A.EXAMPLE/private/x",),
+        ("http://a.example/private/pubx",),
+        ("https://b.example/anything",), ("http://c.example/no-robots",),
+        ("notaurl",),
+    ], "url string")
+    broadcast = {r["url"]: r["robots_ok"]
+                 for r in robots_filter(urls, "url", robots).collect()}
+    joined = {r["url"]: r["robots_ok"]
+              for r in robots_filter(urls, "url", robots,
+                                     max_broadcast_rows=1).collect()}
+    assert joined == broadcast
+    assert joined["http://A.EXAMPLE/private/x"] is False
+    assert joined["http://a.example/private/pubx"] is True
+    assert joined["notaurl"] is True   # null host allows
+
+    bl_rows = [("ads.example.com",)] + [(f"pad{i}.example",)
+                                        for i in range(40)]
+    bl = spark.createDataFrame(bl_rows, "domain string")
+    hosts = url_host(spark.createDataFrame([
+        ("http://Sub.ADS.example.com/p",), ("http://notads.example.com/",),
+        ("http://ads.example.com/",), ("notaurl",),
+    ], "url string"), "url")
+    b_path = {r["url"]: r["kept"]
+              for r in domain_filter(hosts, "host", bl).collect()}
+    j_path = {r["url"]: r["kept"]
+              for r in domain_filter(hosts, "host", bl,
+                                     max_broadcast_rows=1).collect()}
+    assert j_path == b_path
+    assert j_path["http://Sub.ADS.example.com/p"] is False
+    assert j_path["http://notads.example.com/"] is True
+    assert j_path["notaurl"] is True
 
 
 def test_incremental_exact_dedup_bloom_screen(spark):
