@@ -4757,6 +4757,157 @@ def pipeline_web_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
+# The full crawl story's oracle: curate_v2's SQL with its corpus replaced
+# by the web-gated subset (blocklist drops src0's host; robots' /private/
+# rule drops doc_id%3==0 docs on the odd-numbered sources' news host) plus
+# the text checksum that pins payload bytes through WARC + HTML. Derived
+# textually from _CURATE_V2_SQL so the two oracles cannot drift apart;
+# tests assert the derivation produced the expected CTE set.
+_CRAWL_E2E_SQL = _CURATE_V2_SQL.replace(
+    "FROM documents", "FROM gated"
+).replace(
+    """WITH RECURSIVE
+    tok AS MATERIALIZED (""",
+    """WITH RECURSIVE
+    gated AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE source != 'src0'
+        AND NOT (CAST(substr(source, 4) AS INT) % 2 = 1 AND doc_id % 3 = 0)
+    ),
+    tok AS MATERIALIZED ("""
+).replace(
+    """    SELECT split, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_chars,
+           sum(doc_id)::BIGINT AS sum_ids
+    FROM sp GROUP BY split""",
+    """    SELECT split, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_chars,
+           sum(doc_id)::BIGINT AS sum_ids,
+           sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+               % 1000000000)::BIGINT AS text_checksum
+    FROM sp GROUP BY split"""
+)
+
+
+@query("pipeline_crawl_e2e", _CRAWL_E2E_SQL)
+def pipeline_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FULL CRAWL STORY under one gate (r11; VERDICT r10 #6): crawl
+    files in, curated split corpus out — the front half (WARC → HTML
+    extraction → URL canonicalization → domain/robots politeness gates)
+    chained into curate_v2's back half (quality → classifier → SemDeDup →
+    hash split), WARC payload bytes flowing through the entire text stack
+    under one plan.
+
+    Every stage is load-bearing for the hash:
+    - each doc is crawled TWICE — a canonical URL and a deliberately messy
+      variant (uppercase scheme/host, explicit :80, doubled slashes,
+      trailing slash, tracking params, fragment). url_normalize must
+      collapse the pair or every downstream count doubles;
+    - domain_filter must drop the ads host (src0's docs);
+    - robots_filter must drop /private/ paths on the news host (the
+      odd-numbered sources' doc_id%3==0 docs) — the oracle restates both
+      gates as closed-form predicates on the source table;
+    - html_to_text must recover the article text exactly (the per-split
+      md5 text_checksum pins the bytes through WARC gzip + HTML escaping);
+    - then the already-gated curate_v2 stages run on the RECOVERED corpus,
+      so the oracle's funnel (repetition gate, hash-kernel classifier,
+      SemDeDup closure, md5 split lattice) is computed on crawl output,
+      not on the source table.
+
+    Scale shape: the URL dedup is one groupBy on norm_url (inherent to
+    exact URL dedup); both politeness gates are map-side (literal-array
+    blocklist, broadcast robots rules under the driver ceiling); the back
+    half's shapes are curate_v2's (left_semi stage joins, eager cache on
+    the filtered embedding set, cluster-confined quadratic work)."""
+    import shutil
+    import tempfile
+
+    from fermor_spark.pipeline.html import html_to_text
+    from fermor_spark.pipeline.sample import hash_split
+    from fermor_spark.pipeline.similarity import semantic_dedup
+    from fermor_spark.pipeline.text import classifier_score, \
+        repetition_metrics
+    from fermor_spark.pipeline.url import (domain_filter, robots_filter,
+                                           url_host, url_normalize)
+    from fermor_spark.pipeline.warc import read_warc, write_warc
+    from fermor_spark.session import managed_cache
+
+    d = table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    host = F.when(F.col("source") == "src0", "ads.example.com") \
+        .when(src_num % 2 == 1, "news.example.org") \
+        .otherwise("blog.example.net")
+    path = F.concat(
+        F.when((src_num % 2 == 1) & (F.col("doc_id") % 3 == 0),
+               F.lit("/private/")).otherwise(F.lit("/d/")),
+        F.col("doc_id").cast("string"))
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"),
+                         "<", "&lt;"), ">", "&gt;")
+    page = F.concat(
+        F.lit('<html><head><title>Doc '), F.col("doc_id"),
+        F.lit(' &amp; friends</title><script>var x="<p>not text</p>";'
+              '</script></head><body><nav><a href="/">Home</a> '
+              '<a href="/x">More</a> <a href="/y">Links</a></nav>'
+              '<article><p>'), esc,
+        F.lit('</p></article><footer><a href="/t">Terms</a> '
+              '<a href="/p">Privacy</a></footer></body></html>'))
+    canonical = F.concat(F.lit("http://"), host, path)
+    messy = F.concat(
+        F.lit("HTTP://"), F.upper(host), F.lit(":80"),
+        F.regexp_replace(path, "/", "//"), F.lit("/"),
+        F.lit("?utm_source=x&fbclid=y#frag"))
+    pages = d.select(canonical.alias("url"),
+                     F.encode(page, "UTF-8").alias("payload")) \
+        .unionAll(d.select(messy.alias("url"),
+                           F.encode(page, "UTF-8").alias("payload")))
+    tmp = tempfile.mkdtemp(prefix="fermor_crawl_gate_")
+    write_warc(pages, f"{tmp}/crawl", n_files=8, compress=True)
+
+    ex = html_to_text(read_warc(spark, f"{tmp}/crawl"), col="payload")
+    nu = url_normalize(ex.select("url", "extracted_text"), "url")
+    uniq = nu.groupBy("norm_url").agg(
+        F.min_by("extracted_text", "url").alias("text"))
+    polite = robots_filter(
+        domain_filter(url_host(uniq, "norm_url"), "host",
+                      ["ads.example.com"]),
+        "norm_url",
+        spark.createDataFrame(
+            [("news.example.org", "User-agent: *\nDisallow: /private/")],
+            "host string, robots_txt string"))
+    docs = polite.where(F.col("kept") & F.col("robots_ok")).select(
+        F.element_at(F.split("norm_url", "/"), -1).cast("long")
+        .alias("doc_id"), "text")
+
+    rep = repetition_metrics(docs, "doc_id", "text")
+    keep = rep.where(
+        (F.col("n_tokens") >= 20) & (F.col("dup_token_frac") <= 0.65)
+    ).select(F.col("id").alias("doc_id"))
+    s1 = docs.join(keep, "doc_id", "left_semi")
+    cls = classifier_score(s1, "doc_id", "text").where("passes").select(
+        F.col("id").alias("doc_id"))
+    s2 = s1.join(cls, "doc_id", "left_semi")
+    emb = table(spark, sf_dir, "embeddings").join(
+        s2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    emb = managed_cache(emb)
+    emb.count()
+    sd = semantic_dedup(emb, threshold=0.45, k=8).where("kept").select(
+        F.col("vec_id").alias("doc_id"))
+    s3 = s2.join(sd, "doc_id", "left_semi")
+    s4 = hash_split(s3, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                    seed="split")
+    out = s4.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15),
+                     16, 10).cast("long") % 1000000000)
+        .alias("text_checksum"))
+    rows = out.localCheckpoint(eager=True)   # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
 @query(
     "sketch_bloom_membership",
     """

@@ -1396,6 +1396,31 @@ def test_curate_e2e_nonvacuous(spark):
     assert all(r["n_docs"] > 0 and r["sum_chars"] > 0 for r in out.values())
 
 
+def test_crawl_e2e_nonvacuous(spark):
+    """The full-crawl gate must actually gate (an all-empty funnel still
+    hash-matches an all-empty oracle): survivors exist, every split is
+    nonempty, and the politeness gates DID drop documents — the gated
+    corpus is strictly smaller than the source, which is itself strictly
+    smaller than the 2x-crawled URL set the normalization collapsed."""
+    from fermor_spark.datasets import table
+    from fermor_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["split"]: r for r in
+           QUERIES["pipeline_crawl_e2e"](spark, sf).collect()}
+    total_docs = table(spark, sf, "documents").count()
+    survivors = sum(r["n_docs"] for r in out.values())
+    assert set(out) == {"train", "val", "test"}
+    assert 0 < survivors < total_docs
+    assert all(r["n_docs"] > 0 and r["sum_chars"] > 0 for r in out.values())
+    # the politeness gates bite: src0 (blocklist) and the odd-source
+    # /private/ docs (robots) are absent from every split by construction
+    gated = table(spark, sf, "documents").where(
+        "source != 'src0' AND NOT (CAST(substr(source, 4, 10) AS INT) % 2 "
+        "= 1 AND doc_id % 3 = 0)").count()
+    assert survivors <= gated < total_docs
+
+
 def test_semantic_dedup_drops_near_dups_keeps_min_id(spark):
     """Constructed corpus: two near-identical vectors (cosine ~1) plus an
     orthogonal one. The near-dup pair resolves to one component; the min
