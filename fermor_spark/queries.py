@@ -5746,62 +5746,62 @@ def dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed this round. Everything stays registered — the remainder keeps its
 # evidence via tests/test_oracle_parity.py, which sweeps ALL entries.
 _GATE_PRIORITY = [
-    # r10 gate rotation — executes exactly what the r9 window queued: ALL
-    # 40 remaining r6-vintage rows rotate in, restoring the <=2-round
-    # staleness invariant at the full registry for the first time since
-    # r7. The driver records the FIRST 50 registry rows; this list is
-    # exactly 50: 5 new-in-r10 + 5 changed-code + 40 staleness-3.
+    # r11 gate rotation. CAPACITY NOTE: the registry (153 queries after
+    # pipeline_crawl_e2e) has outgrown the 50-row window's 3-round cycle
+    # (50 x 3 = 150), so a strict <=2-round staleness invariant is no
+    # longer arithmetically satisfiable for every row every round. The
+    # r11 window spends its 50 slots on: 8 never-gated (the promised
+    # late-r10 web-ingest family, heading the window) + 1 new-in-r11 +
+    # 3 changed-code re-gates + 38 of the 47 r8-vintage rows. The NINE
+    # r8 rows that slip to staleness 3 are the lowest-risk frozen ones
+    # (structural graph ops, code untouched since <=r7, each with
+    # ref-value pytest + parity-sweep evidence) and are QUEUED TO HEAD
+    # THE R12 WINDOW: algo_dominators_flow, g_branch_merge,
+    # g_edge_documents, g_filter_one_of, g_group_count_kind,
+    # g_merge_graphs, g_other_v_both, g_set_documents_nation,
+    # g_transpose_nation. Going forward the burden rotates (no row slips
+    # two rounds running) and new registrations are budgeted against the
+    # stale cohort so the excess never compounds.
     #
-    # (1) new in r10 — a registered query is gated the round it lands:
-    "pipeline_curate_v2",
-    # (2) changed in r10 — must re-gate regardless of vintage: the eager
-    # shingle cache in minhash_dedup_pairs (curate_e2e + dedup_minhash_lsh
-    # gate it; dedup_clusters_minhash shares that one change and ceded its
-    # slot to the late-r10 arithmetic-JPEG gate below — parity sweep
-    # covers it), the 6dp cosine rounding + NaN guard on both engine
-    # sides (embedding-cosine + SemDeDup), and the SCC flood's reached
-    # checkpointing (g_scc_distributed is the forced leg that EXECUTES
-    # flood; g_scc_nation_ring takes the driver-local hybrid path at gate
-    # scale — the changed code never runs in its gate, so its r9 row
-    # stands and its slot goes to the flac addition below)
-    "pipeline_curate_e2e", "dedup_minhash_lsh",
-    "dedup_embedding_cosine", "semantic_dedup_keep",
-    "g_scc_distributed",
-    # (3) the 40 r6-vintage rows (staleness 3 — the rotation debt r8's
-    # skipped rotation created; r9 paid the r5 half, this is the rest)
-    "ann_ivf_topk", "ann_lsh_topk", "dedup_clusters_distributed",
-    "dedup_exact", "dedup_simhash_candidates", "events_by_dow",
-    "events_dedup_first", "events_enriched_by_type", "events_self_join_10m",
-    "events_sessions_30m", "events_sliding_6h_3h",
-    "events_streaming_self_join", "events_streaming_tumbling",
-    "events_tumbling_hour", "g_degree_nation", "g_lookahead_big_buyers",
-    "g_lookahead_range", "g_neg_lookahead_nations",
-    "g_order_count_distribution", "g_reachable_distributed", "g_recommender",
-    "g_shortest_path_distributed", "g_siblings_same_nation",
-    "g_triangle_count_copurchase", "pipeline_sink_roundtrip",
-    "q11_important_stock", "q16_supplier_relationship", "q1_pricing_summary",
-    "q20_potential_promotion", "q2_min_cost_supplier", "text_bigram_logprob",
-    "text_bpe_token_count", "text_chunk_windows", "text_fingerprint_overlap",
-    "text_lang_id", "text_quality", "text_repetition", "text_tfidf_topterms",
-    "text_token_count", "window_lag_user_delta",
-    # (4) the remaining r10 additions (a registered query gates the round
-    # it lands): sample.token_budget, the stateful streaming dedup gate,
-    # and the FLAC codec round trip (late-r10: decoder extended to LPC
-    # subframes + stereo decorrelation — this gate re-runs the changed
-    # _flac_decode on its fixed-path stream). The r9-fresh
-    # spares (dedup_ngram_jaccard, g_kcore_distributed — both staleness 1,
-    # code unchanged r10) ceded their slots; the parity sweep covers them.
-    "sample_token_budget", "events_streaming_dedup",
-    "multimodal_flac_features",
-    # late-r10 addition: the arithmetic-JPEG (SOF9 QM-coder) decode gate
-    "multimodal_arith_jpeg",
-    # NOT in this 50: sketch_bloom_membership, pipeline_warc_roundtrip,
-    # pipeline_web_e2e, pipeline_url_canonical, pipeline_streaming_warc,
-    # pipeline_robots_filter, dedup_incremental_corpus, and
-    # pipeline_corpus_profile (registered
-    # late-r10, tail position — the rotation promise holds; they are
-    # QUEUED TO HEAD THE R11 WINDOW with anything else that changes in
-    # r11; parity-swept now)
+    # (1) the 8 never-gated late-r10 registrations — the r10 rotation
+    # promise, executed exactly as queued:
+    "sketch_bloom_membership", "pipeline_warc_roundtrip",
+    "pipeline_web_e2e", "pipeline_url_canonical",
+    "pipeline_streaming_warc", "pipeline_robots_filter",
+    "dedup_incremental_corpus", "pipeline_corpus_profile",
+    # (dedup_incremental_corpus, pipeline_robots_filter and
+    # pipeline_url_canonical ALSO changed in r11 — text-equality verify
+    # join, size-guarded broadcasts — so their slots do double duty)
+    # (2) new in r11 — a registered query gates the round it lands:
+    "pipeline_crawl_e2e",
+    # (3) changed in r11 — the similarity threshold rounding went
+    # half-away-from-zero (cosine_pairs_exact + semantic_dedup execute
+    # it in these three gates; parity at sf0.01 verified the outputs
+    # identical in-session, but changed-executed-path rows re-gate):
+    "dedup_embedding_cosine", "semantic_dedup_keep", "pipeline_curate_v2",
+    # (multimodal_flac_features' r11 change is ERROR-PATH-ONLY — the
+    # widened exception set never fires on its valid fixed-path stream —
+    # so per the r10 convention its fresh r10 row stands; the four
+    # r8-vintage multimodal rows below re-gate the decode_image
+    # decorator change on their executed paths)
+    # (4) 38 of the 47 r8-vintage rows (staleness 2 -> must re-gate now;
+    # the other 9 slip per the capacity note above):
+    "ann_nearest_neighbor_all", "ann_quantized_topk", "ann_topk_cosine",
+    "decontaminate_overlap", "dedup_cut_spans", "dedup_duplicated_spans",
+    "dedup_lines_c4", "dedup_span_coverage", "events_funnel_conversion",
+    "events_retention_cohorts", "events_streaming_file_sink",
+    "events_streaming_user_state", "g_all_paths_region",
+    "g_connected_components", "g_kcore_ring_chains",
+    "g_label_propagation_ring", "g_pagerank_supply",
+    "g_reachable_from_region", "g_shortest_path_weighted",
+    "g_sorted_section_orders", "g_square_count_bipartite",
+    "g_subseq_degree", "g_take_drop_parts", "g_vertices_with_edge_supp",
+    "multimodal_audio_metadata", "multimodal_lossless_jpeg",
+    "multimodal_progressive_jpeg", "multimodal_video_metadata",
+    "pipeline_curation_funnel", "pipeline_jsonl_roundtrip",
+    "q12_priority_lines", "sample_stratified_source", "sample_weighted_mix",
+    "semantic_cluster_assign", "text_c4_filters", "text_gopher_quality",
+    "text_gopher_repetition", "text_redact_pii",
 ]
 
 
