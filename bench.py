@@ -294,6 +294,19 @@ def main() -> None:
     for t in TABLES:
         table(spark, SF_DIR, t).count()
 
+    # Scheduler-baseline probe (r11, VERDICT r10 #4): 24 rounds of a
+    # fixed no-op barrier job (one exchange, 32 tasks/stage — the shape
+    # of one iterative-operator round on a tiny frontier). Iterative
+    # lines' wall time at this SF is ~all per-round scheduling floor, so
+    # a uniform VM/scheduler shift multiplies by round count and reads as
+    # a phantom regression (the r10 record's 1.18x cluster). Carrying the
+    # floor in every record lets round-over-round comparisons normalize:
+    # a line moving with sched_floor is environment, not plan.
+    t0 = time.perf_counter()
+    for _ in range(24):
+        spark.range(1024).repartition(32).count()
+    sched_floor = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     g = star_graph(spark, SF_DIR)
     g.E.count()  # materialize the cached edge table
@@ -390,7 +403,7 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total", "value": total, "unit": "sec",
         "sf": sf_val, "rounds": rounds, "queries": timings,
-        "runs": all_runs, "key_map": keymap,
+        "runs": all_runs, "key_map": keymap, "sched_floor": sched_floor,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -406,7 +419,7 @@ def main() -> None:
     line = json.dumps({
         "metric": "headline_queries_total", "value": total, "unit": "sec",
         "queries": {keymap[k]: round(v, 2) for k, v in timings.items()},
-        "sf": sf_val, "rounds": rounds,
+        "sf": sf_val, "rounds": rounds, "sched_floor": sched_floor,
     }, separators=(",", ":"))
     if len(line) > 1950:
         # keep the queries map's value type name->float (empty beats a
@@ -415,7 +428,7 @@ def main() -> None:
         line = json.dumps({
             "metric": "headline_queries_total", "value": total,
             "unit": "sec", "queries": {}, "detail": "BENCH_DETAIL.json",
-            "sf": sf_val, "rounds": rounds,
+            "sf": sf_val, "rounds": rounds, "sched_floor": sched_floor,
         }, separators=(",", ":"))
     print(line)
 

@@ -36,7 +36,7 @@ from bench import short_key  # noqa: E402
 # r10 close parsed these six out of the tail, compared ZERO shared query
 # keys and printed "clean" — the exact vacuous comparison this tool exists
 # to refuse. Any tail parse must strip them before deciding it found data.
-_NON_QUERY_KEYS = {"value", "sf", "n", "rc", "cpus",
+_NON_QUERY_KEYS = {"value", "sf", "n", "rc", "cpus", "sched_floor",
                    "cc", "kcore", "scc", "bf", "bfs"}
 
 
@@ -161,6 +161,24 @@ def main() -> int:
     print(f"prev={os.path.basename(prev_path)} cur={os.path.basename(cur_path)}")
     print(f"shared-key totals: {shared_prev:.1f}s -> {shared_cur:.1f}s "
           f"({shared_cur / max(shared_prev, 1e-9):.2f}x)")
+
+    # scheduler-floor normalization (r11): records carry bench.py's
+    # fixed 24-round barrier probe; a shared-key shift that tracks the
+    # floor ratio is environment, not plan decay.
+    def _floor(path):
+        d = json.load(open(path))
+        for src in (d, d.get("parsed") or {}):
+            if isinstance(src, dict) and "sched_floor" in src:
+                return float(src["sched_floor"])
+        m = re.search(r'"sched_floor":\s*([0-9.]+)', d.get("tail", "")
+                      if "tail" in d else "")
+        return float(m.group(1)) if m else None
+
+    fp, fc = _floor(prev_path), _floor(cur_path)
+    if fp and fc:
+        print(f"sched_floor: {fp:.2f}s -> {fc:.2f}s ({fc / fp:.2f}x) — "
+              "compare line moves against this before calling them plan "
+              "changes")
     for k, p, v in regressions:
         note = "(explained in PLANS.md)" if (k, p, v) not in blocked else \
             "** NO PLANS.md ROOT CAUSE — BLOCKS CLOSE **"
