@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "sketch_bloom_membership",
     "pipeline_web_e2e",
     "dedup_incremental_corpus",
+    # r11 addition: the FULL crawl story — WARC -> HTML -> URL dedup ->
+    # domain/robots gates chained into curate_v2's quality/classifier/
+    # SemDeDup/split back half, payload bytes end to end under one plan
+    "pipeline_crawl_e2e",
 ]
 
 
@@ -326,7 +330,8 @@ def main() -> None:
     # start clean. Applied only to the composed heavyweights; a blanket
     # drain would add ~2 min of untimed wall to the 78-query session for
     # queries that showed no within-sequence deferral.
-    WITHIN_RUN_DRAIN = {"pipeline_curate_e2e", "pipeline_curate_v2"}
+    WITHIN_RUN_DRAIN = {"pipeline_curate_e2e", "pipeline_curate_v2",
+                        "pipeline_crawl_e2e"}
 
     def _drain() -> None:
         gc.collect()

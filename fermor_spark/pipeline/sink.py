@@ -88,3 +88,114 @@ def read_corpus_jsonl(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+TAR_SHARD_SCHEMA = "shard string, key string, text string, meta string"
+
+
+def write_corpus_tar(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: Sequence[str] = (),
+    n_shards: int = 8,
+) -> None:
+    """Write the corpus as WebDataset-convention tar shards — the format
+    sequential training loaders consume (members of one sample share a
+    basename key: ``{key}.txt`` holds the text bytes, ``{key}.json`` the
+    metadata object; shards stream start-to-finish with no index).
+
+    Scale shape: rows bucket by a hash of the key (deterministic under
+    any input partitioning, same mechanism as the WARC sink), one
+    applyInPandas task writes one shard start-to-finish — no global
+    sort, no driver collection, shard count = write parallelism. Tar
+    headers are normalized (mtime/uid/gid zero) so a shard's bytes are
+    a pure function of its rows — re-runs are byte-idempotent. Like the
+    WARC fixture sink this writes task-local files under ``path``; a
+    production deployment points the same writer at a mounted object
+    store."""
+    import io
+    import json
+    import os
+    import tarfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    metas = list(meta_cols)
+    sel = df.select(
+        F.col(key_col).cast("string").alias("_key"),
+        F.col(text_col).alias("_text"),
+        *[F.col(c) for c in metas],
+        (F.abs(F.xxhash64(F.col(key_col).cast("string"))) % n_shards)
+        .alias("_b"))
+
+    def write_shard(key, pdf):
+        b = int(key[0])
+        pdf = pdf.sort_values("_key")
+        buf = io.BytesIO()
+
+        def add(tar, name, data: bytes):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tar.addfile(info, io.BytesIO(data))
+
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(pdf.columns, row))
+                add(tar, f"{d['_key']}.txt",
+                    (d["_text"] or "").encode("utf-8"))
+                meta = {c: d[c] for c in metas}
+                add(tar, f"{d['_key']}.json",
+                    json.dumps(meta, sort_keys=True,
+                               default=str).encode("utf-8"))
+        with open(f"{path}/shard-{b:05d}.tar", "wb") as f:
+            f.write(buf.getvalue())
+        return pd.DataFrame({"shard": [b], "n": [len(pdf)]})
+
+    sel.groupBy("_b").applyInPandas(write_shard, "shard int, n long") \
+        .collect()
+
+
+def read_corpus_tar(spark, path: str) -> DataFrame:
+    """Read WebDataset-style tar shards back → (shard, key, text, meta)
+    rows. binaryFile one-shard-per-task scan (the shard IS the
+    parallelism unit, exactly how a training loader consumes it) →
+    partition-local tarfile walk grouping members by basename key; one
+    output frame per shard, so a task holds one shard's samples."""
+    import io
+    import os
+    import tarfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.tar").load(path) \
+        .select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for name, content in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(str(name))
+                samples: dict[str, dict[str, bytes]] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        if not m.isfile():
+                            continue
+                        base, _, ext = m.name.rpartition(".")
+                        samples.setdefault(base, {})[ext] = \
+                            tar.extractfile(m).read()
+                rows = [(shard, k,
+                         s.get("txt", b"").decode("utf-8"),
+                         s.get("json", b"{}").decode("utf-8"))
+                        for k, s in sorted(samples.items())]
+                yield pd.DataFrame(
+                    rows, columns=["shard", "key", "text", "meta"])
+
+    return files.mapInPandas(run, TAR_SHARD_SCHEMA)

@@ -3406,6 +3406,66 @@ def pipeline_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
+@query(
+    "pipeline_tar_shards",
+    """
+    SELECT lang, count(*) AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           sum(doc_id)::BIGINT AS sum_ids,
+           sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+               % 1000000000)::BIGINT AS text_checksum,
+           TRUE AS metas_ok,
+           TRUE AS keys_unique
+    FROM documents GROUP BY lang
+    """,
+)
+def pipeline_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard EXPORT/INGEST round trip under the gate
+    (r11): the corpus writes as hash-bucketed tar shards ({key}.txt +
+    {key}.json members per sample — the sequential-shard format training
+    loaders consume; pipeline.sink.write_corpus_tar), reads back through
+    the one-shard-per-task binaryFile walk (read_corpus_tar), and
+    aggregates per RECOVERED-metadata lang. Matching the oracle proves
+    every sample survived the tar framing byte-exactly (per-lang md5 text
+    checksum), landed in the right group (grouping key comes from the
+    deserialized meta JSON, not the source table), serialized its
+    metadata faithfully (metas_ok is EARNED by joining recovered meta
+    against the source columns), and appeared exactly once across all
+    shards (keys_unique earned as count == distinct count; the inner
+    join would also shift n_docs on any loss or duplication)."""
+    import shutil
+    import tempfile
+
+    from fermor_spark.pipeline.sink import read_corpus_tar, write_corpus_tar
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    tmp = tempfile.mkdtemp(prefix="fermor_tar_gate_")
+    path = f"{tmp}/shards"
+    write_corpus_tar(d, path, key_col="doc_id", text_col="text",
+                     meta_cols=("lang", "source"), n_shards=8)
+    rec = read_corpus_tar(spark, path).select(
+        F.col("key").cast("long").alias("doc_id"), "text",
+        F.get_json_object("meta", "$.lang").alias("m_lang"),
+        F.get_json_object("meta", "$.source").alias("m_source"))
+    j = rec.join(
+        d.select("doc_id", F.col("lang").alias("s_lang"),
+                 F.col("source").alias("s_source")), "doc_id")
+    agg = j.groupBy(F.col("m_lang").alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_text_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15),
+                     16, 10).cast("long") % 1000000000)
+        .alias("text_checksum"),
+        F.min((F.col("m_lang") == F.col("s_lang"))
+              & (F.col("m_source") == F.col("s_source"))).alias("metas_ok"),
+        (F.count("*") == F.count_distinct("doc_id")).alias("keys_unique"))
+    rows = agg.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
 # The composed curation pipeline's FULL-COMPUTATION oracle: every stage's
 # already-gated SQL (token-repetition quality gate / Gopher repetition /
 # ESD trim / MinHash-LSH + exact verify + recursive-CTE closure /
@@ -5761,7 +5821,10 @@ _GATE_PRIORITY = [
     # g_merge_graphs, g_other_v_both, g_set_documents_nation,
     # g_transpose_nation. Going forward the burden rotates (no row slips
     # two rounds running) and new registrations are budgeted against the
-    # stale cohort so the excess never compounds.
+    # stale cohort so the excess never compounds. pipeline_tar_shards
+    # (registered late-r11, tail position — the late-r10 precedent) is
+    # ALSO queued to head the r12 window; it carries sf0.001+sf0.01
+    # oracle verification and the parity sweep until then.
     #
     # (1) the 8 never-gated late-r10 registrations — the r10 rotation
     # promise, executed exactly as queued:
