@@ -174,10 +174,41 @@ def domain_filter(df: DataFrame, host_col: str, blocked,
 # crawler-derived corpus applies per host before keeping a page —
 # complements the per-page robots-meta noindex that pipeline.html
 # extracts. Rule evaluation is longest-match with allow winning ties,
-# '*' wildcards and '$' end anchors per the RFC. Honest scope: exact
-# (case-insensitive) product-token group match with '*' fallback,
-# merged duplicate groups; percent-decoding equivalence is NOT applied
-# (rules and paths compare as written).
+# '*' wildcards and '$' end anchors, and percent-encoding equivalence
+# (RFC 9309 §2.2.2: encoded and unencoded US-ASCII octets compare
+# equal, except %2F which stays a distinct octet from a literal '/').
+# Honest scope: exact (case-insensitive) product-token group match with
+# '*' fallback, merged duplicate groups.
+
+
+def _pct_decode(s: str) -> str:
+    """Percent-decode for robots path comparison (RFC 9309 §2.2.2):
+    every %XX octet decodes EXCEPT %2F — an encoded slash is a data
+    octet, not a path separator, and must not compare equal to '/'.
+    It is canonicalized to uppercase %2F so the two spellings of the
+    exception compare equal to each other. Invalid escapes pass
+    through as literal text."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 3 <= n:
+            hx = s[i + 1:i + 3]
+            try:
+                v = int(hx, 16)
+            except ValueError:
+                out.append(c)
+                i += 1
+                continue
+            if v == 0x2F:
+                out.append("%2F")
+            else:
+                out.append(chr(v))
+            i += 3
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
@@ -214,11 +245,19 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
 
 def _robots_match_len(pattern: str, path: str) -> int:
     """Octet length of ``pattern`` when it matches ``path`` (prefix
-    semantics, '*' wildcard, '$' end anchor), else -1."""
+    semantics, '*' wildcard, '$' end anchor, percent-encoding
+    equivalence), else -1. Wildcards and anchors are recognized on the
+    RAW pattern first — an encoded %2A/%24 is a literal '*'/'$' octet,
+    never a metacharacter — then both the literal segments and the path
+    percent-decode (except %2F) so encoded and unencoded spellings of
+    the same octet match. Match length is measured on the decoded
+    pattern, keeping longest-match precedence spelling-independent."""
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
-    parts = pattern.split("*")
+    parts = [_pct_decode(seg) for seg in pattern.split("*")]
+    path = _pct_decode(path)
+    pattern = "*".join(parts)
 
     def rec(pos: int, pi: int) -> int:
         if pi == len(parts):

@@ -1804,6 +1804,35 @@ Disallow: /shared/
     assert robots_allowed("/anything", parse_robots("", "*")) is True
 
 
+def test_robots_percent_encoding_equivalence():
+    """RFC 9309 §2.2.2: percent-encoded and unencoded US-ASCII octets
+    compare EQUAL (either spelling, either side, any hex case) — except
+    %2F, which stays a distinct octet from a literal '/'. Encoded
+    metacharacters (%2A, %24) are literal octets, never wildcards or
+    anchors."""
+    from fermor_spark.pipeline.url import _robots_match_len
+
+    # encoded pattern vs decoded path, and the reverse, and hex case
+    assert _robots_match_len("/a%3Cd", "/a<d") > 0
+    assert _robots_match_len("/a<d", "/a%3cd") > 0
+    assert _robots_match_len("/a%3cd", "/a%3Cd") > 0
+    # %2F is NOT a slash: neither direction matches a literal '/'
+    assert _robots_match_len("/a%2Fb", "/a/b") == -1
+    assert _robots_match_len("/a/b", "/a%2Fb") == -1
+    # ...but the two spellings of the exception match each other
+    assert _robots_match_len("/a%2Fb", "/a%2fb") > 0
+    # %2A is a literal '*', not a wildcard; %24 a literal '$', no anchor
+    assert _robots_match_len("/x%2Ay", "/x*y") > 0
+    assert _robots_match_len("/x%2Ay", "/xzzy") == -1
+    assert _robots_match_len("/p%24", "/p$more") > 0   # prefix, no anchor
+    # raw metacharacters still work through decoding
+    assert _robots_match_len("/q*%3C$", "/qabc<") > 0
+    # longest-match precedence is spelling-independent: both spellings
+    # of the same rule report the same (decoded) match length
+    assert (_robots_match_len("/a%3Cd", "/a<d")
+            == _robots_match_len("/a<d", "/a<d"))
+
+
 def test_robots_filter_spark(spark):
     """robots_filter: per-host rules broadcast once, URLs evaluated
     map-side; hosts without a fetched robots.txt allow everything."""
