@@ -750,6 +750,32 @@ def test_url_normalize_idempotent(spark, host, scheme, port, path,
     assert twice == once, (u, once, twice)
 
 
+@settings(max_examples=200, deadline=None)
+@given(s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                 max_size=40))
+def test_robots_pct_decode_matches_unquote_reference(s):
+    """_pct_decode agrees with urllib's unquote on every printable-ASCII
+    string whose decode contains no slash-octet (the %2F carve-out is
+    the ONLY intended divergence, RFC 9309 §2.2.2), is idempotent once
+    fully decoded of valid escapes, and never raises on malformed
+    escapes. The reference decodes latin-1 (per-octet) because robots
+    matching compares OCTETS — urllib's default UTF-8 mode would fuse
+    %C3%A9 into one codepoint and diverge by design, not by bug."""
+    from urllib.parse import unquote
+
+    from fermor_spark.pipeline.url import _pct_decode
+
+    got = _pct_decode(s)
+    ref = unquote(s, encoding="latin-1")
+    if "/" not in ref and "%2F" not in got:
+        assert got == ref, (s, got, ref)
+    # %XX-free output is a fixpoint (all that remains are literal '%'
+    # from malformed escapes or the canonical %2F carve-out)
+    again = _pct_decode(got)
+    if "%" not in got.replace("%2F", ""):
+        assert again == got
+
+
 @settings(max_examples=10, deadline=None)
 @given(payloads=st.lists(st.binary(max_size=200), min_size=1, max_size=12),
        compress=st.booleans())
