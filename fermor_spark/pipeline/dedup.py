@@ -795,3 +795,46 @@ def incremental_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
     return probed.join(hits, id_col, "left").select(
         *new_df.columns,
         F.coalesce(~F.col("_confirmed"), F.lit(True)).alias(out_col))
+
+
+def incremental_exact_dedup_stream(new_stream: DataFrame,
+                                   corpus_df: DataFrame,
+                                   id_col: str, text_col: str,
+                                   fpp: float = 0.001,
+                                   out_col: str = "is_new",
+                                   hash_col=None) -> DataFrame:
+    """STREAMING-arrival variant of incremental_exact_dedup — the
+    production crawl loop's novelty tag: documents land continuously and
+    each must be marked novel-vs-corpus as its micro-batch drains.
+
+    Fully STATELESS per micro-batch, so it runs in append mode with no
+    state store: the corpus Bloom filter builds ONCE (batch side,
+    broadcast), every arriving row probes it map-side, misses
+    short-circuit as novel without touching the corpus again, and only
+    the hit minority pays a stream-static left join against the corpus
+    (hash, text) table — text equality decides exactly, same contract as
+    the batch operator. The stream never aggregates, so arbitrarily late
+    data needs no watermark here. Scale notes: persist/bucket the corpus
+    (hash, text) table in production (a stream-static join re-plans the
+    static side per micro-batch); IN-STREAM duplicates are deliberately
+    NOT collapsed (that is dropDuplicatesWithinWatermark's job — compose
+    it upstream when the landing zone can re-deliver)."""
+    from fermor_spark.sketches import bloom_build, bloom_member_col
+
+    hfn = hash_col or (lambda c: F.xxhash64(c).cast("string"))
+    corpus_h = corpus_df.select(
+        hfn(F.col(text_col)).cast("string").alias("_cth"),
+        F.col(text_col).alias("_ctext")).distinct()
+    n = corpus_h.count()
+    sketch = bloom_build(corpus_h, "_cth", expected_items=max(1, n),
+                         fpp=fpp)
+    probed = bloom_member_col(
+        new_stream.withColumn("_th", hfn(F.col(text_col)).cast("string")),
+        "_th", sketch, out_col="_maybe_dup")
+    misses = probed.where(~F.col("_maybe_dup")).select(
+        *new_stream.columns, F.lit(True).alias(out_col))
+    hits = probed.where(F.col("_maybe_dup")).join(
+        corpus_h, (F.col("_th") == F.col("_cth"))
+        & (F.col(text_col) == F.col("_ctext")), "left") \
+        .select(*new_stream.columns, F.col("_cth").isNull().alias(out_col))
+    return misses.unionByName(hits)

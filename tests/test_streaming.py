@@ -203,6 +203,46 @@ def test_file_sink_matches_memory_sink(spark, batch_events, tmp_path):
     assert back.count() > 0
 
 
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """incremental_exact_dedup_stream over a multi-micro-batch file
+    drain produces EXACTLY the batch operator's novelty verdicts —
+    Bloom misses short-circuit as novel, Bloom hits resolve by
+    stream-static text equality (a forced-collision hash makes every
+    row a hit, so the verify leg is load-bearing for every verdict)."""
+    from pyspark.sql import functions as F
+
+    from fermor_spark.pipeline.dedup import (incremental_exact_dedup,
+                                             incremental_exact_dedup_stream)
+    from fermor_spark.streaming import run_to_memory
+
+    corpus = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(40)], "doc_id long, text string")
+    arriving = [(100 + i, f"text-{i * 3}") for i in range(20)] \
+        + [(200 + i, f"novel-{i}") for i in range(10)]
+    new_df = spark.createDataFrame(arriving, "doc_id long, text string")
+    src = str(tmp_path / "landing")
+    new_df.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = incremental_exact_dedup_stream(stream, corpus, "doc_id", "text")
+    assert out.isStreaming
+    run_to_memory(out, "inc_dedup_stream")
+    got = {r["doc_id"]: r["is_new"]
+           for r in spark.table("inc_dedup_stream").collect()}
+    want = {r["doc_id"]: r["is_new"] for r in incremental_exact_dedup(
+        new_df, corpus, "doc_id", "text").collect()}
+    assert got == want and len(got) == len(arriving)
+    assert got[100] is False and got[200] is True
+    # total-collision hash: every row bloom-hits, text equality decides
+    run_to_memory(incremental_exact_dedup_stream(
+        stream, corpus, "doc_id", "text",
+        hash_col=lambda c: F.lit("x")), "inc_dedup_stream2")
+    got2 = {r["doc_id"]: r["is_new"]
+            for r in spark.table("inc_dedup_stream2").collect()}
+    assert got2 == want
+
+
 def test_streaming_warc_to_curated_files_exactly_once(spark):
     """The production crawl loop end to end (VERDICT r10 #8): WARC
     landing zone → streaming record walk → HTML text extraction →
