@@ -4938,6 +4938,14 @@ def pipeline_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = polite.where(F.col("kept") & F.col("robots_ok")).select(
         F.element_at(F.split("norm_url", "/"), -1).cast("long")
         .alias("doc_id"), "text")
+    # cache the RECOVERED corpus eagerly: the back-half funnel's plan has
+    # ~4 legs over `docs` (repetition agg, s1, classifier agg, the final
+    # chain), and uncached each leg replays the whole WARC-read + HTML
+    # extraction + URL normalization front half — measured 16.2 s -> the
+    # settled post-cache level at sf0.1. Same multi-consumer-eager rule
+    # as curate_v2's embedding cache (r10, scale-patterns).
+    docs = managed_cache(docs)
+    docs.count()
 
     rep = repetition_metrics(docs, "doc_id", "text")
     keep = rep.where(
