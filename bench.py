@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "sketch_bloom_membership",
     "pipeline_web_e2e",
     "dedup_incremental_corpus",
+    # r11 addition: incremental NEAR-dup snapshot-vs-corpus dedup (banded
+    # signature join + integerized exact-Jaccard verify)
+    "dedup_incremental_minhash",
     # r11 addition: the FULL crawl story — WARC -> HTML -> URL dedup ->
     # domain/robots gates chained into curate_v2's quality/classifier/
     # SemDeDup/split back half, payload bytes end to end under one plan

@@ -797,6 +797,74 @@ def incremental_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
         F.coalesce(~F.col("_confirmed"), F.lit(True)).alias(out_col))
 
 
+def incremental_minhash_dedup(new_df: DataFrame, corpus_df: DataFrame,
+                              id_col: str, text_col: str, n: int = 3,
+                              num_hashes: int = 8, num_bands: int = 4,
+                              threshold: tuple[int, int] = (1, 2),
+                              out_col: str = "near_dup_of") -> DataFrame:
+    """Incremental NEAR-dup ingest dedup — the MinHash sibling of
+    incremental_exact_dedup: tag each NEW document with its nearest
+    corpus near-duplicate (the MIN corpus id among verified matches;
+    null = novel), where "near-dup" means word-n-gram Jaccard >=
+    ``threshold`` (a num/den rational, so the verify comparison is pure
+    integer arithmetic — den·i >= num·(|A|+|B|−i) — and no float
+    boundary can flip between engines) among LSH band-candidate pairs.
+
+    The banding is the documented approximation (identical on any
+    engine that replays the same md5 hash family): a true near-dup pair
+    sharing no band key is not reported, exactly like the corpus-wide
+    MinHash operator. Hash family = min over md5(seed‖shingle) hex —
+    deterministic, oracle-replayable.
+
+    Scale shape: the corpus signature/band table is a groupBy over
+    corpus shingles — the production loop PERSISTS it per snapshot and
+    appends (signatures never change once computed), so each cycle only
+    the new snapshot pays shingling; candidates come from one equi-join
+    on (band, key) where the new side is the small one; only candidate
+    pairs pay the exact-Jaccard verify, which joins shingles on
+    (corpus_id, shingle) — intersection-sized work, never |A|×|B|."""
+    rows = num_hashes // num_bands
+
+    def sig(sh):
+        aggs = [F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh"))
+                            .cast("binary"))).alias(f"h{i}")
+                for i in range(num_hashes)]
+        return sh.groupBy("id").agg(*aggs)
+
+    def band_keys(mh, idname):
+        parts = None
+        for bnd in range(num_bands):
+            key = F.concat(*[F.col(f"h{bnd * rows + r}")
+                             for r in range(rows)])
+            p = mh.select(F.col("id").alias(idname),
+                          F.lit(bnd).alias("band"), key.alias("key"))
+            parts = p if parts is None else parts.unionByName(p)
+        return parts
+
+    nsh = shingle_table(new_df, id_col, text_col, n)
+    csh = shingle_table(corpus_df, id_col, text_col, n)
+    cand = (band_keys(sig(nsh), "new_id")
+            .join(band_keys(sig(csh), "corpus_id"), ["band", "key"])
+            .select("new_id", "corpus_id").distinct())
+    nsz = nsh.groupBy("id").agg(F.count("*").alias("na")) \
+        .withColumnRenamed("id", "new_id")
+    csz = csh.groupBy("id").agg(F.count("*").alias("nc")) \
+        .withColumnRenamed("id", "corpus_id")
+    inter = (cand
+             .join(nsh.select(F.col("id").alias("new_id"), "sh"), "new_id")
+             .join(csh.select(F.col("id").alias("corpus_id"), "sh"),
+                   ["corpus_id", "sh"])
+             .groupBy("new_id", "corpus_id").agg(F.count("*").alias("i")))
+    tnum, tden = threshold
+    ver = (inter.join(nsz, "new_id").join(csz, "corpus_id")
+           .where(tden * F.col("i")
+                  >= tnum * (F.col("na") + F.col("nc") - F.col("i")))
+           .groupBy("new_id").agg(F.min("corpus_id").alias(out_col))
+           .withColumnRenamed("new_id", id_col))
+    return new_df.join(ver, id_col, "left").select(
+        *new_df.columns, F.col(out_col))
+
+
 def incremental_exact_dedup_stream(new_stream: DataFrame,
                                    corpus_df: DataFrame,
                                    id_col: str, text_col: str,

@@ -4581,6 +4581,126 @@ def dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "is_new")
 
 
+_INC_MINHASH_SQL = r"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+    ),
+    newdocs AS MATERIALIZED (
+      -- near-dup mutants (first token dropped) + genuinely-new texts
+      -- (a marker token interleaved, so no 3-gram survives)
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(trim(text), strpos(trim(text), ' ') + 1) AS text
+      FROM documents WHERE doc_id % 8 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, replace(trim(text), ' ', ' qq ')
+      FROM documents WHERE doc_id % 8 = 2
+    ),
+    csh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM corpus),
+           UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    nsh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM newdocs),
+           UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    cmh AS (
+      SELECT doc_id,
+             min(md5('0' || sh)) AS h0, min(md5('1' || sh)) AS h1,
+             min(md5('2' || sh)) AS h2, min(md5('3' || sh)) AS h3,
+             min(md5('4' || sh)) AS h4, min(md5('5' || sh)) AS h5,
+             min(md5('6' || sh)) AS h6, min(md5('7' || sh)) AS h7
+      FROM csh GROUP BY doc_id
+    ),
+    nmh AS (
+      SELECT doc_id,
+             min(md5('0' || sh)) AS h0, min(md5('1' || sh)) AS h1,
+             min(md5('2' || sh)) AS h2, min(md5('3' || sh)) AS h3,
+             min(md5('4' || sh)) AS h4, min(md5('5' || sh)) AS h5,
+             min(md5('6' || sh)) AS h6, min(md5('7' || sh)) AS h7
+      FROM nsh GROUP BY doc_id
+    ),
+    cb AS (
+      SELECT doc_id, 0 AS band, h0 || h1 AS key FROM cmh
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM cmh
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM cmh
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM cmh
+    ),
+    nb AS (
+      SELECT doc_id, 0 AS band, h0 || h1 AS key FROM nmh
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM nmh
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM nmh
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM nmh
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM nb n JOIN cb c ON n.band = c.band AND n.key = c.key
+    ),
+    nsz AS (SELECT doc_id, count(*) AS na FROM nsh GROUP BY doc_id),
+    csz AS (SELECT doc_id, count(*) AS nc FROM csh GROUP BY doc_id),
+    inter AS (
+      SELECT cand.new_id, cand.corpus_id, count(*) AS i
+      FROM cand
+      JOIN nsh ON nsh.doc_id = cand.new_id
+      JOIN csh ON csh.doc_id = cand.corpus_id AND csh.sh = nsh.sh
+      GROUP BY cand.new_id, cand.corpus_id
+    ),
+    ver AS (
+      SELECT new_id, min(corpus_id) AS near_dup_of
+      FROM inter
+      JOIN nsz ON nsz.doc_id = inter.new_id
+      JOIN csz ON csz.doc_id = inter.corpus_id
+      WHERE 2 * i >= 1 * (na + nc - i)
+      GROUP BY new_id
+    )
+    SELECT n.doc_id, v.near_dup_of,
+           v.near_dup_of IS NULL AS is_novel
+    FROM newdocs n LEFT JOIN ver v ON v.new_id = n.doc_id
+"""
+
+
+@query("dedup_incremental_minhash", _INC_MINHASH_SQL)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup snapshot-vs-corpus dedup under the gate (r11)
+    — the MinHash sibling of dedup_incremental_corpus: each NEW document
+    is tagged with its nearest corpus near-duplicate (min corpus id among
+    band-candidate pairs whose word-3-gram Jaccard >= 1/2, integerized as
+    2·i >= |A|+|B|−i so no float boundary exists) or null when novel.
+    The new snapshot is constructed to make BOTH verdict classes and the
+    verify-reject path load-bearing: first-token-dropped mutants of
+    corpus docs (high Jaccard — found via banding, verified), and
+    marker-interleaved texts (zero shared 3-grams — novel). The oracle
+    replays the ENTIRE computation: the md5 minhash family, the 4×2
+    banding, the candidate join, and the integerized Jaccard verify —
+    banding misses are therefore identical on both engines, the same
+    documented approximation as dedup_minhash_lsh.
+
+    Scale shape (pipeline.dedup.incremental_minhash_dedup): corpus
+    signatures/bands are persistable per snapshot (append-only — only
+    the new snapshot pays shingling each cycle); one (band, key)
+    equi-join produces candidates; verification joins shingles on
+    (corpus_id, shingle) — intersection-sized, never |A|×|B|."""
+    from fermor_spark.pipeline.dedup import incremental_minhash_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    near = docs.where(F.col("doc_id") % 8 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(trim(text), instr(trim(text), ' ') + 1)")
+        .alias("text"))
+    novel = docs.where(F.col("doc_id") % 8 == 2).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("replace(trim(text), ' ', ' qq ')").alias("text"))
+    corpus = docs.where(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    out = incremental_minhash_dedup(near.unionByName(novel), corpus,
+                                    "doc_id", "text")
+    return out.select("doc_id", "near_dup_of",
+                      F.col("near_dup_of").isNull().alias("is_novel"))
+
+
 @query(
     "pipeline_robots_filter",
     """
@@ -5829,10 +5949,11 @@ _GATE_PRIORITY = [
     # g_merge_graphs, g_other_v_both, g_set_documents_nation,
     # g_transpose_nation. Going forward the burden rotates (no row slips
     # two rounds running) and new registrations are budgeted against the
-    # stale cohort so the excess never compounds. pipeline_tar_shards
-    # (registered late-r11, tail position — the late-r10 precedent) is
-    # ALSO queued to head the r12 window; it carries sf0.001+sf0.01
-    # oracle verification and the parity sweep until then.
+    # stale cohort so the excess never compounds. pipeline_tar_shards and
+    # dedup_incremental_minhash (registered late-r11, tail position — the
+    # late-r10 precedent) are ALSO queued to head the r12 window; both
+    # carry sf0.001+sf0.01 oracle verification and the parity sweep until
+    # then.
     #
     # (1) the 8 never-gated late-r10 registrations — the r10 rotation
     # promise, executed exactly as queued:

@@ -1924,6 +1924,33 @@ def test_incremental_exact_dedup_bloom_screen(spark):
     assert all(got[2000 + i] is True for i in range(10))
 
 
+def test_incremental_minhash_dedup_planted(spark):
+    """Planted near-dups: a one-token edit of a corpus doc resolves to
+    THAT doc (min corpus id among verified matches); an unrelated text
+    is novel; a candidate pair that fails the exact-Jaccard verify is
+    rejected (banding alone never decides); sub-n-gram-length docs are
+    novel by construction."""
+    from fermor_spark.pipeline.dedup import incremental_minhash_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    # one token edited out of 20: 15 of 18 shingles survive, Jaccard
+    # 15/21 ≈ 0.71 ≥ 1/2 → must verify as a near-dup
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten"),
+         (3, base)],          # 1 and 3 are exact dups; min id must win
+        "doc_id long, text string")
+    new = spark.createDataFrame([
+        (100, base.replace("delta", "DELTA")),   # near-dup of 1 (and 3)
+        (101, "totally different words entirely unrelated corpus content"),
+        (102, "xy"),                              # < 3 tokens: no shingles
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["near_dup_of"] for r in incremental_minhash_dedup(
+        new, corpus, "doc_id", "text").collect()}
+    assert got[100] == 1       # verified near-dup, min corpus id
+    assert got[101] is None and got[102] is None
+
+
 def test_incremental_exact_dedup_survives_hash_collisions(spark):
     """Exactness is independent of hash quality: with an injected
     CONSTANT hash (every document collides — the worst case of the
