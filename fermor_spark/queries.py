@@ -4717,14 +4717,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate (RFC 9309; NEW late r10; heads the r11
     window): per-host robots rules — a full Disallow on the ads host, a
-    Disallow /private/ with a LONGER wildcard Allow /private/pr* carve-
-    out on the news host, no robots.txt at all on the blog host — are
-    evaluated against per-doc URLs whose paths land in the allowed,
-    disallowed, and carve-out regions by doc_id residue. The oracle
-    states the verdict closed-form, so group selection, longest-match
-    precedence (the Allow carve-out MUST beat the shorter Disallow),
-    wildcard matching, and the no-robots default are all load-bearing.
-    Rules parse once on the driver and ride a broadcast; evaluation is
+    PERCENT-ENCODED Disallow /pr%69vate/ with a LONGER wildcard Allow
+    /private/pr* carve-out on the news host, no robots.txt at all on the
+    blog host — are evaluated against per-doc URLs whose paths land in
+    the allowed, disallowed, and carve-out regions by doc_id residue.
+    The oracle states the verdict closed-form, so group selection,
+    longest-match precedence (the Allow carve-out MUST beat the shorter
+    Disallow), wildcard matching, percent-encoding equivalence (RFC 9309
+    §2.2.2 — the encoded Disallow only bites if %69 compares equal to
+    'i'; r11), and the no-robots default are all load-bearing. Rules
+    parse once on the driver and ride a broadcast; evaluation is
     map-side (pipeline.url.robots_filter)."""
     from fermor_spark.pipeline.url import robots_filter
 
@@ -4748,7 +4750,7 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = spark.createDataFrame([
         ("ads.example.com", "User-agent: *\nDisallow: /"),
         ("www.news.example.org",
-         "User-agent: *\nDisallow: /private/\nAllow: /private/pr*"),
+         "User-agent: *\nDisallow: /pr%69vate/\nAllow: /private/pr*"),
     ], "host string, robots_txt string")
     out = robots_filter(urls, "url", robots)
     return out.select(
