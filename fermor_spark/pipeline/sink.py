@@ -184,7 +184,15 @@ def read_corpus_tar(spark, path: str) -> DataFrame:
             for name, content in zip(pdf["path"], pdf["content"]):
                 shard = os.path.basename(str(name))
                 samples: dict[str, dict[str, bytes]] = {}
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                try:
+                    tar = tarfile.open(fileobj=io.BytesIO(bytes(content)))
+                except tarfile.TarError as e:
+                    # loud, named failure (the WARC reader's contract):
+                    # a corrupt shard must not surface as an anonymous
+                    # task stack trace
+                    raise ValueError(f"{shard}: not a valid tar shard "
+                                     f"({e})") from e
+                with tar:
                     for m in tar.getmembers():
                         if not m.isfile():
                             continue

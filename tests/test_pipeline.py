@@ -1297,6 +1297,14 @@ def test_tar_shards_roundtrip_and_idempotent_bytes(spark, tmp_path):
         assert got[doc_id][0] == text
         assert got[doc_id][1] == (
             '{"lang": "%s", "source": "%s"}' % (lang, src))
+    # corrupt shard: LOUD named failure, never an anonymous stack trace
+    import pytest as _pytest
+
+    bad = tmp_path / "c"
+    bad.mkdir()
+    (bad / "shard-00000.tar").write_bytes(b"garbage not a tar file" * 30)
+    with _pytest.raises(Exception, match="not a valid tar shard"):
+        read_corpus_tar(spark, str(bad)).collect()
 
 
 def test_gopher_quality_rules(spark):
