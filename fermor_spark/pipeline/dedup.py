@@ -841,8 +841,16 @@ def incremental_minhash_dedup(new_df: DataFrame, corpus_df: DataFrame,
             parts = p if parts is None else parts.unionByName(p)
         return parts
 
-    nsh = shingle_table(new_df, id_col, text_col, n)
-    csh = shingle_table(corpus_df, id_col, text_col, n)
+    from fermor_spark.session import managed_cache
+
+    # both shingle tables have >= 3 consumers inside one action (the
+    # signature agg, the intersection join, the size agg) — the
+    # multi-consumer eager-cache rule applies, or each consumer replays
+    # the corpus explode (measured as a climbing best-of-N sequence)
+    nsh = managed_cache(shingle_table(new_df, id_col, text_col, n))
+    nsh.count()
+    csh = managed_cache(shingle_table(corpus_df, id_col, text_col, n))
+    csh.count()
     cand = (band_keys(sig(nsh), "new_id")
             .join(band_keys(sig(csh), "corpus_id"), ["band", "key"])
             .select("new_id", "corpus_id").distinct())
