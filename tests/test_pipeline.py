@@ -1914,6 +1914,82 @@ def test_robots_and_domain_filter_join_fallback(spark):
     assert j_path["notaurl"] is True
 
 
+def test_domain_filter_three_paths_vs_reference(spark):
+    """All THREE domain_filter execution paths — literal arrays_overlap,
+    broadcast-set UDF, suffix-explode join fallback — agree with a
+    pure-Python reference on 200 seeded random hosts (varied depth,
+    case, exact/suffix/miss relations to a 30-domain blocklist, nulls)."""
+    import random
+
+    from fermor_spark.pipeline.url import domain_filter
+
+    rng = random.Random(1131)
+    blocked = sorted({
+        ".".join(rng.choice(["ads", "track", "spam", "cdn", "news"])
+                 + str(rng.randrange(9))
+                 for _ in range(rng.randrange(1, 3))) + ".example"
+        for _ in range(30)})
+    hosts = []
+    for i in range(200):
+        kind = rng.randrange(4)
+        if kind == 0:
+            hosts.append(None)
+        elif kind == 1:   # exactly a blocked domain, random case
+            h = rng.choice(blocked)
+            hosts.append("".join(c.upper() if rng.random() < .5 else c
+                                 for c in h))
+        elif kind == 2:   # under a blocked domain
+            hosts.append(f"sub{i}.deep{i % 3}." + rng.choice(blocked))
+        else:             # near-miss: prefix-similar but not a suffix
+            hosts.append(f"not{rng.choice(blocked)}x.example")
+
+    def ref(h):
+        if h is None:
+            return True
+        parts = h.lower().split(".")
+        return not any(".".join(parts[i:]) in blocked
+                       for i in range(max(1, len(parts) - 1)))
+
+    want = {i: ref(h) for i, h in enumerate(hosts)}
+    df = spark.createDataFrame(list(enumerate(hosts)),
+                               "i long, host string")
+    bl = spark.createDataFrame([(d,) for d in blocked], "domain string")
+    for out in (domain_filter(df, "host", blocked),
+                domain_filter(df, "host", bl),
+                domain_filter(df, "host", bl, max_broadcast_rows=1)):
+        got = {r["i"]: r["kept"] for r in out.collect()}
+        assert got == want
+    assert False in want.values() and True in want.values()  # non-vacuous
+
+
+def test_tar_shards_hostile_text_roundtrip(spark, tmp_path):
+    """Tar shards round-trip 60 seeded hostile texts byte-exactly:
+    newlines, NULs-adjacent controls, tar-block-sized strings, emoji,
+    RTL, combining marks, JSON metacharacters — plus metadata values
+    containing quotes and backslashes."""
+    import random
+
+    from fermor_spark.pipeline.sink import read_corpus_tar, write_corpus_tar
+
+    rng = random.Random(7)
+    pool = ['he said "hi"\\', "line1\nline2\r\nline3", "\t ctl",
+            "x" * 512, "é中文🎉‏́", "{}[]:,\"'`", ""]
+    rows = [(i, rng.choice(pool) + str(rng.randrange(1000)),
+             'l"a\\ng' if i % 3 == 0 else "en")
+            for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p = str(tmp_path / "shards")
+    write_corpus_tar(d, p, key_col="doc_id", text_col="text",
+                     meta_cols=("lang",), n_shards=4)
+    from pyspark.sql import functions as F
+
+    back = read_corpus_tar(spark, p).select(
+        F.col("key").cast("long").alias("doc_id"), "text",
+        F.get_json_object("meta", "$.lang").alias("lang"))
+    got = sorted((r["doc_id"], r["text"], r["lang"]) for r in back.collect())
+    assert got == sorted(rows)
+
+
 def test_incremental_exact_dedup_bloom_screen(spark):
     """incremental_exact_dedup: exact answer (bloom misses are novel,
     bloom false positives corrected by the verify join) on planted
