@@ -4686,7 +4686,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fermor_spark.pipeline.dedup import incremental_minhash_dedup
 
     docs = table(spark, sf_dir, "documents")
-    t = F.trim(F.col("text"))
     near = docs.where(F.col("doc_id") % 8 == 1).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr("substring(trim(text), instr(trim(text), ' ') + 1)")
