@@ -801,7 +801,9 @@ def incremental_minhash_dedup(new_df: DataFrame, corpus_df: DataFrame,
                               id_col: str, text_col: str, n: int = 3,
                               num_hashes: int = 8, num_bands: int = 4,
                               threshold: tuple[int, int] = (1, 2),
-                              out_col: str = "near_dup_of") -> DataFrame:
+                              out_col: str = "near_dup_of",
+                              corpus_shingles: DataFrame | None = None
+                              ) -> DataFrame:
     """Incremental NEAR-dup ingest dedup — the MinHash sibling of
     incremental_exact_dedup: tag each NEW document with its nearest
     corpus near-duplicate (the MIN corpus id among verified matches;
@@ -817,8 +819,10 @@ def incremental_minhash_dedup(new_df: DataFrame, corpus_df: DataFrame,
     deterministic, oracle-replayable.
 
     Scale shape: the corpus signature/band table is a groupBy over
-    corpus shingles — the production loop PERSISTS it per snapshot and
-    appends (signatures never change once computed), so each cycle only
+    corpus shingles — the production loop PERSISTS the per-snapshot
+    shingle table and appends (shingles never change once computed) and
+    passes it back via ``corpus_shingles`` (an (id, sh) frame, the
+    contamination_pairs train_shingles precedent), so each cycle only
     the new snapshot pays shingling; candidates come from one equi-join
     on (band, key) where the new side is the small one; only candidate
     pairs pay the exact-Jaccard verify, which joins shingles on
@@ -849,7 +853,8 @@ def incremental_minhash_dedup(new_df: DataFrame, corpus_df: DataFrame,
     # the corpus explode (measured as a climbing best-of-N sequence)
     nsh = managed_cache(shingle_table(new_df, id_col, text_col, n))
     nsh.count()
-    csh = managed_cache(shingle_table(corpus_df, id_col, text_col, n))
+    csh = corpus_shingles if corpus_shingles is not None else \
+        managed_cache(shingle_table(corpus_df, id_col, text_col, n))
     csh.count()
     cand = (band_keys(sig(nsh), "new_id")
             .join(band_keys(sig(csh), "corpus_id"), ["band", "key"])

@@ -2033,6 +2033,14 @@ def test_incremental_minhash_dedup_planted(spark):
         new, corpus, "doc_id", "text").collect()}
     assert got[100] == 1       # verified near-dup, min corpus id
     assert got[101] is None and got[102] is None
+    # precomputed corpus shingles (the persisted-per-snapshot production
+    # shape) must give identical verdicts
+    from fermor_spark.pipeline.dedup import shingle_table
+
+    pre = shingle_table(corpus, "doc_id", "text", 3)
+    got2 = {r["doc_id"]: r["near_dup_of"] for r in incremental_minhash_dedup(
+        new, corpus, "doc_id", "text", corpus_shingles=pre).collect()}
+    assert got2 == got
 
 
 def test_incremental_exact_dedup_survives_hash_collisions(spark):
