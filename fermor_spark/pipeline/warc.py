@@ -61,6 +61,19 @@ def warc_bytes(records: list[dict], warcinfo: bool = True,
                     ("Content-Type", "application/warc-fields")], info)
     for i, r in enumerate(records):
         payload = r["payload"]
+        if r.get("type") == "conversion":
+            # WET-style extracted-text record: raw text block, no HTTP
+            # envelope (ISO 28500 §6.8)
+            out += one([
+                ("WARC-Type", "conversion"),
+                ("WARC-Date", r.get("date", "2000-01-01T00:00:00Z")),
+                ("WARC-Record-ID",
+                 f"<urn:uuid:00000000-0000-0000-0000-{i:012d}>"),
+                ("WARC-Target-URI", r["url"]),
+                ("Content-Type",
+                 r.get("content_type", "text/plain; charset=utf-8")),
+            ], payload)
+            continue
         status = int(r.get("status", 200))
         ctype = r.get("content_type", "text/plain; charset=utf-8")
         http = (f"HTTP/1.1 {status} OK\r\n"
@@ -203,6 +216,17 @@ def read_warc(spark: SparkSession, path: str,
                 yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, WARC_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str,
+             glob: str = "*.wet*") -> DataFrame:
+    """Common Crawl WET (extracted-text) ingestion: WET files are WARC
+    containers whose text rows are ``conversion`` records (ISO 28500
+    §6.8) with a text/plain payload and no HTTP envelope — the
+    pre-extracted sibling of the raw crawl. Same one-file-per-task scan
+    and record walk as read_warc, filtered to conversion records; the
+    payload column IS the document text (UTF-8)."""
+    return read_warc(spark, path, record_types=("conversion",), glob=glob)
 
 
 def write_warc(df: DataFrame, path: str, url_col: str = "url",

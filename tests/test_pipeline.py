@@ -1675,6 +1675,29 @@ def test_warc_warcinfo_filter_and_malformed(spark):
         list(_parse_warc_stream("f", b"NOTWARC/1.0\r\nx: y\r\n\r\n"))
 
 
+def test_wet_conversion_records_roundtrip(spark, tmp_path):
+    """Common Crawl WET shape: conversion records (raw text payload, no
+    HTTP envelope) written per-record-gzip read back byte-exactly via
+    read_wet; the default read_warc (response records) sees none of
+    them, and a mixed file splits cleanly by record type."""
+    from fermor_spark.pipeline.warc import read_warc, read_wet, warc_bytes
+
+    recs = [{"url": f"http://w/{i}", "type": "conversion",
+             "payload": f"extracted text {i} é".encode("utf-8")}
+            for i in range(6)] \
+        + [{"url": "http://w/html", "payload": b"<html>raw</html>"}]
+    blob = warc_bytes(recs, compress=True)
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "part-00000.warc.wet.gz").write_bytes(blob)
+    wet = {r["url"]: bytes(r["payload"])
+           for r in read_wet(spark, str(d), glob="*.wet*").collect()}
+    assert wet == {f"http://w/{i}": f"extracted text {i} é".encode("utf-8")
+                   for i in range(6)}
+    resp = read_warc(spark, str(d), glob="*.wet*").collect()
+    assert [bytes(r["payload"]) for r in resp] == [b"<html>raw</html>"]
+
+
 def test_warc_single_member_size_guard():
     """A gzip member that decompresses past max_member_bytes fails
     LOUDLY with the re-chunking message — zlib's max_length caps the
