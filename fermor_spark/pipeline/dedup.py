@@ -827,6 +827,13 @@ def incremental_minhash_dedup(new_df: DataFrame, corpus_df: DataFrame,
     on (band, key) where the new side is the small one; only candidate
     pairs pay the exact-Jaccard verify, which joins shingles on
     (corpus_id, shingle) — intersection-sized work, never |A|×|B|."""
+    if num_hashes % num_bands != 0:
+        # fail loudly: silently truncating trailing hash functions would
+        # weaken recall versus what the caller configured (r12, ADVICE)
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into "
+            f"num_bands={num_bands} bands (rows per band = "
+            "num_hashes/num_bands; trailing hashes would be ignored)")
     rows = num_hashes // num_bands
 
     def sig(sh):

@@ -182,12 +182,17 @@ def domain_filter(df: DataFrame, host_col: str, blocked,
 
 
 def _pct_decode(s: str) -> str:
-    """Percent-decode for robots path comparison (RFC 9309 §2.2.2):
-    every %XX octet decodes EXCEPT %2F — an encoded slash is a data
-    octet, not a path separator, and must not compare equal to '/'.
-    It is canonicalized to uppercase %2F so the two spellings of the
-    exception compare equal to each other. Invalid escapes pass
-    through as literal text."""
+    """Percent-decode for robots path comparison, scoped to US-ASCII
+    exactly as RFC 9309 §2.2.2 states the equivalence: %XX octets with
+    XX < 0x80 decode EXCEPT %2F — an encoded slash is a data octet, not
+    a path separator, and must not compare equal to '/'. Octets %80-%FF
+    are OUTSIDE the RFC's equivalence scope and pass through as escape
+    text, canonicalized to uppercase hex so the two spellings of the
+    same escape still compare equal to each other (but never to a raw
+    multi-byte character — a %C3%A9 pattern matches the %-spelled path,
+    not the raw UTF-8 one, matching mainstream robots matchers). %2F is
+    canonicalized the same way. Invalid escapes pass through as literal
+    text."""
     out = []
     i, n = 0, len(s)
     while i < n:
@@ -200,8 +205,8 @@ def _pct_decode(s: str) -> str:
                 out.append(c)
                 i += 1
                 continue
-            if v == 0x2F:
-                out.append("%2F")
+            if v == 0x2F or v >= 0x80:
+                out.append("%" + hx.upper())
             else:
                 out.append(chr(v))
             i += 3

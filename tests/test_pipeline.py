@@ -1862,6 +1862,12 @@ def test_robots_percent_encoding_equivalence():
     # of the same rule report the same (decoded) match length
     assert (_robots_match_len("/a%3Cd", "/a<d")
             == _robots_match_len("/a<d", "/a<d"))
+    # non-ASCII octets are OUTSIDE the RFC's equivalence scope (r12,
+    # ADVICE): %80-%FF escapes compare equal to each other (any hex
+    # case) but never to a raw multi-byte character
+    assert _robots_match_len("/a%C3%A9", "/a%c3%a9") > 0
+    assert _robots_match_len("/a%C3%A9", "/aé") == -1
+    assert _robots_match_len("/aé", "/a%C3%A9") == -1
 
 
 def test_robots_filter_spark(spark):
@@ -2106,3 +2112,50 @@ def test_profile_corpus_planted_values(spark):
     assert 10 <= en["p50_chars"] <= 109 and en["p50_chars"] <= en["p90_chars"]
     assert de["n_docs"] == 10 and de["distinct_exact"] == 1
     assert de["p50_chars"] == de["p90_chars"] == 8
+
+
+def test_crawl_e2e_sql_derivation():
+    """_CRAWL_E2E_SQL is derived textually from _CURATE_V2_SQL (the
+    drift-proofing queries.py claims): the derivation must have (a)
+    injected the gated CTE, (b) redirected every corpus read to it —
+    the ONLY remaining 'FROM documents' is the gated CTE's own source
+    scan — and (c) appended the text_checksum column that pins payload
+    bytes through WARC + HTML. An anchor miss in the .replace chain
+    (e.g. _CURATE_V2_SQL reformatted) fails HERE, not at gate-run time
+    (r12, ADVICE)."""
+    from fermor_spark.queries import _CRAWL_E2E_SQL, _CURATE_V2_SQL
+
+    assert _CRAWL_E2E_SQL != _CURATE_V2_SQL
+    assert "gated AS MATERIALIZED" in _CRAWL_E2E_SQL
+    assert "gated" not in _CURATE_V2_SQL
+    assert _CRAWL_E2E_SQL.count("FROM documents") == 1  # the gated CTE
+    assert _CRAWL_E2E_SQL.count("FROM gated") == \
+        _CURATE_V2_SQL.count("FROM documents")
+    assert "text_checksum" in _CRAWL_E2E_SQL
+    assert "text_checksum" not in _CURATE_V2_SQL
+    # nothing else changed: reversing the three edits recovers the base
+    recovered = _CRAWL_E2E_SQL.replace(
+        """gated AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE source != 'src0'
+        AND NOT (CAST(substr(source, 4) AS INT) % 2 = 1 AND doc_id % 3 = 0)
+    ),
+    """, "").replace(
+        """,
+           sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+               % 1000000000)::BIGINT AS text_checksum""", "").replace(
+        "FROM gated", "FROM documents")
+    assert recovered == _CURATE_V2_SQL
+
+
+def test_incremental_minhash_band_divisibility(spark):
+    """num_hashes not divisible by num_bands fails loudly instead of
+    silently ignoring trailing hash functions (r12, ADVICE)."""
+    import pytest
+
+    from fermor_spark.pipeline.dedup import incremental_minhash_dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="num_hashes"):
+        incremental_minhash_dedup(df, df, "doc_id", "text",
+                                  num_hashes=7, num_bands=4)
