@@ -111,10 +111,15 @@ def write_corpus_tar(
     applyInPandas task writes one shard start-to-finish — no global
     sort, no driver collection, shard count = write parallelism. Tar
     headers are normalized (mtime/uid/gid zero) so a shard's bytes are
-    a pure function of its rows — re-runs are byte-idempotent. Like the
-    WARC fixture sink this writes task-local files under ``path``; a
-    production deployment points the same writer at a mounted object
-    store."""
+    a pure function of its rows — re-runs are byte-idempotent. Sizing
+    rule: the applyInPandas group holds ONE shard's rows in executor
+    memory (members stream to the file, so that group is the only full
+    copy) — pick n_shards >= corpus_bytes / target_shard_memory, e.g.
+    a 1 TB corpus at 1 GB per task needs n_shards >= 1000. Duplicate
+    keys within a shard fail loudly: two members with one basename
+    would silently collapse last-wins on read. Like the WARC fixture
+    sink this writes task-local files under ``path``; a production
+    deployment points the same writer at a mounted object store."""
     import io
     import json
     import os
@@ -135,7 +140,13 @@ def write_corpus_tar(
     def write_shard(key, pdf):
         b = int(key[0])
         pdf = pdf.sort_values("_key")
-        buf = io.BytesIO()
+        dup = pdf["_key"][pdf["_key"].duplicated()]
+        if len(dup):
+            raise ValueError(
+                f"shard-{b:05d}: duplicate sample key(s) "
+                f"{sorted(set(dup))[:5]} — tar members must have unique "
+                "basenames (read_corpus_tar would collapse duplicates "
+                "last-wins); dedup the corpus on the key column first")
 
         def add(tar, name, data: bytes):
             info = tarfile.TarInfo(name)
@@ -145,7 +156,10 @@ def write_corpus_tar(
             info.uname = info.gname = ""
             tar.addfile(info, io.BytesIO(data))
 
-        with tarfile.open(fileobj=buf, mode="w") as tar:
+        # members stream straight to the shard file — the tar never
+        # materializes as a second in-memory copy of the group
+        with open(f"{path}/shard-{b:05d}.tar", "wb") as f, \
+                tarfile.open(fileobj=f, mode="w") as tar:
             for row in pdf.itertuples(index=False):
                 d = dict(zip(pdf.columns, row))
                 add(tar, f"{d['_key']}.txt",
@@ -154,8 +168,6 @@ def write_corpus_tar(
                 add(tar, f"{d['_key']}.json",
                     json.dumps(meta, sort_keys=True,
                                default=str).encode("utf-8"))
-        with open(f"{path}/shard-{b:05d}.tar", "wb") as f:
-            f.write(buf.getvalue())
         return pd.DataFrame({"shard": [b], "n": [len(pdf)]})
 
     sel.groupBy("_b").applyInPandas(write_shard, "shard int, n long") \
@@ -199,9 +211,20 @@ def read_corpus_tar(spark, path: str) -> DataFrame:
                         base, _, ext = m.name.rpartition(".")
                         samples.setdefault(base, {})[ext] = \
                             tar.extractfile(m).read()
+                missing = [k for k, s in samples.items()
+                           if "txt" not in s or "json" not in s]
+                if missing:
+                    # loud, named failure (the same contract as a
+                    # corrupt shard): a sample without its .txt/.json
+                    # member is data loss, not an empty document
+                    raise ValueError(
+                        f"{shard}: sample key(s) "
+                        f"{sorted(missing)[:5]} missing a .txt or "
+                        ".json member — shard is incomplete or was "
+                        "written by a different convention")
                 rows = [(shard, k,
-                         s.get("txt", b"").decode("utf-8"),
-                         s.get("json", b"{}").decode("utf-8"))
+                         s["txt"].decode("utf-8"),
+                         s["json"].decode("utf-8"))
                         for k, s in sorted(samples.items())]
                 yield pd.DataFrame(
                     rows, columns=["shard", "key", "text", "meta"])

@@ -1307,6 +1307,37 @@ def test_tar_shards_roundtrip_and_idempotent_bytes(spark, tmp_path):
         read_corpus_tar(spark, str(bad)).collect()
 
 
+def test_tar_shards_loud_failure_contracts(spark, tmp_path):
+    """r12 (VERDICT #4 + ADVICE): duplicate keys within a shard fail the
+    WRITE loudly (read would collapse them last-wins), and a shard whose
+    sample lacks its .txt member fails the READ loudly (data loss, not an
+    empty document)."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from fermor_spark.pipeline.sink import read_corpus_tar, write_corpus_tar
+
+    dup = spark.createDataFrame(
+        [(7, "first"), (7, "second"), (8, "ok")],
+        "doc_id long, text string")
+    with _pytest.raises(Exception, match="duplicate sample key"):
+        write_corpus_tar(dup, str(tmp_path / "dup"), key_col="doc_id",
+                         text_col="text", n_shards=1)
+
+    # hand-build a shard with a .json member but no .txt twin
+    incomplete = tmp_path / "inc"
+    incomplete.mkdir()
+    with tarfile.open(incomplete / "shard-00000.tar", "w") as tar:
+        data = b"{}"
+        info = tarfile.TarInfo("42.json")
+        info.size = len(data)
+        tar.addfile(info, io.BytesIO(data))
+    with _pytest.raises(Exception, match="missing a .txt or .json member"):
+        read_corpus_tar(spark, str(incomplete)).collect()
+
+
 def test_gopher_quality_rules(spark):
     """Hand-computed Gopher rule checks: a healthy doc passes; too-short,
     bullet-dominated, ellipsis-heavy, and symbol-heavy docs fail exactly
