@@ -231,30 +231,49 @@ def read_wet(spark: SparkSession, path: str,
 
 def write_warc(df: DataFrame, path: str, url_col: str = "url",
                payload_col: str = "payload", n_files: int = 4,
-               compress: bool = True) -> None:
+               compress: bool = True,
+               record_type: str = "response") -> None:
     """Fixture/export sink: bucket rows into ``n_files`` WARC files under
     ``path`` (task-local writes, one file per bucket — the corpus-sink
     pattern). Bucketing hashes the url so output is deterministic under
-    any input partitioning."""
+    any input partitioning. ``record_type='conversion'`` emits the WET
+    (extracted-text) layout instead — conversion records with a raw
+    text/plain block and no HTTP envelope, under ``.wet``/``.wet.gz``
+    filenames so read_wet's default glob finds them."""
     import os
 
+    if record_type not in ("response", "conversion"):
+        raise ValueError(f"record_type must be 'response' or 'conversion', "
+                         f"got {record_type!r}")
     os.makedirs(path, exist_ok=True)
     bucketed = df.select(
         F.col(url_col).alias("url"), F.col(payload_col).alias("payload"),
         (F.abs(F.xxhash64(url_col)) % n_files).alias("_b"))
+    base_ext = "wet" if record_type == "conversion" else "warc"
+    ext = f"{base_ext}.gz" if compress else base_ext
 
     def write_bucket(key, pdf):
         b = int(key[0])
-        recs = [{"url": u, "payload": bytes(p)}
+        recs = [{"url": u, "payload": bytes(p), "type": record_type}
                 for u, p in sorted(zip(pdf["url"], pdf["payload"]))]
         blob = warc_bytes(recs, compress=compress)
-        ext = "warc.gz" if compress else "warc"
         with open(f"{path}/part-{b:05d}.{ext}", "wb") as f:
             f.write(blob)
         return pd.DataFrame({"bucket": [b], "n": [len(recs)]})
 
     bucketed.groupBy("_b").applyInPandas(
         write_bucket, "bucket int, n long").collect()
+
+
+def write_wet(df: DataFrame, path: str, url_col: str = "url",
+              payload_col: str = "payload", n_files: int = 4,
+              compress: bool = True) -> None:
+    """WET (extracted-text) fixture/export sink: write_warc in the
+    conversion-record layout — Common Crawl's pre-extracted sibling
+    format, read back by read_wet."""
+    write_warc(df, path, url_col=url_col, payload_col=payload_col,
+               n_files=n_files, compress=compress,
+               record_type="conversion")
 
 
 def read_warc_stream(spark: SparkSession, path: str,

@@ -2190,3 +2190,26 @@ def test_incremental_minhash_band_divisibility(spark):
     with pytest.raises(ValueError, match="num_hashes"):
         incremental_minhash_dedup(df, df, "doc_id", "text",
                                   num_hashes=7, num_bands=4)
+
+
+def test_write_wet_spark_roundtrip(spark, tmp_path):
+    """write_wet -> read_wet round trip through the Spark sink path
+    (bucketed conversion records, per-record gzip members, .wet.gz
+    filenames the default glob finds); payloads with CRLFCRLF and WARC
+    version strings survive because record walking is length-driven."""
+    from fermor_spark.pipeline.warc import read_wet, write_wet
+
+    rows = [(f"http://w.example/{i}",
+             f"text {i}\r\n\r\nWARC/1.0 embedded é".encode("utf-8"))
+            for i in range(7)]
+    d = spark.createDataFrame(rows, "url string, payload binary")
+    write_wet(d, str(tmp_path / "wet"), n_files=3)
+    back = {r["url"]: bytes(r["payload"])
+            for r in read_wet(spark, str(tmp_path / "wet")).collect()}
+    assert back == dict(rows)
+    # a bad record_type fails loudly at the writer boundary
+    import pytest as _pytest
+
+    from fermor_spark.pipeline.warc import write_warc
+    with _pytest.raises(ValueError, match="record_type"):
+        write_warc(d, str(tmp_path / "x"), record_type="metadata")
