@@ -837,39 +837,56 @@ def incremental_minhash_dedup(new_df: DataFrame, corpus_df: DataFrame,
     rows = num_hashes // num_bands
 
     def sig(sh):
+        # per-doc size rides the SAME groupBy as the signature — a
+        # separate size agg would re-scan the shingle table
         aggs = [F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh"))
                             .cast("binary"))).alias(f"h{i}")
-                for i in range(num_hashes)]
+                for i in range(num_hashes)] + [F.count("*").alias("nsz")]
         return sh.groupBy("id").agg(*aggs)
 
     def band_keys(mh, idname):
-        parts = None
-        for bnd in range(num_bands):
-            key = F.concat(*[F.col(f"h{bnd * rows + r}")
-                             for r in range(rows)])
-            p = mh.select(F.col("id").alias(idname),
-                          F.lit(bnd).alias("band"), key.alias("key"))
-            parts = p if parts is None else parts.unionByName(p)
-        return parts
+        # ONE array-explode projection, not a union of per-band selects:
+        # the union form re-evaluates the upstream signature aggregation
+        # once per band (lsh_candidates learned this at r6 — measured 4x
+        # replay of the 8-md5 groupBy per side here, the dominant stage)
+        band_structs = [
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.concat(*[F.col(f"h{bnd * rows + r}")
+                           for r in range(rows)]).alias("key"))
+            for bnd in range(num_bands)
+        ]
+        return mh.select(
+            F.col("id").alias(idname),
+            F.explode(F.array(*band_structs)).alias("bk")
+        ).select(idname, F.col("bk.band").alias("band"),
+                 F.col("bk.key").alias("key"))
 
     from fermor_spark.session import managed_cache
 
-    # both shingle tables have >= 3 consumers inside one action (the
-    # signature agg, the intersection join, the size agg) — the
-    # multi-consumer eager-cache rule applies, or each consumer replays
-    # the corpus explode (measured as a climbing best-of-N sequence)
+    # both shingle tables have 2 consumers inside one action (the
+    # signature agg and the intersection join) — the multi-consumer
+    # eager-cache rule applies, or each consumer replays the corpus
+    # explode (measured as a climbing best-of-N sequence)
     nsh = managed_cache(shingle_table(new_df, id_col, text_col, n))
     nsh.count()
     csh = corpus_shingles if corpus_shingles is not None else \
         managed_cache(shingle_table(corpus_df, id_col, text_col, n))
     csh.count()
-    cand = (band_keys(sig(nsh), "new_id")
-            .join(band_keys(sig(csh), "corpus_id"), ["band", "key"])
+    # signature frames are tiny (one row per doc) but their producer —
+    # the 8-md5 groupBy over the big shingle table — is the dominant
+    # stage; band_keys and the size lookup both read them, so cache
+    # eagerly to pin exactly-one signature pass per side per action
+    nmh = managed_cache(sig(nsh))
+    nmh.count()
+    cmh = managed_cache(sig(csh))
+    cmh.count()
+    cand = (band_keys(nmh, "new_id")
+            .join(band_keys(cmh, "corpus_id"), ["band", "key"])
             .select("new_id", "corpus_id").distinct())
-    nsz = nsh.groupBy("id").agg(F.count("*").alias("na")) \
-        .withColumnRenamed("id", "new_id")
-    csz = csh.groupBy("id").agg(F.count("*").alias("nc")) \
-        .withColumnRenamed("id", "corpus_id")
+    nsz = nmh.select(F.col("id").alias("new_id"), F.col("nsz").alias("na"))
+    csz = cmh.select(F.col("id").alias("corpus_id"),
+                     F.col("nsz").alias("nc"))
     inter = (cand
              .join(nsh.select(F.col("id").alias("new_id"), "sh"), "new_id")
              .join(csh.select(F.col("id").alias("corpus_id"), "sh"),
