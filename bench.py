@@ -150,6 +150,11 @@ BENCH_QUERIES = [
     # domain/robots gates chained into curate_v2's quality/classifier/
     # SemDeDup/split back half, payload bytes end to end under one plan
     "pipeline_crawl_e2e",
+    # r12 addition (VERDICT r11 #6): the robots gate's join-fallback leg
+    # FORCED, against a per-document padded robots table — measures the
+    # above-the-ceiling distributed parse + shuffle join, not its plan
+    # shape alone
+    "pipeline_robots_forced_join",
 ]
 
 

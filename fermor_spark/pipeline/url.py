@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 # query parameters that identify a click, not a page (C4/CC-style screen)
 TRACKING_PARAMS = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)(=|$)"
 
+# Which leg robots_filter planned last: "broadcast" (driver-parsed rules
+# ride a SparkContext broadcast) or "join" (rules parse distributed and
+# join on host). Last-call-wins telemetry, the LAST_*_ROUNDS precedent —
+# forced-leg gates assert the leg they paid for actually ran.
+LAST_ROBOTS_PATH = ""
+
 # Driver-broadcast ceiling for blocklist/robots artifacts. A UT1-class
 # blocklist (~4M short domains) and a polite crawl's robots cache both fit
 # comfortably; a 100 TB crawl's full robots table (tens of millions of
@@ -320,11 +326,14 @@ def robots_filter(df: DataFrame, url_col: str, robots_df: DataFrame,
     path with it)."""
     import pandas as pd
 
+    global LAST_ROBOTS_PATH
+
     u = F.col(url_col)
     host = F.lower(_part(u, "HOST"))
     path = F.coalesce(_part(u, "PATH"), F.lit("/"))
 
     if _driver_sized(robots_df, max_broadcast_rows):
+        LAST_ROBOTS_PATH = "broadcast"
         fetched = robots_df.select(F.lower(F.col("host")).alias("h"),
                                    F.col("robots_txt")).collect()
         rules = {r["h"]: parse_robots(r["robots_txt"] or "", agent)
@@ -346,6 +355,8 @@ def robots_filter(df: DataFrame, url_col: str, robots_df: DataFrame,
     # pass, no shuffle), join the (host, rules) table on host. The rules
     # arrays are small per host; only hosts that appear in df's partition
     # keys move.
+    LAST_ROBOTS_PATH = "join"
+
     def _parse(batches):
         for pdf in batches:
             yield pd.DataFrame({

@@ -4816,6 +4816,74 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_robots_forced_join",
+    """
+    SELECT doc_id,
+           (CASE source WHEN 'src0' THEN 'ads.example.com'
+                        WHEN 'src1' THEN 'www.news.example.org'
+                        ELSE 'blog.example.net' END) AS host,
+           (CASE WHEN source = 'src0' THEN FALSE
+                 WHEN source = 'src1' AND doc_id % 3 = 1 THEN FALSE
+                 ELSE TRUE END) AS robots_ok
+    FROM documents WHERE doc_id % 17 = 0
+    """,
+)
+def pipeline_robots_forced_join(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The robots gate's JOIN-FALLBACK leg, FORCED (r12; VERDICT r11 #6
+    — the g_*_distributed precedent): same URLs and same closed-form
+    verdicts as pipeline_robots_filter, but max_broadcast_rows=0 pushes
+    robots_filter onto its above-the-ceiling path — rules parse
+    DISTRIBUTED into a (host, rules) table and join on host, no driver
+    ingress — and the robots table is padded with one never-matching
+    host per document (host-{doc_id}.pad.example with a real Disallow
+    body) so the fallback pays a full-crawl-shaped distributed parse +
+    dedup + shuffle join, not a 2-row toy. The pad hosts never appear
+    in any URL, so the oracle is unchanged; the gate asserts the leg it
+    paid for actually planned (LAST_ROBOTS_PATH)."""
+    from fermor_spark.pipeline import url as _url
+    from fermor_spark.pipeline.url import robots_filter
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    urls = d.select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("source") == "src0", "ads.example.com")
+            .when(F.col("source") == "src1", "www.news.example.org")
+            .otherwise("blog.example.net"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("/private/pr"),
+                            F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("/private/x"),
+                           F.col("doc_id").cast("string")))
+            .otherwise(F.concat(F.lit("/public/"),
+                                F.col("doc_id").cast("string")))
+        ).alias("url"))
+    real = spark.createDataFrame([
+        ("ads.example.com", "User-agent: *\nDisallow: /"),
+        ("www.news.example.org",
+         "User-agent: *\nDisallow: /pr%69vate/\nAllow: /private/pr*"),
+    ], "host string, robots_txt string")
+    pad = table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("host-"), F.col("doc_id").cast("string"),
+                 F.lit(".pad.example")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /tmp/\nAllow: /tmp/pub*")
+        .alias("robots_txt"))
+    out = robots_filter(urls, "url", real.unionByName(pad),
+                        max_broadcast_rows=0)
+    assert _url.LAST_ROBOTS_PATH == "join", \
+        "forced robots join leg did not run"
+    return out.select(
+        "doc_id",
+        F.when(F.col("source") == "src0", "ads.example.com")
+        .when(F.col("source") == "src1", "www.news.example.org")
+        .otherwise("blog.example.net").alias("host"),
+        "robots_ok")
+
+
+@query(
     "pipeline_streaming_warc",
     """
     SELECT lang, count(*) AS n_docs,
