@@ -79,3 +79,56 @@ def test_zero_shared_keys_blocks_close(tmp_path):
         capture_output=True, text=True)
     assert r.returncode == 1
     assert "ZERO per-query keys" in r.stdout
+
+
+def test_gate_window_invariant():
+    """The r12 gate-cycle invariant (VERDICT r11 #3), checked against the
+    LIVE registry and committed driver records: (a) the 50-row window
+    heads with every never-gated registration, then every changed-code
+    row; (b) simulating the coming round's gate, no row left outside the
+    window closes the round with staleness > 3; (c) the arithmetic that
+    makes the 4-round cycle satisfiable holds at the current registry
+    and tier-A sizes."""
+    import glob
+    import json
+    import os
+    import re
+
+    from fermor_spark.queries import (_CHANGED_THIS_ROUND, _GATE_PRIORITY,
+                                      all_queries)
+
+    names = list(all_queries())
+    window = names[:50]
+    assert window == _GATE_PRIORITY[:50]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest = {}
+    latest = 0
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rn = int(re.search(r"r(\d+)\.json$", p).group(1))
+        latest = max(latest, rn)
+        for name, e in json.load(open(p)).items():
+            if (e.get("err") is None and e.get("rows_match")
+                    and e.get("schema_match")
+                    and e.get("hash_match") is not False):
+                newest[name] = max(rn, newest.get(name, 0))
+    if not newest:   # record-free checkout: window degenerates to
+        return       # insertion order; nothing to check
+
+    never = [n for n in names if n not in newest]
+    changed = [n for n in _CHANGED_THIS_ROUND if n in names]
+    tier_a = set(never) | set(changed)
+    # (a) tier A heads the window
+    assert all(n in window for n in tier_a), \
+        sorted(tier_a - set(window))
+    assert set(window[:len(set(never))]) == set(never)
+    # (b) after the coming round gates the window, no row exceeds
+    # staleness 3
+    coming = latest + 1
+    for n in names:
+        if n not in window:
+            assert coming - newest[n] <= 3, \
+                f"{n} would close r{coming} at staleness {coming - newest[n]}"
+    # (c) satisfiability: registry_size <= 4*window - 3*tier_A
+    assert len(names) <= 4 * 50 - 3 * len(tier_a), \
+        (len(names), len(tier_a))

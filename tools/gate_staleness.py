@@ -3,16 +3,21 @@
 registered query's NEWEST green driver row and its staleness (rounds
 since), plus never-gated registrations.
 
-The coverage invariant this repo runs on: every query+oracle pair gets
-a green driver row at most 2 rounds old (the driver records only the
-first 50 registry rows per round, so coverage rotates via
-_GATE_PRIORITY in queries.py). This tool makes the invariant checkable
+The coverage invariant this repo runs on (r12, risk-tiered — see the
+_gate_priority block in queries.py): never-gated and changed-code rows
+gate the round they land/change; every frozen parity-swept row re-gates
+at least every 4 rounds, so its newest green driver row is at most 3
+rounds old at any round close. The driver records only the first 50
+registry rows per round; the window is computed stalest-first from the
+committed CORRECTNESS records. This tool makes the invariant checkable
 in seconds instead of a by-hand union.
 
 Usage: python tools/gate_staleness.py [--max-stale N] [--repo DIR]
-Exit 1 when any query exceeds --max-stale (default 2) or a registered
+Exit 1 when any query exceeds --max-stale (default 3) or a registered
 query has never been gated, listing the offenders — wire it into the
-round-close routine next to round_close_check.py.
+round-close routine next to round_close_check.py. NOTE: registrations
+new in the CURRENT round legitimately report never-gated until the
+driver's record for the round lands.
 """
 
 import argparse
@@ -53,7 +58,7 @@ def registry_names(repo: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--max-stale", type=int, default=2)
+    ap.add_argument("--max-stale", type=int, default=3)
     ap.add_argument("--repo", default=os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     args = ap.parse_args()
