@@ -132,3 +132,20 @@ def test_gate_window_invariant():
     # (c) satisfiability: registry_size <= 4*window - 3*tier_A
     assert len(names) <= 4 * 50 - 3 * len(tier_a), \
         (len(names), len(tier_a))
+
+
+def test_suite_state_counts_parse():
+    """suite_state parses pytest summary tails, treating errors as
+    failures, and refuses unparseable output."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0] + "/tools")
+    import pytest
+    from suite_state import _counts
+
+    assert _counts("...\n320 passed in 600.1s (0:10:00)") == \
+        {"passed": 320, "failed": 0}
+    assert _counts("2 failed, 318 passed in 9.0s") == \
+        {"passed": 318, "failed": 2}
+    assert _counts("1 error in 1.2s") == {"passed": 0, "failed": 1}
+    with pytest.raises(RuntimeError):
+        _counts("collected 0 items")
