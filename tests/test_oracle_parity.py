@@ -109,19 +109,25 @@ def test_every_query_survives_empty_tables(spark, tmp_path):
 
 def test_gate_priority_hygiene():
     """The driver gate records only the first 50 registry rows, ordered by
-    _GATE_PRIORITY — a duplicate silently shrinks the window (dict
-    construction dedups), and an unregistered name silently wastes a slot.
-    The rotation math (120 queries / 50-row window / 3-round cycle) only
-    holds if the list is exactly 50 unique registered names."""
+    _GATE_PRIORITY. Since r12 the list is COMPUTED (never-gated + changed
+    rows head it, the rest stalest-first from committed CORRECTNESS
+    records — see test_tools.py::test_gate_window_invariant for the cycle
+    arithmetic); here we pin its structural contract: a full, duplicate-
+    free permutation of the registry (a duplicate or unregistered name
+    would silently shrink or waste the window), with the window as the
+    registry head."""
     from fermor_spark import queries as q
 
     gp = q._GATE_PRIORITY
     assert len(set(gp)) == len(gp), "duplicate names in _GATE_PRIORITY"
-    assert len(gp) == 50, "gate priority list must fill the 50-row window"
     reg = q.all_queries()
-    unknown = [k for k in gp if k not in reg]
-    assert not unknown, f"unregistered names in _GATE_PRIORITY: {unknown}"
-    assert list(reg)[:50] == gp, "priority head must be the gate window"
+    assert set(gp) == set(reg), "gate order must permute the registry"
+    assert list(reg) == gp, "registry order must be the computed gate order"
+    assert len(gp) >= 50, "registry has shrunk below the gate window"
+    # changed-round names must stay registered — a rename would silently
+    # drop the re-gate
+    ghost = [k for k in q._CHANGED_THIS_ROUND if k not in reg]
+    assert not ghost, f"_CHANGED_THIS_ROUND names not registered: {ghost}"
     # a mangled @query decorator (name line deleted by a careless edit)
     # registers the ORACLE SQL as the query name — catch that class here
     bad = [k for k in reg if " " in k or "\n" in k or len(k) > 64]
