@@ -59,6 +59,11 @@ def registry_names(repo: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-stale", type=int, default=3)
+    ap.add_argument("--allow-pending", action="store_true",
+                    help="never-gated rows sitting inside the coming "
+                         "50-row window count as PENDING, not failures "
+                         "— the close-time mode (the driver gates them "
+                         "when it runs this round's window)")
     ap.add_argument("--repo", default=os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     args = ap.parse_args()
@@ -79,10 +84,14 @@ def main():
                 red_latest[name] = entry.get("err") or "value mismatch"
 
     names = registry_names(args.repo)
-    never, stale, fresh = [], [], []
+    window = set(names[:50])
+    never, pending, stale, fresh = [], [], [], []
     for name in names:
         if name not in newest_green:
-            never.append(name)
+            if args.allow_pending and name in window:
+                pending.append(name)
+            else:
+                never.append(name)
             continue
         st = latest_round - newest_green[name]
         (stale if st > args.max_stale else fresh).append(
@@ -91,11 +100,13 @@ def main():
     print(f"registry: {len(names)} queries | driver records: "
           f"r{min(rounds)}..r{latest_round} | fresh (<= {args.max_stale} "
           f"rounds): {len(fresh)} | stale: {len(stale)} | never gated: "
-          f"{len(never)}")
+          f"{len(never)} | pending in window: {len(pending)}")
     for st, rn, name in sorted(stale, reverse=True):
         print(f"  STALE {st} (last green r{rn}): {name}")
     for name in never:
         print(f"  NEVER GATED: {name}")
+    for name in pending:
+        print(f"  PENDING (heads the coming window): {name}")
     if red_latest:
         print(f"  RED in r{latest_round}:")
         for name, why in sorted(red_latest.items()):
