@@ -1,0 +1,212 @@
+#!/usr/bin/env python3
+"""Design-for-100x scale probe: replicate the sf0.1 tables to 2x/4x/8x
+on disk (structure-preserving key offsets for the graph tables; salted
+texts for documents so shingle volume grows linearly instead of
+collapsing into total duplication), run a cross-section of headline
+operators at each multiplier, and report how runtime scales at fixed
+parallelism (local[32]).
+
+What "good" looks like: shuffle-bound operators (exact dedup, MinHash
+banding, graph build) scale ~linearly in input size once past the
+scheduler floor; nothing OOMs; no operator goes super-linear (a
+super-linear line means a bucket/candidate-set is growing
+quadratically and would NOT survive the next 100x).
+
+Usage:
+    python tools/scale_probe.py [--multipliers 1 2 4 8]
+                                [--sf-dir /root/testdata/sf0.1]
+                                [--work-dir /tmp/fermor_scale_probe]
+
+Prints one JSON line per (op, multiplier) and a final summary with the
+fitted scaling exponent per op (log-log slope). Results are recorded in
+PLANS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GRAPH_TABLES = {
+    # table -> columns that must offset per replica to keep FK structure
+    # (region/nation stay shared: dims stay, facts grow — the realistic
+    # shape of a growing corpus/graph)
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+
+
+def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
+    """Write an m-fold structure-preserving replication of the graph
+    tables + documents into out_dir (region/nation copied through)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode(
+            "overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t, keys in GRAPH_TABLES.items():
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        parts = []
+        for r in range(m):
+            rep = df
+            for k, off in offs.items():
+                rep = rep.withColumn(k, F.col(k) + F.lit(r * off))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(m):
+        rep = d.withColumn("doc_id", F.col("doc_id") + F.lit(r * off))
+        if r > 0:
+            # salt the first token so replicas are near-dups of the
+            # original, not byte-identical copies: shingle volume and
+            # LSH bucket sizes grow linearly, the near-dup relation
+            # stays detectable
+            rep = rep.withColumn(
+                "text",
+                F.concat(F.lit(f"r{r} "), F.col("text")))
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def op_graph_build(spark, sf_dir: str) -> int:
+    """Star-graph construction + full edge count (one action) — the
+    reference's own absolute baseline claim is 1-10M elements < 10 s."""
+    from fermor_spark import datasets
+
+    # bypass the per-sf_dir graph cache: construction IS the measurement
+    datasets._graph_cache.pop(
+        (spark.sparkContext.applicationId, sf_dir), None)
+    g = datasets.star_graph(spark, sf_dir)
+    return g.edges().count()
+
+
+def op_bfs_2hop(spark, sf_dir: str) -> int:
+    """customer -> nation -> region 2-hop expansion, counted (the
+    g_2hop_region traversal shape over the replicated graph)."""
+    from fermor_spark import datasets
+
+    g = datasets.star_graph(spark, sf_dir)
+    return g.vertices("customer").out("in_nation").out("in_region").count()
+
+
+def op_exact_dedup(spark, sf_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from fermor_spark.pipeline.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(d, ["text"], ["doc_id"]).count()
+
+
+def op_minhash_pairs(spark, sf_dir: str) -> int:
+    from fermor_spark.pipeline.dedup import minhash_dedup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return minhash_dedup_pairs(d, "doc_id", "text").count()
+
+
+def op_incr_minhash(spark, sf_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from fermor_spark.pipeline.dedup import incremental_minhash_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    new = d.where(F.col("doc_id") % 8 == 1).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+    corpus = d.where(F.col("doc_id") % 8 != 1)
+    return incremental_minhash_dedup(new, corpus, "doc_id", "text").count()
+
+
+OPS = {
+    "graph_build": op_graph_build,
+    "bfs_2hop": op_bfs_2hop,
+    "exact_dedup": op_exact_dedup,
+    "minhash_pairs": op_minhash_pairs,
+    "incr_minhash": op_incr_minhash,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multipliers", type=int, nargs="+",
+                    default=[1, 2, 4, 8])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--work-dir", default="/tmp/fermor_scale_probe")
+    ap.add_argument("--ops", nargs="+", default=list(OPS),
+                    choices=list(OPS))
+    ap.add_argument("--runs", type=int, default=2,
+                    help="timed runs per (op, multiplier); best is kept")
+    args = ap.parse_args()
+
+    from fermor_spark.session import get_spark, release_caches
+
+    spark = get_spark(app_name="scale-probe")
+    dirs = {}
+    for m in args.multipliers:
+        out = os.path.join(args.work_dir, f"mult{m}")
+        if not os.path.exists(os.path.join(out, "documents.parquet")):
+            print(f"replicating x{m} -> {out}", file=sys.stderr)
+            replicate(spark, args.sf_dir, out, m)
+        dirs[m] = out
+
+    results: dict = {op: {} for op in args.ops}
+    for op in args.ops:
+        fn = OPS[op]
+        for m in args.multipliers:
+            best, rows = None, None
+            for _ in range(args.runs):
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                rows = fn(spark, dirs[m])
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                release_caches()
+            results[op][m] = (round(best, 2), rows)
+            print(json.dumps({"op": op, "mult": m,
+                              "sec": round(best, 2), "rows": rows}),
+                  flush=True)
+
+    print("\nop                mult:sec ...   log-log slope (1.0 = linear)")
+    for op in args.ops:
+        ms = sorted(results[op])
+        if len(ms) >= 2:
+            xs = [math.log(m) for m in ms]
+            ys = [math.log(max(results[op][m][0], 1e-3)) for m in ms]
+            n = len(xs)
+            mx, my = sum(xs) / n, sum(ys) / n
+            slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / \
+                max(sum((x - mx) ** 2 for x in xs), 1e-9)
+        else:
+            slope = float("nan")
+        line = "  ".join(f"x{m}:{results[op][m][0]}s" for m in ms)
+        print(f"{op:<17} {line}   slope={slope:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
