@@ -156,9 +156,15 @@ def write_corpus_tar(
             info.uname = info.gname = ""
             tar.addfile(info, io.BytesIO(data))
 
-        # members stream straight to the shard file — the tar never
-        # materializes as a second in-memory copy of the group
-        with open(f"{path}/shard-{b:05d}.tar", "wb") as f, \
+        # members stream straight to a TEMP file, renamed only after the
+        # tar closes cleanly: the tar never materializes as a second
+        # in-memory copy of the group, and a task killed mid-write can
+        # never leave a truncated shard-*.tar that a later read would
+        # silently parse as a complete-but-smaller shard (the .part name
+        # falls outside read_corpus_tar's *.tar glob)
+        final = f"{path}/shard-{b:05d}.tar"
+        part = final + ".part"
+        with open(part, "wb") as f, \
                 tarfile.open(fileobj=f, mode="w") as tar:
             for row in pdf.itertuples(index=False):
                 d = dict(zip(pdf.columns, row))
@@ -168,6 +174,7 @@ def write_corpus_tar(
                 add(tar, f"{d['_key']}.json",
                     json.dumps(meta, sort_keys=True,
                                default=str).encode("utf-8"))
+        os.replace(part, final)
         return pd.DataFrame({"shard": [b], "n": [len(pdf)]})
 
     sel.groupBy("_b").applyInPandas(write_shard, "shard int, n long") \
@@ -197,20 +204,22 @@ def read_corpus_tar(spark, path: str) -> DataFrame:
                 shard = os.path.basename(str(name))
                 samples: dict[str, dict[str, bytes]] = {}
                 try:
-                    tar = tarfile.open(fileobj=io.BytesIO(bytes(content)))
+                    # getmembers walks the whole archive INSIDE the
+                    # guard: truncation mid-header raises ReadError from
+                    # the walk, not from open — both must surface as the
+                    # loud, named failure (the WARC reader's contract),
+                    # never an anonymous task stack trace
+                    with tarfile.open(
+                            fileobj=io.BytesIO(bytes(content))) as tar:
+                        for m in tar.getmembers():
+                            if not m.isfile():
+                                continue
+                            base, _, ext = m.name.rpartition(".")
+                            samples.setdefault(base, {})[ext] = \
+                                tar.extractfile(m).read()
                 except tarfile.TarError as e:
-                    # loud, named failure (the WARC reader's contract):
-                    # a corrupt shard must not surface as an anonymous
-                    # task stack trace
                     raise ValueError(f"{shard}: not a valid tar shard "
                                      f"({e})") from e
-                with tar:
-                    for m in tar.getmembers():
-                        if not m.isfile():
-                            continue
-                        base, _, ext = m.name.rpartition(".")
-                        samples.setdefault(base, {})[ext] = \
-                            tar.extractfile(m).read()
                 missing = [k for k, s in samples.items()
                            if "txt" not in s or "json" not in s]
                 if missing:

@@ -192,22 +192,25 @@ def _pct_decode(s: str) -> str:
     exactly as RFC 9309 §2.2.2 states the equivalence: %XX octets with
     XX < 0x80 decode EXCEPT %2F — an encoded slash is a data octet, not
     a path separator, and must not compare equal to '/'. Octets %80-%FF
-    are OUTSIDE the RFC's equivalence scope and pass through as escape
-    text, canonicalized to uppercase hex so the two spellings of the
-    same escape still compare equal to each other (but never to a raw
-    multi-byte character — a %C3%A9 pattern matches the %-spelled path,
-    not the raw UTF-8 one, matching mainstream robots matchers). %2F is
-    canonicalized the same way. Invalid escapes pass through as literal
-    text."""
+    are OUTSIDE the RFC's decode scope and stay escape text,
+    canonicalized to uppercase hex; _pct_encode_non_ascii then maps RAW
+    non-ASCII characters to the same canonical escapes, so both
+    spellings of a non-ASCII octet sequence compare equal (the behavior
+    of mainstream matchers, which percent-encode the URL before
+    matching). %2F is canonicalized the same way. Invalid escapes pass
+    through as literal text."""
     out = []
     i, n = 0, len(s)
     while i < n:
         c = s[i]
         if c == "%" and i + 3 <= n:
             hx = s[i + 1:i + 3]
-            try:
+            # strict two-hex-digit parse: int(x, 16) accepts whitespace
+            # padding ('0 ' -> 0) and sign characters, which would turn
+            # malformed escapes like '%0 ' into control octets
+            if all(ch in "0123456789abcdefABCDEF" for ch in hx):
                 v = int(hx, 16)
-            except ValueError:
+            else:
                 out.append(c)
                 i += 1
                 continue
@@ -220,6 +223,21 @@ def _pct_decode(s: str) -> str:
         out.append(c)
         i += 1
     return "".join(out)
+
+
+def _pct_encode_non_ascii(s: str) -> str:
+    """Canonicalize RAW non-ASCII characters to uppercase UTF-8 percent
+    escapes — the same form _pct_decode leaves %80-%FF escapes in — so
+    a %C3%A9 pattern matches a raw 'é' path and vice versa (mainstream
+    robots matchers percent-encode the URL before matching; a
+    single-octet %E9 correctly does NOT match the two-octet raw UTF-8
+    character)."""
+    if s.isascii():
+        return s
+    return "".join(
+        c if ord(c) < 0x80 else
+        "".join(f"%{b:02X}" for b in c.encode("utf-8"))
+        for c in s)
 
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
@@ -266,8 +284,9 @@ def _robots_match_len(pattern: str, path: str) -> int:
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
-    parts = [_pct_decode(seg) for seg in pattern.split("*")]
-    path = _pct_decode(path)
+    parts = [_pct_encode_non_ascii(_pct_decode(seg))
+             for seg in pattern.split("*")]
+    path = _pct_encode_non_ascii(_pct_decode(path))
     pattern = "*".join(parts)
 
     def rec(pos: int, pi: int) -> int:

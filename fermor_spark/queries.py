@@ -6096,25 +6096,15 @@ def _gate_priority(names: list) -> list:
     never-gated first (registration order), then _CHANGED_THIS_ROUND,
     then every other row stalest-first. Deterministic given the repo
     tree; falls back to insertion order on a record-free checkout
-    (everything is never-gated then)."""
-    import glob as _glob
-    import json as _json
+    (everything is never-gated then). The record walk and the green-row
+    criteria live in fermor_spark.gatelog — ONE definition shared with
+    tools/gate_staleness.py and the invariant test."""
     import os as _os
-    import re as _re
+
+    from fermor_spark.gatelog import newest_green
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    newest: dict = {}
-    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
-        rn = int(_re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
-        try:
-            rec = _json.load(open(p))
-        except (OSError, ValueError):
-            continue
-        for name, e in rec.items():
-            if (e.get("err") is None and e.get("rows_match")
-                    and e.get("schema_match")
-                    and e.get("hash_match") is not False):
-                newest[name] = max(rn, newest.get(name, 0))
+    newest, _ = newest_green(root)
     head = [n for n in names if n not in newest]
     head += [n for n in _CHANGED_THIS_ROUND
              if n in names and n not in head]

@@ -1893,12 +1893,20 @@ def test_robots_percent_encoding_equivalence():
     # of the same rule report the same (decoded) match length
     assert (_robots_match_len("/a%3Cd", "/a<d")
             == _robots_match_len("/a<d", "/a<d"))
-    # non-ASCII octets are OUTSIDE the RFC's equivalence scope (r12,
-    # ADVICE): %80-%FF escapes compare equal to each other (any hex
-    # case) but never to a raw multi-byte character
+    # non-ASCII (r12): raw characters canonicalize to their UTF-8
+    # percent escapes before comparison — the mainstream-matcher
+    # behavior (the matcher percent-encodes the URL) — so %-spelled and
+    # raw spellings of the same octet SEQUENCE match, while a
+    # single-octet %E9 does NOT match the two-octet raw UTF-8 'é'
     assert _robots_match_len("/a%C3%A9", "/a%c3%a9") > 0
-    assert _robots_match_len("/a%C3%A9", "/aé") == -1
-    assert _robots_match_len("/aé", "/a%C3%A9") == -1
+    assert _robots_match_len("/a%C3%A9", "/aé") > 0
+    assert _robots_match_len("/aé", "/a%C3%A9") > 0
+    assert _robots_match_len("/aé", "/aé") > 0
+    assert _robots_match_len("/a%E9", "/aé") == -1
+    assert _robots_match_len("/aé", "/a%E9") == -1
+    # spelling-independent match length for precedence
+    assert (_robots_match_len("/a%C3%A9", "/aé")
+            == _robots_match_len("/aé", "/aé"))
 
 
 def test_robots_filter_spark(spark):

@@ -89,11 +89,9 @@ def test_gate_window_invariant():
     window closes the round with staleness > 3; (c) the arithmetic that
     makes the 4-round cycle satisfiable holds at the current registry
     and tier-A sizes."""
-    import glob
-    import json
     import os
-    import re
 
+    from fermor_spark.gatelog import newest_green
     from fermor_spark.queries import (_CHANGED_THIS_ROUND, _GATE_PRIORITY,
                                       all_queries)
 
@@ -102,16 +100,7 @@ def test_gate_window_invariant():
     assert window == _GATE_PRIORITY[:50]
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    newest = {}
-    latest = 0
-    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rn = int(re.search(r"r(\d+)\.json$", p).group(1))
-        latest = max(latest, rn)
-        for name, e in json.load(open(p)).items():
-            if (e.get("err") is None and e.get("rows_match")
-                    and e.get("schema_match")
-                    and e.get("hash_match") is not False):
-                newest[name] = max(rn, newest.get(name, 0))
+    newest, latest = newest_green(repo)
     if not newest:   # record-free checkout: window degenerates to
         return       # insertion order; nothing to check
 

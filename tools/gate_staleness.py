@@ -21,33 +21,8 @@ driver's record for the round lands.
 """
 
 import argparse
-import glob
-import json
 import os
-import re
 import sys
-
-
-def load_rounds(repo: str):
-    rounds = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rn = int(m.group(1))
-        try:
-            rounds[rn] = json.load(open(path))
-        except (OSError, json.JSONDecodeError) as e:
-            print(f"warn: skipping {path}: {e}", file=sys.stderr)
-    return rounds
-
-
-def green(entry: dict) -> bool:
-    return (entry.get("err") is None and entry.get("rows_match")
-            and entry.get("schema_match")
-            # hash_match is null for rows-only (no-oracle) checks;
-            # only an explicit False is a failure
-            and entry.get("hash_match") is not False)
 
 
 def registry_names(repo: str):
@@ -68,6 +43,9 @@ def main():
         os.path.dirname(os.path.abspath(__file__))))
     args = ap.parse_args()
 
+    names = registry_names(args.repo)   # also puts repo on sys.path
+    from fermor_spark.gatelog import green_row, load_rounds
+
     rounds = load_rounds(args.repo)
     if not rounds:
         print("no CORRECTNESS_r*.json records found")
@@ -77,14 +55,20 @@ def main():
     red_latest: dict = {}
     for rn in sorted(rounds):
         for name, entry in rounds[rn].items():
-            if green(entry):
+            if green_row(entry):
                 newest_green[name] = rn
                 red_latest.pop(name, None)
             elif rn == latest_round:
                 red_latest[name] = entry.get("err") or "value mismatch"
 
-    names = registry_names(args.repo)
     window = set(names[:50])
+    # --allow-pending is CLOSE-TIME mode: the round being closed is
+    # latest_round + 1 and its window rows will be gated by the coming
+    # driver run, so (a) never-gated rows inside the window are pending,
+    # not failures, and (b) staleness for rows OUTSIDE the window is
+    # judged against the CLOSING round — otherwise a row at staleness
+    # max_stale today closes the round one past the invariant.
+    judge_round = latest_round + 1 if args.allow_pending else latest_round
     never, pending, stale, fresh = [], [], [], []
     for name in names:
         if name not in newest_green:
@@ -93,12 +77,18 @@ def main():
             else:
                 never.append(name)
             continue
-        st = latest_round - newest_green[name]
+        if args.allow_pending and name in window:
+            fresh.append((0, newest_green[name], name))   # re-gates now
+            continue
+        st = judge_round - newest_green[name]
         (stale if st > args.max_stale else fresh).append(
             (st, newest_green[name], name))
 
     print(f"registry: {len(names)} queries | driver records: "
-          f"r{min(rounds)}..r{latest_round} | fresh (<= {args.max_stale} "
+          f"r{min(rounds)}..r{latest_round}"
+          + (f" | judging close of r{judge_round}" if args.allow_pending
+             else "")
+          + f" | fresh (<= {args.max_stale} "
           f"rounds): {len(fresh)} | stale: {len(stale)} | never gated: "
           f"{len(never)} | pending in window: {len(pending)}")
     for st, rn, name in sorted(stale, reverse=True):

@@ -37,15 +37,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 GRAPH_TABLES = {
-    # table -> columns that must offset per replica to keep FK structure
-    # (region/nation stay shared: dims stay, facts grow — the realistic
-    # shape of a growing corpus/graph)
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    # table -> column -> the ENTITY whose PK stride offsets it. Every
+    # occurrence of an entity's key — PK and FKs alike — must shift by
+    # the SAME per-replica stride (the entity PK's max + 1) or replica
+    # FKs point at the wrong rows and the graph distorts per multiplier.
+    # region/nation stay shared: dims stay, facts grow — the realistic
+    # shape of a growing corpus/graph.
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {"l_orderkey": "orders", "l_partkey": "part",
+                 "l_suppkey": "supplier"},
 }
+
+_ENTITY_PK = {"customer": "c_custkey", "supplier": "s_suppkey",
+              "part": "p_partkey", "orders": "o_orderkey"}
 
 
 def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
@@ -57,14 +64,18 @@ def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
     for t in ("region", "nation"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode(
             "overwrite").parquet(f"{out_dir}/{t}.parquet")
+    stride = {
+        ent: spark.read.parquet(f"{sf_dir}/{ent}.parquet")
+        .agg(F.max(pk)).collect()[0][0] + 1
+        for ent, pk in _ENTITY_PK.items()
+    }
     for t, keys in GRAPH_TABLES.items():
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
         parts = []
         for r in range(m):
             rep = df
-            for k, off in offs.items():
-                rep = rep.withColumn(k, F.col(k) + F.lit(r * off))
+            for k, ent in keys.items():
+                rep = rep.withColumn(k, F.col(k) + F.lit(r * stride[ent]))
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:

@@ -78,7 +78,13 @@ def main() -> int:
             print("no SUITE_STATE.json to re-stamp; run without --skip-run")
             return 1
         rec = json.load(open(OUT))
-        rec["round"], rec["git_head"] = rn, head
+        if rec.get("git_head") != head:
+            print(f"SUITE_STATE.json records head "
+                  f"{rec.get('git_head', '?')[:12]} but HEAD is "
+                  f"{head[:12]} — counts describe a different tree; "
+                  "run without --skip-run")
+            return 1
+        rec["round"] = rn
     else:
         core, core_s = _run(["tests/", "--ignore",
                              "tests/test_oracle_parity.py"])
