@@ -1337,6 +1337,23 @@ def test_tar_shards_loud_failure_contracts(spark, tmp_path):
     with _pytest.raises(Exception, match="missing a .txt or .json member"):
         read_corpus_tar(spark, str(incomplete)).collect()
 
+    # a killed task's leftover .part temp file is invisible to the
+    # reader (writes rename to .tar only on clean close), and a shard
+    # TRUNCATED mid-archive fails loudly instead of silently parsing
+    # as a complete-but-smaller shard
+    ok = tmp_path / "ok"
+    d2 = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                               "doc_id long, text string")
+    write_corpus_tar(d2, str(ok), key_col="doc_id", text_col="text",
+                     n_shards=1)
+    (ok / "shard-00099.tar.part").write_bytes(b"half-written garbage")
+    got2 = {int(r["key"]) for r in read_corpus_tar(spark, str(ok)).collect()}
+    assert got2 == {1, 2}
+    full = (ok / "shard-00000.tar").read_bytes()
+    (ok / "shard-00000.tar").write_bytes(full[:137])  # mid-header cut
+    with _pytest.raises(Exception, match="not a valid tar shard"):
+        read_corpus_tar(spark, str(ok)).collect()
+
 
 def test_gopher_quality_rules(spark):
     """Hand-computed Gopher rule checks: a healthy doc passes; too-short,
