@@ -25,27 +25,34 @@ def green_row(entry: dict) -> bool:
             and entry.get("hash_match") is not False)
 
 
-def load_rounds(root: str) -> dict:
+def load_rounds(root: str, warn=None) -> dict:
     """round number -> parsed CORRECTNESS record. Files whose suffix is
     not purely digits, or that fail to parse, are skipped (never crash
-    an import over a stray draft file)."""
+    an import over a stray draft file). Checkers that must not judge
+    against a silently-dropped round pass ``warn`` (a callable taking
+    one message) — a corrupt LATEST record would otherwise shift every
+    staleness computation one round back unnoticed."""
     rounds: dict = {}
     for path in sorted(glob.glob(os.path.join(root,
                                               "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
+            if warn:
+                warn(f"skipping non-round record file: {path}")
             continue
         try:
             rounds[int(m.group(1))] = json.load(open(path))
-        except (OSError, ValueError):
+        except (OSError, ValueError) as e:
+            if warn:
+                warn(f"skipping unreadable record {path}: {e}")
             continue
     return rounds
 
 
-def newest_green(root: str) -> tuple[dict, int]:
+def newest_green(root: str, warn=None) -> tuple[dict, int]:
     """(query name -> newest round with a green row, latest round seen).
     latest is 0 on a record-free checkout."""
-    rounds = load_rounds(root)
+    rounds = load_rounds(root, warn=warn)
     newest: dict = {}
     for rn in sorted(rounds):
         for name, entry in rounds[rn].items():

@@ -831,9 +831,9 @@ def incremental_minhash_dedup(new_df: DataFrame, corpus_df: DataFrame,
         # fail loudly: silently truncating trailing hash functions would
         # weaken recall versus what the caller configured (r12, ADVICE)
         raise ValueError(
-            f"num_hashes={num_hashes} must divide evenly into "
-            f"num_bands={num_bands} bands (rows per band = "
-            "num_hashes/num_bands; trailing hashes would be ignored)")
+            f"num_bands={num_bands} must divide num_hashes={num_hashes} "
+            "evenly (rows per band = num_hashes/num_bands; trailing "
+            "hashes would be ignored)")
     rows = num_hashes // num_bands
 
     def sig(sh):

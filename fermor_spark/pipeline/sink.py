@@ -161,9 +161,17 @@ def write_corpus_tar(
         # in-memory copy of the group, and a task killed mid-write can
         # never leave a truncated shard-*.tar that a later read would
         # silently parse as a complete-but-smaller shard (the .part name
-        # falls outside read_corpus_tar's *.tar glob)
+        # falls outside read_corpus_tar's *.tar glob). The temp name is
+        # ATTEMPT-unique: with speculation or a zombie attempt racing a
+        # retry, a shared name would interleave two attempts' writes
+        # into one published file — each attempt writes its own temp and
+        # the LAST clean os.replace wins (both attempts produce
+        # identical bytes, so either winner is correct).
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         final = f"{path}/shard-{b:05d}.tar"
-        part = final + ".part"
+        part = f"{final}.{attempt}.part"
         with open(part, "wb") as f, \
                 tarfile.open(fileobj=f, mode="w") as tar:
             for row in pdf.itertuples(index=False):
@@ -203,23 +211,37 @@ def read_corpus_tar(spark, path: str) -> DataFrame:
             for name, content in zip(pdf["path"], pdf["content"]):
                 shard = os.path.basename(str(name))
                 samples: dict[str, dict[str, bytes]] = {}
+                raw = bytes(content)
                 try:
                     # getmembers walks the whole archive INSIDE the
                     # guard: truncation mid-header raises ReadError from
                     # the walk, not from open — both must surface as the
                     # loud, named failure (the WARC reader's contract),
                     # never an anonymous task stack trace
-                    with tarfile.open(
-                            fileobj=io.BytesIO(bytes(content))) as tar:
+                    with tarfile.open(fileobj=io.BytesIO(raw)) as tar:
                         for m in tar.getmembers():
                             if not m.isfile():
                                 continue
                             base, _, ext = m.name.rpartition(".")
                             samples.setdefault(base, {})[ext] = \
                                 tar.extractfile(m).read()
+                        end = tar.offset
                 except tarfile.TarError as e:
                     raise ValueError(f"{shard}: not a valid tar shard "
                                      f"({e})") from e
+                # tarfile tolerates a MISSING end-of-archive marker when
+                # truncation lands on a member boundary (empirically:
+                # only an offset-0 cut raises) — a shard cut between
+                # samples would otherwise read as complete-but-smaller.
+                # Require the marker (two zero blocks) plus zero padding
+                # through end-of-file, which is exactly what the writer
+                # emits.
+                trailer = raw[end:]
+                if len(trailer) < 1024 or trailer.strip(b"\x00"):
+                    raise ValueError(
+                        f"{shard}: archive ends at byte {end} without a "
+                        "clean end-of-archive marker — shard is "
+                        "truncated or carries trailing garbage")
                 missing = [k for k, s in samples.items()
                            if "txt" not in s or "json" not in s]
                 if missing:

@@ -1350,6 +1350,16 @@ def test_tar_shards_loud_failure_contracts(spark, tmp_path):
     got2 = {int(r["key"]) for r in read_corpus_tar(spark, str(ok)).collect()}
     assert got2 == {1, 2}
     full = (ok / "shard-00000.tar").read_bytes()
+    # truncation at a MEMBER BOUNDARY: data complete, end-of-archive
+    # marker missing — CPython tarfile parses this silently as a
+    # complete-but-smaller archive, so the reader must catch it via the
+    # marker check, not rely on a ReadError
+    with tarfile.open(fileobj=io.BytesIO(full)) as t:
+        t.getmembers()
+        data_end = t.offset
+    (ok / "shard-00000.tar").write_bytes(full[:data_end])
+    with _pytest.raises(Exception, match="end-of-archive marker"):
+        read_corpus_tar(spark, str(ok)).collect()
     (ok / "shard-00000.tar").write_bytes(full[:137])  # mid-header cut
     with _pytest.raises(Exception, match="not a valid tar shard"):
         read_corpus_tar(spark, str(ok)).collect()

@@ -44,22 +44,25 @@ def main():
     args = ap.parse_args()
 
     names = registry_names(args.repo)   # also puts repo on sys.path
-    from fermor_spark.gatelog import green_row, load_rounds
+    from fermor_spark.gatelog import green_row, load_rounds, newest_green
 
-    rounds = load_rounds(args.repo)
+    def _warn(msg):
+        print(f"warn: {msg}", file=sys.stderr)
+
+    rounds = load_rounds(args.repo, warn=_warn)
     if not rounds:
         print("no CORRECTNESS_r*.json records found")
         return 1
     latest_round = max(rounds)
-    newest_green: dict = {}
-    red_latest: dict = {}
-    for rn in sorted(rounds):
-        for name, entry in rounds[rn].items():
-            if green_row(entry):
-                newest_green[name] = rn
-                red_latest.pop(name, None)
-            elif rn == latest_round:
-                red_latest[name] = entry.get("err") or "value mismatch"
+    # the newest-green walk is gatelog's (ONE definition shared with the
+    # computed gate window); only the latest-round red report is local
+    newest, _ = newest_green(args.repo)
+    red_latest = {
+        name: (entry.get("err") or "value mismatch")
+        for name, entry in rounds[latest_round].items()
+        if not green_row(entry) and newest.get(name) != latest_round
+    }
+    newest_green = newest
 
     window = set(names[:50])
     # --allow-pending is CLOSE-TIME mode: the round being closed is

@@ -179,7 +179,10 @@ def main() -> int:
     dirs = {}
     for m in args.multipliers:
         out = os.path.join(args.work_dir, f"mult{m}")
-        if not os.path.exists(os.path.join(out, "documents.parquet")):
+        # _SUCCESS, not bare directory existence: an interrupted prior
+        # write leaves a partial dataset a later run must not reuse
+        if not os.path.exists(
+                os.path.join(out, "documents.parquet", "_SUCCESS")):
             print(f"replicating x{m} -> {out}", file=sys.stderr)
             replicate(spark, args.sf_dir, out, m)
         dirs[m] = out
