@@ -155,6 +155,10 @@ BENCH_QUERIES = [
     # above-the-ceiling distributed parse + shuffle join, not its plan
     # shape alone
     "pipeline_robots_forced_join",
+    # r12 addition: the semantic member of the incremental-dedup trio
+    # (hyperplane-LSH bucket join + exact-cosine verify, snapshot vs
+    # corpus)
+    "dedup_incremental_semantic",
 ]
 
 

@@ -362,22 +362,9 @@ def embedding_near_dup_pairs(
     High thresholds → near-identical vectors → same bucket with high
     probability; for recall-critical use, union buckets from several seeds.
     """
-    from fermor_spark.pipeline.similarity import with_norm, cosine_expr, _hyperplanes
+    from fermor_spark.pipeline.similarity import cosine_expr
 
-    dim_df = df.select(F.size(F.col(vec_col)).alias("d")).limit(1)
-    dim = dim_df.collect()[0]["d"]
-    planes = _hyperplanes(num_planes, dim, seed)
-    e = with_norm(df, id_col, vec_col)
-    bucket = F.concat(*[
-        F.when(
-            F.aggregate(
-                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
-        for p in planes
-    ])
-    eb = e.withColumn("bucket", bucket)
+    eb = embedding_buckets(df, id_col, vec_col, num_planes, seed)
     a = eb.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                   F.col("norm").alias("na"), "bucket")
     b = eb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
@@ -390,6 +377,77 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def embedding_buckets(df: DataFrame, id_col: str, vec_col: str,
+                      num_planes: int = 8, seed: int = 42) -> DataFrame:
+    """(id, v double[], norm, bucket) — the hyperplane-LSH sign bucket
+    over deterministic pseudo-random planes, exposed so an incremental
+    ingest loop can persist the CORPUS side once (embeddings never
+    change once computed) and pass it back via ``corpus_buckets``."""
+    from fermor_spark.pipeline.similarity import _hyperplanes, with_norm
+
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1) \
+        .collect()[0]["d"]
+    planes = _hyperplanes(num_planes, dim, seed)
+    e = with_norm(df, id_col, vec_col)
+    bucket = F.concat(*[
+        F.when(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in p]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ])
+    return e.withColumn("bucket", bucket)
+
+
+def incremental_embedding_dedup(new_df: DataFrame, corpus_df: DataFrame,
+                                id_col: str, vec_col: str,
+                                threshold: float = 0.9,
+                                num_planes: int = 8, seed: int = 42,
+                                out_col: str = "near_dup_of",
+                                corpus_buckets: DataFrame | None = None
+                                ) -> DataFrame:
+    """Incremental SEMANTIC ingest dedup — the embedding-cosine member
+    of the incremental trio (exact / MinHash / semantic): tag each NEW
+    document with its nearest corpus semantic near-duplicate (the MIN
+    corpus id among verified matches; null = novel), where "near-dup"
+    means exact cosine >= ``threshold`` among hyperplane-LSH bucket
+    candidates (rounded to 6 dp before the compare, the family's
+    threshold convention).
+
+    Recall contract: a new vector IDENTICAL to a corpus vector lands in
+    the same sign bucket with certainty (same input, same planes), so
+    exact-duplicate embeddings are never missed; near-but-not-identical
+    vectors share the full bucket with high probability at high
+    thresholds — the documented LSH approximation, union several seeds
+    when recall-critical (embedding_near_dup_pairs's note).
+
+    Scale shape: the corpus bucket table is a map-side projection —
+    persist it per snapshot and pass it back via ``corpus_buckets``
+    (embedding_buckets; append-only, the corpus_shingles precedent), so
+    each cycle only the new snapshot pays bucketing; candidates come
+    from one equi-join on bucket where the new side is the small one;
+    only candidate pairs pay the exact-cosine verify."""
+    from fermor_spark.pipeline.similarity import cosine_expr
+
+    nb = embedding_buckets(new_df, id_col, vec_col, num_planes, seed)
+    cb = corpus_buckets if corpus_buckets is not None else \
+        embedding_buckets(corpus_df, id_col, vec_col, num_planes, seed)
+    a = nb.select(F.col("id").alias("_nid"), F.col("v").alias("va"),
+                  F.col("norm").alias("na"), "bucket")
+    b = cb.select(F.col("id").alias("_cid"), F.col("v").alias("vb"),
+                  F.col("norm").alias("nb"), "bucket")
+    cos = cosine_expr("va", "vb", "na", "nb")
+    ver = (a.join(b, "bucket")
+           .where(F.round(cos, 6) >= threshold)
+           .groupBy("_nid").agg(F.min("_cid").alias(out_col))
+           .withColumnRenamed("_nid", id_col))
+    return new_df.join(ver, id_col, "left").select(
+        *new_df.columns, F.col(out_col))
 
 
 def dedup_clusters(pairs: DataFrame, all_ids: DataFrame,

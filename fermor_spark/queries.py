@@ -4756,6 +4756,66 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_semantic",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),
+    newv AS (
+      SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id % 8 = 1
+      UNION ALL
+      SELECT vec_id + 2000000, list_transform(v, x -> -x)
+      FROM e WHERE vec_id % 8 = 2
+    ),
+    ver AS (
+      SELECT n.vec_id, min(c.vec_id) AS near_dup_of
+      FROM newv n JOIN corpus c
+        ON round(CASE WHEN isnan(list_cosine_similarity(n.v, c.v)) THEN 0
+                      ELSE list_cosine_similarity(n.v, c.v) END, 6) >= 0.9
+      GROUP BY n.vec_id
+    )
+    SELECT n.vec_id, ver.near_dup_of,
+           ver.near_dup_of IS NULL AS is_novel
+    FROM newv n LEFT JOIN ver ON ver.vec_id = n.vec_id
+    """,
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Incremental SEMANTIC snapshot-vs-corpus dedup under the gate (r12)
+    — the embedding-cosine member of the incremental trio (exact r10,
+    MinHash r11, semantic r12): each NEW embedding is tagged with its
+    nearest corpus near-duplicate (min corpus id with exact cosine >=
+    0.9 among hyperplane-LSH bucket candidates) or null when novel. The
+    snapshot makes both verdict classes load-bearing: exact COPIES of
+    corpus vectors (cosine 1.0 — same sign bucket with CERTAINTY, so
+    LSH recall is a theorem here, not a probability) and NEGATED copies
+    (cosine -1 vs their source, |cosine| <= 0.61 vs everything else —
+    measured max natural |cosine| across sf0.001/0.01/0.1 — so nothing
+    reaches the 0.9 threshold: novel). The oracle brute-forces exact
+    cosine over ALL new x corpus pairs — a superset of the bucketed
+    candidates — and agrees exactly BECAUSE no non-identical pair can
+    pass 0.9; banding misses for merely-similar vectors remain the
+    documented approximation, outside this gate's data by construction.
+
+    Scale shape (pipeline.dedup.incremental_embedding_dedup): corpus
+    bucket table persistable per snapshot (append-only,
+    embedding_buckets); one equi-join on bucket for candidates, new
+    side small; exact-cosine verify only on candidates."""
+    from fermor_spark.pipeline.dedup import incremental_embedding_dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    near = e.where(F.col("vec_id") % 8 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    novel = e.where(F.col("vec_id") % 8 == 2).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"))
+    corpus = e.where(F.col("vec_id") % 4 != 0).select("vec_id", "embedding")
+    out = incremental_embedding_dedup(near.unionByName(novel), corpus,
+                                      "vec_id", "embedding", threshold=0.9)
+    return out.select("vec_id", "near_dup_of",
+                      F.col("near_dup_of").isNull().alias("is_novel"))
+
+
+@query(
     "pipeline_robots_filter",
     """
     SELECT doc_id,

@@ -2253,3 +2253,36 @@ def test_write_wet_spark_roundtrip(spark, tmp_path):
     from fermor_spark.pipeline.warc import write_warc
     with _pytest.raises(ValueError, match="record_type"):
         write_warc(d, str(tmp_path / "x"), record_type="metadata")
+
+
+def test_incremental_embedding_dedup(spark):
+    """Operator-level contract: identical vectors are found (same-bucket
+    recall is a theorem), min corpus id wins among multiple matches,
+    below-threshold vectors come back novel, and a precomputed
+    corpus_buckets pass-through yields identical verdicts."""
+    from fermor_spark.pipeline.dedup import (embedding_buckets,
+                                             incremental_embedding_dedup)
+
+    base = [1.0] + [0.0] * 7
+    near = [0.999] + [0.001] * 7          # cosine ~0.9999 vs base
+    ortho = [0.0] * 7 + [1.0]
+    corpus = spark.createDataFrame(
+        [(10, base), (11, base), (12, ortho)],
+        "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(
+        [(100, base), (101, near), (102, ortho), (103, [-x for x in base])],
+        "vec_id long, embedding array<double>")
+    out = incremental_embedding_dedup(new, corpus, "vec_id", "embedding",
+                                      threshold=0.9)
+    got = {r["vec_id"]: r["near_dup_of"] for r in out.collect()}
+    assert got[100] == 10          # identical: min of {10, 11}
+    assert got[102] == 12          # identical orthogonal vector
+    assert got[103] is None        # negated: cosine -1, novel
+    # 101 is near-identical: IF bucketed together it must verify; either
+    # way it can never map to the orthogonal vector
+    assert got[101] in (10, None)
+
+    cb = embedding_buckets(corpus, "vec_id", "embedding")
+    out2 = incremental_embedding_dedup(new, corpus, "vec_id", "embedding",
+                                       threshold=0.9, corpus_buckets=cb)
+    assert {r["vec_id"]: r["near_dup_of"] for r in out2.collect()} == got
