@@ -387,10 +387,11 @@ def embedding_buckets(df: DataFrame, id_col: str, vec_col: str,
     change once computed) and pass it back via ``corpus_buckets``."""
     from fermor_spark.pipeline.similarity import _hyperplanes, with_norm
 
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1) \
-        .collect()[0]["d"]
-    planes = _hyperplanes(num_planes, dim, seed)
     e = with_norm(df, id_col, vec_col)
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not probe:   # vacuous input: no rows to bucket (empty-table sweep)
+        return e.withColumn("bucket", F.lit(""))
+    planes = _hyperplanes(num_planes, probe[0]["d"], seed)
     bucket = F.concat(*[
         F.when(
             F.aggregate(
