@@ -159,6 +159,10 @@ BENCH_QUERIES = [
     # (hyperplane-LSH bucket join + exact-cosine verify, snapshot vs
     # corpus)
     "dedup_incremental_semantic",
+    # r13 addition (VERDICT r12 #1): SimHash banding was gate-only, so its
+    # union-of-bands recompute cost was invisible — now measured, after the
+    # rebuild as one array-explode projection
+    "dedup_simhash_candidates",
 ]
 
 

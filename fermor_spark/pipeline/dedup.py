@@ -323,21 +323,29 @@ def simhash_near_dup_pairs(
     ``portable``); any pair within Hamming ≤ 3 shares ≥1 exact band
     (pigeonhole), so the candidate join is an equi-join on
     (band, band_value), then verify with bit_count(xor).
+
+    Banding is ONE array-explode projection (the lsh_candidates pattern),
+    not a union of per-band selects: the union form re-evaluated the
+    upstream 60/64-bit vote aggregation once per band per self-join side
+    (8 recomputations of the simhash groupBy at 4 bands) — the same
+    recompute trap fixed in lsh_candidates and incremental minhash
+    (c420cbe). With a single-scan explode the self-join's two legs also
+    collapse into one reused exchange.
     """
     width = 15 if portable else 16
     s = simhash(df, id_col, text_col, portable=portable)
-    parts = []
-    for band in range(4):
-        parts.append(
-            s.select(
-                "id", "simhash", F.lit(band).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), band * width)
-                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), band * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
         )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+        for band in range(4)
+    ]
+    banded = s.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "simhash",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -380,29 +388,77 @@ def embedding_near_dup_pairs(
 
 
 def embedding_buckets(df: DataFrame, id_col: str, vec_col: str,
-                      num_planes: int = 8, seed: int = 42) -> DataFrame:
+                      num_planes: int = 8, seed: int = 42,
+                      dim: int | None = None) -> DataFrame:
     """(id, v double[], norm, bucket) — the hyperplane-LSH sign bucket
     over deterministic pseudo-random planes, exposed so an incremental
     ingest loop can persist the CORPUS side once (embeddings never
-    change once computed) and pass it back via ``corpus_buckets``."""
+    change once computed) and pass it back via ``corpus_buckets``.
+
+    The sign projection is ONE numpy matmul per Arrow batch (the repo's
+    vector-math rule, similarity.py's blocked-matmul kernels) instead of
+    num_planes interpreted aggregate/zip_with folds per row — bucket
+    bits are sign decisions, robust to summation-order ulp differences,
+    unlike the verify cosine which stays on the JVM fold (cosine_expr)
+    for bit-exact oracle parity. norm also stays JVM-side (with_norm)
+    for the same reason.
+
+    ``dim``: the embedding width. When None it is probed from the first
+    row (one limit(1) action). A caller bucketing TWO sides against each
+    other (incremental_embedding_dedup) must probe once and pass the
+    same ``dim`` to both, so mismatched inputs fail loudly in the kernel
+    below instead of silently deriving disjoint plane sets. Every batch
+    is validated against ``dim``: ragged or mismatched widths raise a
+    named ValueError rather than bucketing garbage."""
+    from pyspark.sql import types as T
+
     from fermor_spark.pipeline.similarity import _hyperplanes, with_norm
 
     e = with_norm(df, id_col, vec_col)
-    probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if not probe:   # vacuous input: no rows to bucket (empty-table sweep)
-        return e.withColumn("bucket", F.lit(""))
-    planes = _hyperplanes(num_planes, probe[0]["d"], seed)
-    bucket = F.concat(*[
-        F.when(
-            F.aggregate(
-                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in p]),
-                           lambda a, b: a * b),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
-        for p in planes
-    ])
-    return e.withColumn("bucket", bucket)
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not probe:   # vacuous input: no rows to bucket (empty-table sweep)
+            return e.withColumn("bucket", F.lit(""))
+        dim = int(probe[0]["d"])
+    import numpy as np
+
+    planes_t = np.asarray(_hyperplanes(num_planes, dim, seed)).T  # (dim, P)
+    out_schema = T.StructType(
+        list(e.schema.fields) + [T.StructField("bucket", T.StringType())])
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(bucket=pd.Series([], dtype=object))
+                continue
+            vs = [None if v is None else np.asarray(v, dtype=np.float64)
+                  for v in pdf["v"]]
+            live = [i for i, v in enumerate(vs) if v is not None]
+            buckets = [""] * len(vs)   # null vec -> "" (len != num_planes,
+            # so it can never match a real bucket; verify cosine is null
+            # anyway — same no-pair outcome as the old all-zeros bucket)
+            if live:
+                try:
+                    V = np.stack([vs[i] for i in live])
+                except ValueError as exc:
+                    raise ValueError(
+                        "embedding_buckets: ragged embedding widths "
+                        f"{sorted({vs[i].shape[0] for i in live})[:5]} in one "
+                        "batch — refuse to bucket mismatched vectors") from exc
+                if V.shape[1] != dim:
+                    raise ValueError(
+                        f"embedding_buckets: batch width {V.shape[1]} != "
+                        f"declared/probed dim {dim} — the two sides of an "
+                        "incremental dedup must share one embedding width")
+                signs = V @ planes_t >= 0   # (n, P)
+                for i, row in zip(live, signs):
+                    buckets[i] = "".join("1" if b else "0" for b in row)
+            yield pdf.assign(bucket=buckets)
+
+    return e.mapInPandas(fn, out_schema)
 
 
 def incremental_embedding_dedup(new_df: DataFrame, corpus_df: DataFrame,
@@ -435,9 +491,26 @@ def incremental_embedding_dedup(new_df: DataFrame, corpus_df: DataFrame,
     only candidate pairs pay the exact-cosine verify."""
     from fermor_spark.pipeline.similarity import cosine_expr
 
-    nb = embedding_buckets(new_df, id_col, vec_col, num_planes, seed)
+    # Probe the embedding width ONCE and hand it to both sides: two
+    # independent probes would derive plane sets from each side's own
+    # first row, so mismatched widths silently produce disjoint bucket
+    # strings (everything "novel") — with a shared dim the kernel raises
+    # a named error instead. Probe the corpus first (the side that is
+    # persisted and therefore authoritative); fall back to the new side
+    # when the corpus is empty (first-ever snapshot).
+    probe_side = corpus_df if corpus_buckets is None else new_df
+    probe = probe_side.select(
+        F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not probe:
+        probe = new_df.select(
+            F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(probe[0]["d"]) if probe else None
+
+    nb = embedding_buckets(new_df, id_col, vec_col, num_planes, seed,
+                           dim=dim)
     cb = corpus_buckets if corpus_buckets is not None else \
-        embedding_buckets(corpus_df, id_col, vec_col, num_planes, seed)
+        embedding_buckets(corpus_df, id_col, vec_col, num_planes, seed,
+                          dim=dim)
     a = nb.select(F.col("id").alias("_nid"), F.col("v").alias("va"),
                   F.col("norm").alias("na"), "bucket")
     b = cb.select(F.col("id").alias("_cid"), F.col("v").alias("vb"),

@@ -54,10 +54,19 @@ def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def cosine_expr(va: str, vb: str, na: str, nb: str):
+    """Cosine with the repo-wide zero-norm rule: a zero vector has cosine
+    0.0 to everything (treated as novel / dissimilar), NEVER NaN. Spark
+    sorts NaN above every number and NaN >= threshold is TRUE, so an
+    unguarded 0.0/0.0 would tag a zero embedding as near-dup of every
+    bucket-mate — the exact inversion of the intended semantics (ADVICE
+    r12 medium). The numpy kernels already apply the same rule via the
+    norm clamp np.maximum(norm, 1e-12): a zero row normalizes to the
+    zero vector, so every dot against it is 0."""
     dot = F.aggregate(
         F.zip_with(F.col(va), F.col(vb), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    return dot / (F.col(na) * F.col(nb))
+    denom = F.col(na) * F.col(nb)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
 
 
 def brute_force_topk(
@@ -545,7 +554,11 @@ def lsh_topk(
     dim = first[0]["d"]
 
     def bucketize(e: DataFrame, prefix: str) -> DataFrame:
-        parts = []
+        # ONE array-explode projection over the per-table bucket structs,
+        # not a union of per-table selects: the union form re-scans (and
+        # re-normalizes) the input once per hash table per join side —
+        # the recompute trap fixed in lsh_candidates / simhash banding.
+        tbl_structs = []
         for t in range(num_tables):
             planes = _hyperplanes(num_planes, dim, seed + 1000 * t)
             bucket = F.concat(*[
@@ -558,15 +571,15 @@ def lsh_topk(
                 ).otherwise(F.lit("0"))
                 for p in planes
             ])
-            parts.append(e.select(
-                F.col("id").alias(f"{prefix}_id"), F.col("v").alias(f"{prefix}_v"),
-                F.col("norm").alias(f"{prefix}_n"),
-                F.lit(t).alias("table"), bucket.alias("bucket"),
-            ))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            tbl_structs.append(F.struct(
+                F.lit(t).alias("table"), bucket.alias("bucket")))
+        return e.select(
+            F.col("id").alias(f"{prefix}_id"), F.col("v").alias(f"{prefix}_v"),
+            F.col("norm").alias(f"{prefix}_n"),
+            F.explode(F.array(*tbl_structs)).alias("tb"),
+        ).select(f"{prefix}_id", f"{prefix}_v", f"{prefix}_n",
+                 F.col("tb.table").alias("table"),
+                 F.col("tb.bucket").alias("bucket"))
 
     corpus = bucketize(with_norm(df, id_col, vec_col), "c")
     q = bucketize(with_norm(queries, id_col, vec_col), "q")

@@ -6139,15 +6139,16 @@ def dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows whose EXECUTED implementation changed this round (error-path-only
 # changes stay off per the r10 convention). Rotates each round.
 _CHANGED_THIS_ROUND = [
-    # r12: _pct_decode went US-ASCII-scoped — executes inside robots
-    # longest-match for every robots-gated row:
-    "pipeline_robots_filter", "pipeline_crawl_e2e",
-    # r12: tar members stream to the shard file + duplicate-key guard on
-    # the write path (pipeline_tar_shards is also never-gated):
-    "pipeline_tar_shards",
-    # r12: banding collapsed to one signature pass per side
-    # (dedup_incremental_minhash is also never-gated):
-    "dedup_incremental_minhash",
+    # r13: simhash banding rebuilt as one array-explode projection
+    # (VERDICT r12 #1 — the lsh_candidates pattern):
+    "dedup_simhash_candidates",
+    # r13: embedding_buckets moved to the Arrow matmul kernel with a
+    # shared-dim contract, incremental probe unified, and cosine_expr
+    # grew the zero-norm guard (ADVICE r12 medium):
+    "dedup_incremental_semantic",
+    # r13: lsh_topk's per-table bucketize collapsed to one array-explode
+    # projection + cosine_expr zero-norm guard:
+    "ann_lsh_topk",
 ]
 
 

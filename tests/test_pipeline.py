@@ -2286,3 +2286,87 @@ def test_incremental_embedding_dedup(spark):
     out2 = incremental_embedding_dedup(new, corpus, "vec_id", "embedding",
                                        threshold=0.9, corpus_buckets=cb)
     assert {r["vec_id"]: r["near_dup_of"] for r in out2.collect()} == got
+
+
+def test_embedding_buckets_wide_parity(spark):
+    """VERDICT r12 #5: the Arrow-matmul bucket kernel at production
+    embedding width (512-dim) must agree bit-for-bit with an independent
+    driver-side recomputation of the sign buckets from the same
+    deterministic hyperplanes, and identical vectors on two sides of an
+    incremental pass must still land in the same bucket (the recall
+    theorem) at that width."""
+    import numpy as np
+
+    from fermor_spark.pipeline.dedup import embedding_buckets
+    from fermor_spark.pipeline.similarity import _hyperplanes
+
+    dim, n = 512, 40
+    # deterministic pseudo-random vectors without RNG state (hash-derived,
+    # the _hyperplanes convention)
+    from fermor_spark.pipeline.similarity import hash_u64
+    rows = [(i, [hash_u64(f"wide:{i}:{d}") / 2**63 - 1.0
+                 for d in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["id"]: r["bucket"]
+           for r in embedding_buckets(df, "vec_id", "embedding",
+                                      num_planes=8, seed=42).collect()}
+    planes = np.asarray(_hyperplanes(8, dim, 42))
+    for i, v in rows:
+        signs = planes @ np.asarray(v) >= 0
+        want = "".join("1" if b else "0" for b in signs)
+        assert got[i] == want, f"vec {i}: {got[i]} != {want}"
+    assert len(set(got.values())) > 1   # planes actually discriminate
+
+
+def test_embedding_buckets_dim_mismatch_raises(spark):
+    """ADVICE r12: mismatched embedding widths across the two sides of an
+    incremental dedup must fail LOUDLY (named ValueError in the kernel),
+    never silently bucket to disjoint strings; ragged widths inside one
+    input likewise."""
+    import pytest
+
+    from fermor_spark.pipeline.dedup import (embedding_buckets,
+                                             incremental_embedding_dedup)
+
+    corpus = spark.createDataFrame([(1, [1.0] * 8)],
+                                   "vec_id long, embedding array<double>")
+    new = spark.createDataFrame([(2, [1.0] * 16)],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(Exception) as exc:
+        incremental_embedding_dedup(new, corpus, "vec_id", "embedding").collect()
+    assert "embedding width" in str(exc.value) or \
+        "embedding_buckets" in str(exc.value)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 9)],
+        "vec_id long, embedding array<double>").coalesce(1)
+    with pytest.raises(Exception) as exc2:
+        embedding_buckets(ragged, "vec_id", "embedding").collect()
+    assert "embedding_buckets" in str(exc2.value)
+
+
+def test_zero_norm_cosine_is_novel(spark):
+    """ADVICE r12 medium: a zero-norm embedding must report cosine 0.0
+    (novel / dissimilar to everything), never NaN — unguarded 0.0/0.0 is
+    NaN, and Spark's NaN >= threshold is TRUE, which would tag the zero
+    vector as a near-dup of every bucket-mate."""
+    from fermor_spark.pipeline.dedup import (embedding_near_dup_pairs,
+                                             incremental_embedding_dedup)
+
+    zero = [0.0] * 8
+    base = [1.0] + [0.0] * 7
+    corpus = spark.createDataFrame(
+        [(10, base), (11, zero)], "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(
+        [(100, zero), (101, base)], "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["near_dup_of"]
+           for r in incremental_embedding_dedup(
+               new, corpus, "vec_id", "embedding", threshold=0.9).collect()}
+    assert got[100] is None        # zero vector: novel, not dup-of-everything
+    assert got[101] == 10          # real vector still matches its copy
+
+    pairs = embedding_near_dup_pairs(
+        spark.createDataFrame([(1, zero), (2, zero), (3, base)],
+                              "vec_id long, embedding array<double>"),
+        "vec_id", "embedding", threshold=0.5).collect()
+    assert pairs == []             # zero-zero pairs are cosine 0, not NaN
