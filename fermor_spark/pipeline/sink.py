@@ -219,13 +219,20 @@ def read_corpus_tar(spark, path: str) -> DataFrame:
                     # loud, named failure (the WARC reader's contract),
                     # never an anonymous task stack trace
                     with tarfile.open(fileobj=io.BytesIO(raw)) as tar:
+                        # end of the last member's 512-padded data block,
+                        # from per-member TarInfo fields (offset_data +
+                        # padded size) — NOT TarFile.offset, which is
+                        # undocumented internal reader state whose meaning
+                        # could shift across CPython releases
+                        end = 0
                         for m in tar.getmembers():
+                            end = max(end, m.offset_data
+                                      + ((m.size + 511) // 512) * 512)
                             if not m.isfile():
                                 continue
                             base, _, ext = m.name.rpartition(".")
                             samples.setdefault(base, {})[ext] = \
                                 tar.extractfile(m).read()
-                        end = tar.offset
                 except tarfile.TarError as e:
                     raise ValueError(f"{shard}: not a valid tar shard "
                                      f"({e})") from e

@@ -20,8 +20,10 @@ TRACKING_PARAMS = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)(=|$)"
 
 # Which leg robots_filter planned last: "broadcast" (driver-parsed rules
 # ride a SparkContext broadcast) or "join" (rules parse distributed and
-# join on host). Last-call-wins telemetry, the LAST_*_ROUNDS precedent —
-# forced-leg gates assert the leg they paid for actually ran.
+# join on host). Last-call-wins telemetry, kept for interactive probes —
+# forced-leg gates must NOT read it (concurrent plan construction races
+# it); they read the per-call `robots_path` attribute robots_filter sets
+# on its returned DataFrame instead (ADVICE r12).
 LAST_ROBOTS_PATH = ""
 
 # Driver-broadcast ceiling for blocklist/robots artifacts. A UT1-class
@@ -342,7 +344,12 @@ def robots_filter(df: DataFrame, url_col: str, robots_df: DataFrame,
     host — same verdicts, shuffle-on-host instead of driver ingress.
     Hosts with no robots.txt allow everything either way.
     ``max_broadcast_rows`` overrides the ceiling (tests force the join
-    path with it)."""
+    path with it).
+
+    The returned DataFrame carries ``robots_path`` ("broadcast"|"join")
+    — per-call leg telemetry safe under concurrent plan construction,
+    unlike the module-global LAST_ROBOTS_PATH it supersedes for
+    assertions."""
     import pandas as pd
 
     global LAST_ROBOTS_PATH
@@ -368,7 +375,9 @@ def robots_filter(df: DataFrame, url_col: str, robots_df: DataFrame,
             return pd.Series(out)
 
         verdict = F.pandas_udf(_verdict, "boolean")
-        return df.withColumn(out_col, verdict(host, path))
+        out = df.withColumn(out_col, verdict(host, path))
+        out.robots_path = "broadcast"
+        return out
 
     # join fallback: parse every robots.txt where it lives (one Arrow
     # pass, no shuffle), join the (host, rules) table on host. The rules
@@ -404,5 +413,7 @@ def robots_filter(df: DataFrame, url_col: str, robots_df: DataFrame,
         return pd.Series(out)
 
     verdict = F.pandas_udf(_verdict_joined, "boolean")
-    return joined.withColumn(out_col, verdict(F.col("_rp"), F.col("rules"))) \
+    out = joined.withColumn(out_col, verdict(F.col("_rp"), F.col("rules"))) \
         .select(*df.columns, out_col)
+    out.robots_path = "join"
+    return out

@@ -4900,7 +4900,7 @@ def pipeline_robots_forced_join(spark: SparkSession, sf_dir: str
     body) so the fallback pays a full-crawl-shaped distributed parse +
     dedup + shuffle join, not a 2-row toy. The pad hosts never appear
     in any URL, so the oracle is unchanged; the gate asserts the leg it
-    paid for actually planned (LAST_ROBOTS_PATH)."""
+    paid for actually planned (the per-call robots_path attribute)."""
     from fermor_spark.pipeline import url as _url
     from fermor_spark.pipeline.url import robots_filter
 
@@ -4933,8 +4933,11 @@ def pipeline_robots_forced_join(spark: SparkSession, sf_dir: str
         .alias("robots_txt"))
     out = robots_filter(urls, "url", real.unionByName(pad),
                         max_broadcast_rows=0)
-    assert _url.LAST_ROBOTS_PATH == "join", \
-        "forced robots join leg did not run"
+    # per-call leg telemetry (ADVICE r12): the module-global
+    # LAST_ROBOTS_PATH is last-call-wins and races concurrent plan
+    # construction; RuntimeError, not assert — python -O strips asserts
+    if getattr(out, "robots_path", None) != "join":
+        raise RuntimeError("forced robots join leg did not run")
     return out.select(
         "doc_id",
         F.when(F.col("source") == "src0", "ads.example.com")
@@ -6149,6 +6152,12 @@ _CHANGED_THIS_ROUND = [
     # r13: lsh_topk's per-table bucketize collapsed to one array-explode
     # projection + cosine_expr zero-norm guard:
     "ann_lsh_topk",
+    # r13: tar end-of-archive check recomputed from public TarInfo fields
+    # (executed inside the shard read):
+    "pipeline_tar_shards",
+    # r13: robots leg telemetry went per-call (attribute on the returned
+    # plan), gate enforcement assert -> RuntimeError:
+    "pipeline_robots_forced_join",
 ]
 
 

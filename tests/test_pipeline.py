@@ -1990,11 +1990,11 @@ def test_robots_and_domain_filter_join_fallback(spark):
     assert joined["http://A.EXAMPLE/private/x"] is False
     assert joined["http://a.example/private/pubx"] is True
     assert joined["notaurl"] is True   # null host allows
-    # the leg telemetry the forced bench gate asserts on (r12)
-    from fermor_spark.pipeline import url as _url
-    assert _url.LAST_ROBOTS_PATH == "join"
-    robots_filter(urls, "url", robots).collect()
-    assert _url.LAST_ROBOTS_PATH == "broadcast"
+    # the PER-CALL leg telemetry the forced bench gate reads (r13; the
+    # module-global LAST_ROBOTS_PATH races concurrent plan construction)
+    assert robots_filter(urls, "url", robots,
+                         max_broadcast_rows=1).robots_path == "join"
+    assert robots_filter(urls, "url", robots).robots_path == "broadcast"
 
     bl_rows = [("ads.example.com",)] + [(f"pad{i}.example",)
                                         for i in range(40)]

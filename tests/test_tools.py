@@ -116,6 +116,11 @@ def test_gate_window_invariant():
     coming = latest + 1
     for n in names:
         if n not in window:
+            # a never-gated row OUTSIDE the window is its own invariant
+            # breach — name it, rather than KeyError-ing on newest[n]
+            # (possible the moment tier A exceeds the window size)
+            assert n in newest, \
+                f"{n} is never-gated yet fell outside the r{coming} window"
             assert coming - newest[n] <= 3, \
                 f"{n} would close r{coming} at staleness {coming - newest[n]}"
     # (c) satisfiability: registry_size <= 4*window - 3*tier_A
