@@ -74,14 +74,18 @@ def _force_messages(
         F.floor(F.col("x") / radius).cast("long").alias("cx"),
         F.floor(F.col("y") / radius).cast("long").alias("cy"),
     )
+    # ONE array-explode replication into the 3×3 neighborhood, not a
+    # union of 9 per-offset selects (each re-evaluating the position
+    # lineage once per offset per iteration — the banding recompute trap)
     offsets = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
-    replicated = None
-    for i, j in offsets:
-        part = cell.select(
-            F.col("id").alias("oid"), F.col("x").alias("ox"), F.col("y").alias("oy"),
-            (F.col("cx") + i).alias("cx"), (F.col("cy") + j).alias("cy"),
-        )
-        replicated = part if replicated is None else replicated.unionByName(part)
+    replicated = cell.select(
+        F.col("id").alias("oid"), F.col("x").alias("ox"), F.col("y").alias("oy"),
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + i).alias("cx"), (F.col("cy") + j).alias("cy"))
+            for i, j in offsets
+        ])).alias("nb"),
+    ).select("oid", "ox", "oy",
+             F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
     pairs = cell.join(replicated, ["cx", "cy"]).where(F.col("id") != F.col("oid"))
     d2 = (F.col("x") - F.col("ox")) ** 2 + (F.col("y") - F.col("oy")) ** 2
     rep = pairs.withColumn("d2", F.greatest(d2, F.lit(0.01))).where(

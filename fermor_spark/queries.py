@@ -2213,13 +2213,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(8)
     ]
     mh = sh.groupBy("doc_id").agg(*aggs)
-    bands = None
-    for band in range(4):
-        part = mh.select(
-            "doc_id", F.lit(band).alias("band"),
-            F.concat(F.col(f"h{2*band}"), F.col(f"h{2*band+1}")).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # ONE array-explode banding (the lsh_candidates pattern) — the union
+    # of per-band selects re-evaluated the signature groupBy once per
+    # band per self-join side (8×); under full-bench storage pressure a
+    # shingle-cache eviction multiplied through exactly those recomputes
+    # (the r12 driver band's 6.7 s mid-sequence spike). Fourth and last
+    # occurrence of the trap (r13).
+    band_structs = [
+        F.struct(F.lit(band).alias("band"),
+                 F.concat(F.col(f"h{2*band}"),
+                          F.col(f"h{2*band+1}")).alias("key"))
+        for band in range(4)
+    ]
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
@@ -6158,6 +6167,10 @@ _CHANGED_THIS_ROUND = [
     # r13: robots leg telemetry went per-call (attribute on the returned
     # plan), gate enforcement assert -> RuntimeError:
     "pipeline_robots_forced_join",
+    # r13: banding collapsed to one array-explode projection (the fourth
+    # and last union-of-bands occurrence — the r12 driver band's named
+    # mechanism):
+    "dedup_minhash_lsh",
 ]
 
 
