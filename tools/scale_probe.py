@@ -99,6 +99,30 @@ def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eoff = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    edim = e.select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
+    parts = []
+    for r in range(m):
+        rep = e.withColumn("vec_id", F.col("vec_id") + F.lit(r * eoff))
+        if r > 0:
+            # roll the vector by r dims: replica populations are NOT
+            # near-dups of the originals (cosine to the unrolled vector
+            # is ~random), so near-pair volume and LSH bucket sizes grow
+            # LINEARLY with m — byte-identical replicas would grow every
+            # identical-copy bucket m-fold and candidate pairs m^2-fold,
+            # a data artifact that would mask the operator's true slope
+            k = r % edim
+            if k:
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(F.slice("embedding", k + 1, edim - k),
+                             F.slice("embedding", 1, k)))
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
 def op_graph_build(spark, sf_dir: str) -> int:
@@ -152,12 +176,40 @@ def op_incr_minhash(spark, sf_dir: str) -> int:
     return incremental_minhash_dedup(new, corpus, "doc_id", "text").count()
 
 
+def op_embed_buckets(spark, sf_dir: str) -> int:
+    """Hyperplane-LSH sign bucketing (the r13 Arrow-matmul kernel) — a
+    pure map-side projection, so the slope should be ~1 in rows with no
+    shuffle component at all."""
+    from fermor_spark.pipeline.dedup import embedding_buckets
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_buckets(e, "vec_id", "embedding").count()
+
+
+def op_incr_semantic(spark, sf_dir: str) -> int:
+    """Incremental semantic dedup (bucket equi-join + exact-cosine
+    verify), snapshot-vs-corpus split the way op_incr_minhash does it."""
+    from pyspark.sql import functions as F
+
+    from fermor_spark.pipeline.dedup import incremental_embedding_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    new = e.where(F.col("vec_id") % 8 == 1).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding")
+    corpus = e.where(F.col("vec_id") % 8 != 1)
+    return incremental_embedding_dedup(
+        new, corpus, "vec_id", "embedding").count()
+
+
 OPS = {
     "graph_build": op_graph_build,
     "bfs_2hop": op_bfs_2hop,
     "exact_dedup": op_exact_dedup,
     "minhash_pairs": op_minhash_pairs,
     "incr_minhash": op_incr_minhash,
+    "embed_buckets": op_embed_buckets,
+    "incr_semantic": op_incr_semantic,
 }
 
 
@@ -180,9 +232,12 @@ def main() -> int:
     for m in args.multipliers:
         out = os.path.join(args.work_dir, f"mult{m}")
         # _SUCCESS, not bare directory existence: an interrupted prior
-        # write leaves a partial dataset a later run must not reuse
+        # write leaves a partial dataset a later run must not reuse.
+        # embeddings.parquet is the LAST table replicate() writes, so its
+        # marker implies the full set (and invalidates pre-r13 replica
+        # dirs that predate embedding replication)
         if not os.path.exists(
-                os.path.join(out, "documents.parquet", "_SUCCESS")):
+                os.path.join(out, "embeddings.parquet", "_SUCCESS")):
             print(f"replicating x{m} -> {out}", file=sys.stderr)
             replicate(spark, args.sf_dir, out, m)
         dirs[m] = out
