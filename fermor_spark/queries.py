@@ -6171,6 +6171,10 @@ _CHANGED_THIS_ROUND = [
     # and last union-of-bands occurrence — the r12 driver band's named
     # mechanism):
     "dedup_minhash_lsh",
+    # r13: funnel rebuilt as one left-join chain + single stacked count
+    # (the union of per-step count rows re-evaluated each step's chain
+    # prefix once per step >= it — O(k^2) event scans -> O(k)):
+    "events_funnel_conversion",
 ]
 
 

@@ -154,33 +154,43 @@ def funnel(events: DataFrame, steps: list[str], horizon: str = "7 days",
     step-1 event); returns (step_index, step_name, n_users) — the users
     whose cascade reached each step. The classic product-analytics
     operator re-expressed as k-1 keyed join+min aggregations (no window
-    over whole histories, no UDF): each stage shrinks to converting users
-    only, so later joins get cheaper, and every join is on the user key —
-    a co-partitioned chain at scale."""
+    over whole histories, no UDF), every join on the user key — a
+    co-partitioned chain at scale.
+
+    ONE left-join chain carrying (_t1.._tk) per cohort user, counted by
+    a SINGLE one-row aggregate at the end (count(_ti) = users reaching
+    step i) — not a union of per-step count rows: that shape evaluated
+    step i's whole join-chain prefix once per step ≥ i, i.e. O(k²)
+    scans of the events table where this is O(k) (one filtered,
+    column-pruned scan per step type). A user who dies at step i rides
+    to the end with null _t≥i — ≤ |cohort| rows of k timestamps,
+    negligible against re-scanning events quadratically."""
     from pyspark.sql import functions as F
 
-    u, ts = F.col(user_col), F.col(ts_col)
-    first = (events.where(F.col(type_col) == steps[0])
-             .groupBy(user_col).agg(F.min(ts_col).alias("_t1")))
+    cur = (events.where(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("_t1")))
     horizon_end = F.col("_t1") + F.expr(f"INTERVAL {horizon}")
-    counts = [(1, steps[0], first)]
-    prev = first.withColumn("_tp", F.col("_t1"))
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (events.where(F.col(type_col) == step)
-               .join(prev.select(user_col, "_t1", "_tp"), user_col)
-               .where((ts > F.col("_tp")) & (ts <= horizon_end))
-               .groupBy(user_col, "_t1")
-               .agg(F.min(ts_col).alias("_tn")))
-        counts.append((i, step, nxt))
-        prev = nxt.withColumn("_tp", F.col("_tn"))
-    spark = events.sparkSession
-    out = None
-    for i, step, df in counts:
-        row = df.agg(F.count("*").alias("n_users")).select(
-            F.lit(i).cast("int").alias("step_index"),
-            F.lit(step).alias("step_name"), "n_users")
-        out = row if out is None else out.unionByName(row)
-    return out
+        ev = events.where(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("_e"))
+        qualifying = F.when(
+            (F.col("_e") > F.col(f"_t{i - 1}")) & (F.col("_e") <= horizon_end),
+            F.col("_e"))
+        # null _t{i-1} (user died earlier) or no matching event => the
+        # when() is null for every row => min() yields null _ti
+        cur = (cur.join(ev, user_col, "left")
+               .groupBy(user_col)
+               .agg(*[F.min(f"_t{j}").alias(f"_t{j}") for j in range(1, i)],
+                    F.min(qualifying).alias(f"_t{i}")))
+    totals = cur.agg(*[F.count(f"_t{i}").alias(f"c{i}")
+                       for i in range(1, len(steps) + 1)])
+    rows = F.array(*[
+        F.struct(F.lit(i).cast("int").alias("step_index"),
+                 F.lit(step).alias("step_name"),
+                 F.col(f"c{i}").cast("long").alias("n_users"))
+        for i, step in enumerate(steps, start=1)])
+    return totals.select(F.explode(rows).alias("s")).select(
+        "s.step_index", "s.step_name", "s.n_users")
 
 
 def retention_cohorts(events: DataFrame, user_col: str = "user_id",
