@@ -838,3 +838,58 @@ def test_html_extract_never_raises_on_tag_soup(soup):
         assert isinstance(x, str)
         assert "\r" not in x and "\t" not in x
         assert nb >= 0 and nl >= 0
+
+
+# --- funnel vs brute force (r13: the left-join-chain rewrite's
+# null-propagation semantics randomized against a pure-python model)
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),             # user
+        st.integers(min_value=0, max_value=40),            # hour offset
+        st.sampled_from(["view", "click", "purchase"]),    # type
+    ),
+    min_size=1, max_size=24,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(evs=_funnel_events)
+def test_funnel_matches_brute_force(spark, evs):
+    """funnel() == the literal cascade definition: per user, anchor at
+    the FIRST step-1 time, then for each later step the earliest event
+    strictly after the previous matched time and within the horizon of
+    the anchor."""
+    import datetime as dt
+
+    from fermor_spark.temporal import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = ["view", "click", "purchase"]
+    horizon = dt.timedelta(hours=12)
+    rows = [(i, t0 + dt.timedelta(hours=h), u, ty)
+            for i, (u, h, ty) in enumerate(evs)]
+
+    # brute-force model
+    exp = {s: 0 for s in steps}
+    for u in {r[2] for r in rows}:
+        mine = [(ts, ty) for (_, ts, uu, ty) in rows if uu == u]
+        firsts = [ts for ts, ty in mine if ty == steps[0]]
+        if not firsts:
+            continue
+        t1 = min(firsts)
+        exp[steps[0]] += 1
+        prev = t1
+        for s in steps[1:]:
+            cand = [ts for ts, ty in mine
+                    if ty == s and ts > prev and ts <= t1 + horizon]
+            if not cand:
+                break
+            prev = min(cand)
+            exp[s] += 1
+
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.step_name: r.n_users
+           for r in funnel(ev, steps, horizon="12 hours").collect()}
+    assert got == exp, (rows, got, exp)
