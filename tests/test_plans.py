@@ -263,3 +263,33 @@ def test_url_canonicalization_is_scan_stage_only(spark, registry):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_banding_plans_are_union_free(spark, registry):
+    """r13 pin on the banding recompute trap (fixed 4× across rounds:
+    lsh_candidates r12, incremental minhash c420cbe, simhash + minhash_lsh
+    + lsh_topk tables + force-atlas replication r13): banded/replicated
+    candidate generation must be ONE array-explode projection. A Union in
+    these plans means per-band/table selects came back — each re-evaluates
+    the expensive upstream (signature groupBy / corpus scan) once per
+    band per join side, the silent 100-TB recompute incident."""
+    for name in ["dedup_simhash_candidates", "dedup_minhash_lsh",
+                 "events_funnel_conversion"]:
+        p = plan_of(registry[name](spark, SF))
+        assert "Union" not in p, f"{name}: banding/step union reappeared"
+
+    from pyspark.sql import functions as F
+
+    from fermor_spark.pipeline.dedup import (minhash_signatures,
+                                             lsh_candidates)
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text") \
+        .withColumnRenamed("doc_id", "id")
+    sigs = minhash_signatures(d, "id", "text", num_hashes=8)
+    assert "Union" not in plan_of(lsh_candidates(sigs, 4, 2))
+
+    from fermor_spark.pipeline.similarity import lsh_topk
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = e.limit(3)
+    assert "Union" not in plan_of(
+        lsh_topk(e, qs, k=3, id_col="vec_id", vec_col="embedding",
+                 num_planes=3, num_tables=4))
