@@ -404,20 +404,33 @@ def embedding_buckets(df: DataFrame, id_col: str, vec_col: str,
     for the same reason.
 
     ``dim``: the embedding width. When None it is probed from the first
-    row (one limit(1) action). A caller bucketing TWO sides against each
-    other (incremental_embedding_dedup) must probe once and pass the
-    same ``dim`` to both, so mismatched inputs fail loudly in the kernel
-    below instead of silently deriving disjoint plane sets. Every batch
-    is validated against ``dim``: ragged or mismatched widths raise a
-    named ValueError rather than bucketing garbage."""
+    NON-NULL row (one limit(1) action). A caller bucketing TWO sides
+    against each other (incremental_embedding_dedup) must probe once and
+    pass the same ``dim`` to both, so mismatched inputs fail loudly in
+    the kernel below instead of silently deriving disjoint plane sets.
+    Every batch is validated against ``dim``: ragged or mismatched
+    widths raise a named ValueError rather than bucketing garbage.
+
+    Persisted-bucket invalidation rule: the same-bucket-for-identical-
+    vectors guarantee holds only for buckets computed by the SAME kernel
+    (a plane dot within an ulp of 0 may sign-flip between summation
+    orders). A corpus bucket table persisted by a different kernel
+    version (e.g. the pre-r13 JVM fold) must be re-bucketed — one
+    map-side pass over (id, v) — before being passed as
+    ``corpus_buckets`` alongside this kernel's new-side buckets."""
     from pyspark.sql import types as T
 
     from fermor_spark.pipeline.similarity import _hyperplanes, with_norm
 
     e = with_norm(df, id_col, vec_col)
     if dim is None:
-        probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-        if not probe:   # vacuous input: no rows to bucket (empty-table sweep)
+        # probe NON-NULL rows only: size(null) is null and int(None)
+        # raises on the driver, while the kernel itself handles null
+        # vectors ("" bucket). All-null or empty input -> "" buckets.
+        probe = (df.where(F.col(vec_col).isNotNull())
+                 .select(F.size(F.col(vec_col)).alias("d"))
+                 .limit(1).collect())
+        if not probe:   # vacuous input: nothing bucketable
             return e.withColumn("bucket", F.lit(""))
         dim = int(probe[0]["d"])
     import numpy as np
@@ -499,11 +512,12 @@ def incremental_embedding_dedup(new_df: DataFrame, corpus_df: DataFrame,
     # persisted and therefore authoritative); fall back to the new side
     # when the corpus is empty (first-ever snapshot).
     probe_side = corpus_df if corpus_buckets is None else new_df
-    probe = probe_side.select(
-        F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    probe = (probe_side.where(F.col(vec_col).isNotNull())
+             .select(F.size(F.col(vec_col)).alias("d")).limit(1).collect())
     if not probe:
-        probe = new_df.select(
-            F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        probe = (new_df.where(F.col(vec_col).isNotNull())
+                 .select(F.size(F.col(vec_col)).alias("d"))
+                 .limit(1).collect())
     dim = int(probe[0]["d"]) if probe else None
 
     nb = embedding_buckets(new_df, id_col, vec_col, num_planes, seed,

@@ -349,7 +349,9 @@ def robots_filter(df: DataFrame, url_col: str, robots_df: DataFrame,
     The returned DataFrame carries ``robots_path`` ("broadcast"|"join")
     — per-call leg telemetry safe under concurrent plan construction,
     unlike the module-global LAST_ROBOTS_PATH it supersedes for
-    assertions."""
+    assertions. It is a plain Python attribute, NOT plan metadata: read
+    it on the returned object BEFORE any further transformation (every
+    .select/.where returns a fresh DataFrame without it)."""
     import pandas as pd
 
     global LAST_ROBOTS_PATH

@@ -164,7 +164,12 @@ def funnel(events: DataFrame, steps: list[str], horizon: str = "7 days",
     scans of the events table where this is O(k) (one filtered,
     column-pruned scan per step type). A user who dies at step i rides
     to the end with null _t≥i — ≤ |cohort| rows of k timestamps,
-    negligible against re-scanning events quadratically."""
+    negligible against re-scanning events quadratically.
+
+    Null timestamps: a user whose only step-1 events carry a null ts
+    has no anchor time and is counted at NO step (count(_t1) skips the
+    null min) — deliberate; a null anchor cannot order a cascade. (The
+    pre-r13 union-of-counts shape counted such users at step 1 only.)"""
     from pyspark.sql import functions as F
 
     cur = (events.where(F.col(type_col) == steps[0])

@@ -2370,3 +2370,35 @@ def test_zero_norm_cosine_is_novel(spark):
                               "vec_id long, embedding array<double>"),
         "vec_id", "embedding", threshold=0.5).collect()
     assert pairs == []             # zero-zero pairs are cosine 0, not NaN
+
+
+def test_embedding_buckets_null_first_row(spark):
+    """r13 review finding: size(null) is null, so a null embedding in the
+    probed first row crashed the driver-side dim probe with TypeError —
+    while the kernel itself supports null vectors ('' bucket). The probe
+    must skip nulls; all-null input degrades to '' buckets, and the
+    incremental tagger still resolves real vectors around the nulls."""
+    from fermor_spark.pipeline.dedup import (embedding_buckets,
+                                             incremental_embedding_dedup)
+
+    base = [1.0] + [0.0] * 7
+    # null FIRST by sort order of createDataFrame's single partition
+    df = spark.createDataFrame(
+        [(1, None), (2, base)], "vec_id long, embedding array<double>")
+    got = {r["id"]: r["bucket"]
+           for r in embedding_buckets(df, "vec_id", "embedding").collect()}
+    assert got[1] == "" and len(got[2]) == 8
+
+    allnull = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>")
+    assert [r["bucket"] for r in embedding_buckets(
+        allnull, "vec_id", "embedding").collect()] == [""]
+
+    corpus = spark.createDataFrame(
+        [(10, None), (11, base)], "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(
+        [(100, base), (101, None)], "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["near_dup_of"]
+           for r in incremental_embedding_dedup(
+               new, corpus, "vec_id", "embedding", threshold=0.9).collect()}
+    assert got[100] == 11 and got[101] is None

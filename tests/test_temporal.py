@@ -138,3 +138,24 @@ def test_retention_cohorts_matrix(spark):
         ("2024-01-01", 2): (1, 2),     # only user 2 back in week 2
         ("2024-01-08", 0): (1, 1),     # user 3's own cohort
     }
+
+
+def test_funnel_null_anchor_counts_nowhere(spark):
+    """Pinned r13 behavior: a user whose only step-1 events have a null
+    timestamp has no anchor and is counted at NO step (a null anchor
+    cannot order a cascade)."""
+    import datetime as dt
+
+    from fermor_spark.temporal import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, None, 1, "view"),                     # null anchor: nowhere
+        (2, t0, 2, "view"),
+        (3, t0 + dt.timedelta(hours=1), 2, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.step_name: r.n_users
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 1, "click": 1, "purchase": 0}

@@ -112,12 +112,20 @@ def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
             # LINEARLY with m — byte-identical replicas would grow every
             # identical-copy bucket m-fold and candidate pairs m^2-fold,
             # a data artifact that would mask the operator's true slope
-            k = r % edim
-            if k:
+            # roll by 1..edim-1 (never 0: r % edim would hand replica
+            # r=edim a byte-identical copy and reintroduce the m^2
+            # artifact); once rolls exhaust (m > edim), negate the
+            # second cycle — cosine to the same-roll replica is -1,
+            # still not a near-dup at positive thresholds
+            k = 1 + (r - 1) % (edim - 1)
+            rep = rep.withColumn(
+                "embedding",
+                F.concat(F.slice("embedding", k + 1, edim - k),
+                         F.slice("embedding", 1, k)))
+            if ((r - 1) // (edim - 1)) % 2 == 1:
                 rep = rep.withColumn(
                     "embedding",
-                    F.concat(F.slice("embedding", k + 1, edim - k),
-                             F.slice("embedding", 1, k)))
+                    F.transform("embedding", lambda x: -x))
         parts.append(rep)
     out = parts[0]
     for p in parts[1:]:
