@@ -257,11 +257,13 @@ def _bench_bucketed_funnel(spark, timings: dict[str, float]) -> None:
     """End-to-end bucketed-events funnel: write events bucketed+sorted by
     user_id (one-time ETL, untimed — the amortized layout cost a production
     events table pays once), then time the 3-step funnel reading the
-    bucketed table. The plan audit (PLANS.md r9) shows the bucketed scans
-    feed every user-key SortMergeJoin and per-user aggregate with ZERO
-    exchanges — the only remaining shuffles are the three single-row
-    global step counts. This is the 100 TB shape: per-step cost = one
-    co-located scan, no data motion."""
+    bucketed table. The plan audit (PLANS.md r9, re-verified r13 after
+    the single-pass funnel rewrite) shows the bucketed scans feed every
+    user-key SortMergeJoin and per-user aggregate with ZERO user-key
+    exchanges — the only remaining shuffle is the single one-row global
+    count (the r13 rewrite collapsed the three per-step count rows into
+    one stacked aggregate). This is the 100 TB shape: per-step cost =
+    one co-located scan, no data motion."""
     import shutil
     import tempfile
 

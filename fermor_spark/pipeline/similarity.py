@@ -546,40 +546,78 @@ def lsh_topk(
     corpus / 2^num_planes per table — tune num_planes to corpus size. The
     candidate join is an equi-join on (table, bucket): fully shuffled, never
     all-pairs, which is the property that survives a 100× scale-up.
+
+    All num_tables × num_planes sign bits come from ONE numpy matmul per
+    Arrow batch against the stacked plane matrix (the repo's vector-math
+    rule — embedding_buckets, the blocked-matmul kernels), emitted as
+    num_tables rows per vector in the same kernel: one input scan, no
+    union, no per-plane interpreted folds. Sign bits are ulp-robust; the
+    exact re-rank cosine stays on the JVM fold (cosine_expr). Null
+    vectors get NO buckets (a null query has no meaningful neighbors —
+    previously it all-zeros-bucketed and emitted null-cosine ranks);
+    ragged/mismatched widths raise a named ValueError.
     """
-    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    first = (df.where(F.col(vec_col).isNotNull())
+             .select(F.size(F.col(vec_col)).alias("d")).limit(1).collect())
     if not first:   # empty corpus -> empty result, stable schema
         return df.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank long, cosine double")
-    dim = first[0]["d"]
+    dim = int(first[0]["d"])
+
+    import numpy as np
+
+    planes_all_t = np.vstack([
+        _hyperplanes(num_planes, dim, seed + 1000 * t)
+        for t in range(num_tables)
+    ]).T    # (dim, num_tables * num_planes)
 
     def bucketize(e: DataFrame, prefix: str) -> DataFrame:
-        # ONE array-explode projection over the per-table bucket structs,
-        # not a union of per-table selects: the union form re-scans (and
-        # re-normalizes) the input once per hash table per join side —
-        # the recompute trap fixed in lsh_candidates / simhash banding.
-        tbl_structs = []
-        for t in range(num_tables):
-            planes = _hyperplanes(num_planes, dim, seed + 1000 * t)
-            bucket = F.concat(*[
-                F.when(
-                    F.aggregate(
-                        F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in p]),
-                                   lambda a, b: a * b),
-                        F.lit(0.0), lambda acc, x: acc + x,
-                    ) >= 0, F.lit("1")
-                ).otherwise(F.lit("0"))
-                for p in planes
-            ])
-            tbl_structs.append(F.struct(
-                F.lit(t).alias("table"), bucket.alias("bucket")))
-        return e.select(
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            list(e.schema.fields)
+            + [T.StructField("table", T.IntegerType()),
+               T.StructField("bucket", T.StringType())])
+
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                vs = [None if v is None else np.asarray(v, dtype=np.float64)
+                      for v in pdf["v"]]
+                live = [i for i, v in enumerate(vs) if v is not None]
+                if not live:
+                    yield pdf.iloc[0:0].assign(
+                        table=pd.Series([], dtype="int32"),
+                        bucket=pd.Series([], dtype=object))
+                    continue
+                try:
+                    V = np.stack([vs[i] for i in live])
+                except ValueError as exc:
+                    raise ValueError(
+                        "lsh_topk: ragged embedding widths "
+                        f"{sorted({vs[i].shape[0] for i in live})[:5]} in "
+                        "one batch — refuse to bucket mismatched vectors"
+                    ) from exc
+                if V.shape[1] != dim:
+                    raise ValueError(
+                        f"lsh_topk: batch width {V.shape[1]} != probed "
+                        f"corpus dim {dim}")
+                signs = V @ planes_all_t >= 0   # (n_live, T*p)
+                out = pdf.iloc[np.repeat(live, num_tables)].reset_index(
+                    drop=True)
+                out["table"] = np.tile(
+                    np.arange(num_tables, dtype="int32"), len(live))
+                out["bucket"] = [
+                    "".join("1" if b else "0"
+                            for b in srow[t * num_planes:(t + 1) * num_planes])
+                    for srow in signs for t in range(num_tables)]
+                yield out
+
+        return e.mapInPandas(fn, out_schema).select(
             F.col("id").alias(f"{prefix}_id"), F.col("v").alias(f"{prefix}_v"),
-            F.col("norm").alias(f"{prefix}_n"),
-            F.explode(F.array(*tbl_structs)).alias("tb"),
-        ).select(f"{prefix}_id", f"{prefix}_v", f"{prefix}_n",
-                 F.col("tb.table").alias("table"),
-                 F.col("tb.bucket").alias("bucket"))
+            F.col("norm").alias(f"{prefix}_n"), "table", "bucket")
 
     corpus = bucketize(with_norm(df, id_col, vec_col), "c")
     q = bucketize(with_norm(queries, id_col, vec_col), "q")
