@@ -127,15 +127,21 @@ def brute_force_topk_arrow(
     cb = max(1, math.ceil(n_c / block_rows))
     qb = max(1, math.ceil(n_q / block_rows))
 
+    # null embeddings contribute nothing (the family rule: a null
+    # vector has no neighbors/pairs) — filter JVM-side before packing,
+    # where a null element would otherwise turn the block matrix into an
+    # object array and fail opaquely inside BLAS
     packed_c = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("_b", F.abs(F.hash("id")) % cb)
         .groupBy("_b")
         .agg(F.collect_list(F.struct("id", "v")).alias("c_items"))
         .drop("_b")
     )
     packed_q = (
-        queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        queries.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("_b", F.abs(F.hash("id")) % qb)
         .groupBy("_b")
         .agg(F.collect_list(F.struct("id", "v")).alias("q_items"))
@@ -217,7 +223,8 @@ def cosine_pairs_exact(
     n = df.count()
     nb = max(1, math.ceil(n / block_rows))
     packed = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        df.where(F.col(vec_col).isNotNull())   # null vec: no pairs
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("_b", F.abs(F.hash("id")) % nb)
         .groupBy("_b")
         .agg(F.collect_list(F.struct("id", "v")).alias("items"))
@@ -281,8 +288,10 @@ def ivf_fit_centroids(
     from pyspark.sql import functions as FF
 
     spark = df.sparkSession
-    base = df.select(FF.col(id_col).alias("id"),
-                     FF.transform(FF.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    base = (df.where(FF.col(vec_col).isNotNull())   # null vec: no cell
+            .select(FF.col(id_col).alias("id"),
+                    FF.transform(FF.col(vec_col),
+                                 lambda x: x.cast("double")).alias("v")))
     init = (
         base.withColumn("_h", FF.xxhash64(FF.col("id").cast("string"), FF.lit(seed)))
         .orderBy("_h").limit(n_centroids).select("v").collect()
@@ -364,10 +373,14 @@ def ivf_topk(
                 yield out
         return fn
 
-    base = df.select(FF.col(id_col).alias("id"),
-                     FF.transform(FF.col(vec_col), lambda x: x.cast("double")).alias("v"))
-    qbase = queries.select(FF.col(id_col).alias("id"),
-                           FF.transform(FF.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    base = (df.where(FF.col(vec_col).isNotNull())   # null vec: no cell
+            .select(FF.col(id_col).alias("id"),
+                    FF.transform(FF.col(vec_col),
+                                 lambda x: x.cast("double")).alias("v")))
+    qbase = (queries.where(FF.col(vec_col).isNotNull())
+             .select(FF.col(id_col).alias("id"),
+                     FF.transform(FF.col(vec_col),
+                                  lambda x: x.cast("double")).alias("v")))
     corpus_cells = base.mapInPandas(cell_of(1), "id long, cell int, v array<double>")
     query_cells = qbase.mapInPandas(cell_of(nprobe), "id long, cell int, v array<double>")
 
@@ -417,10 +430,10 @@ def semantic_assign(
     import pandas as pd
 
     spark = df.sparkSession
-    base = df.select(
+    base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    )   # null vec: unclustered (the family rule — contributes nothing)
     if centroids is None:
         rows = base.orderBy("id").limit(k).collect()  # k rows of model state
         centroid_ids = [r["id"] for r in rows]

@@ -2402,3 +2402,34 @@ def test_embedding_buckets_null_first_row(spark):
            for r in incremental_embedding_dedup(
                new, corpus, "vec_id", "embedding", threshold=0.9).collect()}
     assert got[100] == 11 and got[101] is None
+
+
+def test_ann_family_skips_null_vectors(spark):
+    """The family rule, uniform across every ANN kernel (r13): a null
+    embedding contributes nothing — no neighbors, no pairs, no cluster —
+    instead of turning a packed block into a numpy object array that
+    fails opaquely inside BLAS."""
+    from fermor_spark.pipeline.similarity import (brute_force_topk_arrow,
+                                                  cosine_pairs_exact,
+                                                  ivf_topk, lsh_topk,
+                                                  semantic_dedup)
+
+    base = [1.0] + [0.0] * 5
+    near = [0.99] + [0.01] * 5
+    rows = [(1, base), (2, near), (3, None), (4, [0.0] * 5 + [1.0])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = brute_force_topk_arrow(e, e, k=2).collect()
+    assert out and all(r.query_id != 3 and r.neighbor_id != 3 for r in out)
+
+    pairs = cosine_pairs_exact(e, threshold=0.5).collect()
+    assert pairs and all(3 not in (r.id_a, r.id_b) for r in pairs)
+
+    out = ivf_topk(e, e, k=2, n_centroids=2, nprobe=2).collect()
+    assert out and all(r.query_id != 3 and r.neighbor_id != 3 for r in out)
+
+    out = lsh_topk(e, e, k=2, num_planes=2, num_tables=4).collect()
+    assert all(r.query_id != 3 and r.neighbor_id != 3 for r in out)
+
+    sd = semantic_dedup(e, threshold=0.5, k=2).collect()
+    assert sd and all(r.vec_id != 3 for r in sd)
