@@ -4,6 +4,7 @@ property-based coverage)."""
 
 import pytest
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from fermor_spark import PropertyGraph, algo, iterate
 
@@ -893,3 +894,132 @@ def test_funnel_matches_brute_force(spark, evs):
     got = {r.step_name: r.n_users
            for r in funnel(ev, steps, horizon="12 hours").collect()}
     assert got == exp, (rows, got, exp)
+
+
+# --- temporal + dedup operators vs brute-force models (r13 depth pass)
+
+_asof_times = st.lists(st.integers(min_value=0, max_value=50),
+                       min_size=1, max_size=12)
+
+
+@settings(max_examples=6, deadline=None)
+@given(lts=_asof_times, rts=_asof_times,
+       tol=st.sampled_from([None, 5 * 60]))
+def test_asof_join_matches_brute_force(spark, lts, rts, tol):
+    """asof_join == the literal definition: per key, the most recent right
+    row with right.ts <= left.ts (ties allowed), nulls when none or when
+    outside the tolerance window."""
+    import datetime as dt
+
+    from fermor_spark.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ls = [(i, t0 + dt.timedelta(minutes=m), i % 2) for i, m in enumerate(lts)]
+    rs = [(100 + j, t0 + dt.timedelta(minutes=m), j % 2, float(j))
+          for j, m in enumerate(rts)]
+    left = spark.createDataFrame(ls, "lid long, ts timestamp, k long")
+    right = spark.createDataFrame(
+        rs, "rid long, ts timestamp, k long, val double")
+    out = asof_join(left, right, on="ts", by="k", right_cols=["val"],
+                    tolerance_seconds=tol).collect()
+
+    for row in out:
+        cands = [(ts, v) for (_, ts, k, v) in rs
+                 if k == row["k"] and ts <= row["ts"]
+                 and (tol is None or (row["ts"] - ts).total_seconds() <= tol)]
+        if not cands:
+            assert row["val_right"] is None, (row, cands)
+        else:
+            # several right rows may share the winning timestamp; the
+            # operator's pick among exact ties is unspecified — accept any
+            best_ts = max(ts for ts, _ in cands)
+            allowed = {v for ts, v in cands if ts == best_ts}
+            assert row["val_right"] in allowed, (row, cands)
+
+
+_cohort_events = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=5),      # user
+              st.integers(min_value=0, max_value=30)),     # day offset
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(evs=_cohort_events)
+def test_retention_cohorts_matches_brute_force(spark, evs):
+    """retention_cohorts == the literal definition: cohort = week of the
+    user's first event; (cohort, offset) counts the users of that cohort
+    active in cohort_week + offset; cohort_size = cohort population."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from fermor_spark.temporal import retention_cohorts
+
+    w0 = dt.datetime(2024, 1, 1)    # a Monday -> week boundaries align
+    rows = [(i, w0 + dt.timedelta(days=d), u, "e")
+            for i, (u, d) in enumerate(evs)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(str(r["cohort_start"]), r["period_offset"]):
+           (r["n_users"], r["cohort_size"])
+           for r in retention_cohorts(ev).collect()}
+
+    week = lambda ts: ts.date() - dt.timedelta(days=ts.weekday())
+    first = {}
+    for _, ts, u, _t in rows:
+        first[u] = min(first.get(u, ts), ts)
+    cohort_of = {u: week(ts) for u, ts in first.items()}
+    sizes = defaultdict(int)
+    for u, c in cohort_of.items():
+        sizes[c] += 1
+    active = {(cohort_of[u], (week(ts) - cohort_of[u]).days // 7, u)
+              for _, ts, u, _t in rows}
+    exp = defaultdict(int)
+    for c, off, u in active:
+        exp[(str(c), off)] += 1
+    assert got == {k: (n, sizes[dt.date.fromisoformat(k[0])])
+                   for k, n in exp.items()}, (rows, got, dict(exp))
+
+
+_pair_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),
+              st.integers(min_value=0, max_value=9)),
+    min_size=0, max_size=15,
+).map(lambda ps: [(a, b) for a, b in ps if a != b])
+
+
+@settings(max_examples=6, deadline=None)
+@given(ps=_pair_lists, force_distributed=st.booleans())
+def test_dedup_clusters_matches_union_find(spark, ps, force_distributed):
+    """dedup_clusters == min-id connected components over the pair graph,
+    identical on the driver union-find finish AND the forced distributed
+    min-propagation leg."""
+    from fermor_spark.pipeline.dedup import dedup_clusters
+
+    all_ids = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    pairs = spark.createDataFrame(ps or [(0, 0)], "id_a long, id_b long") \
+        .where(F.col("id_a") != F.col("id_b")) if ps else \
+        spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["id"]: r["cluster"]
+           for r in dedup_clusters(
+               pairs, all_ids,
+               local_pair_threshold=0 if force_distributed else 200_000
+           ).collect()}
+
+    parent = list(range(10))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ps:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for i in range(10):
+        comp.setdefault(find(i), []).append(i)
+    exp = {i: min(members) for members in comp.values() for i in members}
+    assert got == exp, (ps, got, exp)
