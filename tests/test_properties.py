@@ -1023,3 +1023,40 @@ def test_dedup_clusters_matches_union_find(spark, ps, force_distributed):
         comp.setdefault(find(i), []).append(i)
     exp = {i: min(members) for members in comp.values() for i in members}
     assert got == exp, (ps, got, exp)
+
+
+@settings(max_examples=6, deadline=None)
+@given(lts=_asof_times, rts=_asof_times,
+       before=st.sampled_from([0, 60, 300]),
+       after=st.sampled_from([0, 90, 600]))
+def test_range_join_matches_brute_force(spark, lts, rts, before, after):
+    """range_join == the literal interval definition (every right row in
+    [left.ts - before, left.ts + after] per key, inclusive, no duplicates)
+    — pins the bin-width / ±1-probe arithmetic on random boundary-heavy
+    inputs, including second-exact gaps at both bounds."""
+    import datetime as dt
+    from collections import Counter
+
+    from fermor_spark.temporal import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ls = [(i, t0 + dt.timedelta(seconds=m * 30), i % 2)
+          for i, m in enumerate(lts)]
+    rs = [(100 + j, t0 + dt.timedelta(seconds=m * 30), j % 2, float(j))
+          for j, m in enumerate(rts)]
+    left = spark.createDataFrame(ls, "lid long, ts timestamp, k long")
+    right = spark.createDataFrame(
+        rs, "rid long, ts timestamp, k long, val double")
+    got = Counter((r["lid"], r["rid_right"]) for r in range_join(
+        left, right, on="ts", by="k",
+        before_seconds=before, after_seconds=after).collect())
+
+    exp = Counter()
+    for lid, lt, lk in ls:
+        for rid, rt, rk, _ in rs:
+            if rk == lk and \
+               lt - dt.timedelta(seconds=before) <= rt \
+               <= lt + dt.timedelta(seconds=after):
+                exp[(lid, rid)] += 1
+    assert got == exp, (got - exp, exp - got)
+    assert all(v == 1 for v in got.values())   # ±1 probe never duplicates
