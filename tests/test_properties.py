@@ -1060,3 +1060,52 @@ def test_range_join_matches_brute_force(spark, lts, rts, before, after):
                 exp[(lid, rid)] += 1
     assert got == exp, (got - exp, exp - got)
     assert all(v == 1 for v in got.values())   # ±1 probe never duplicates
+
+
+@settings(max_examples=5, deadline=None)
+@given(edges=edge_lists,
+       mn=st.sampled_from([None, 0, 1, 2]),
+       mx=st.sampled_from([None, 1, 2]))
+def test_lookahead_minmax_matches_brute_force(spark, edges, mn, mx):
+    """lookahead(min,max) == literal out-degree counting, including the
+    reference's nil-min rule (count-0 elements kept when min is None/0)."""
+    if mn is not None and mx is not None and mx < mn:
+        mn, mx = mx, mn
+    from collections import Counter
+
+    g = _graph(spark, edges)
+    got = g.vertices().lookahead(lambda r: r.out("l"),
+                                 min_count=mn, max_count=mx).id_set()
+    eff = edges or [("z0", "z1")]
+    deg = Counter(a for a, _ in eff)
+    verts = {x for e in eff for x in e}
+    exp = {v for v in verts
+           if (mn is None or deg[v] >= mn) and (mx is None or deg[v] <= mx)}
+    if mn is None and mx is None:   # plain semi-join: >=1 result
+        exp = {v for v in verts if deg[v] >= 1}
+    assert got == exp, (eff, mn, mx, got, exp)
+
+
+@settings(max_examples=5, deadline=None)
+@given(n=st.integers(min_value=1, max_value=60),
+       w_train=st.integers(min_value=1, max_value=8),
+       w_val=st.integers(min_value=1, max_value=8),
+       seed=st.sampled_from(["split", "s2"]))
+def test_hash_split_partition_properties(spark, n, w_train, w_val, seed):
+    """hash_split invariants for any weights/seed: labels partition the
+    rows (every row exactly one label from the weight map); assignment is
+    a pure function of (seed, id) — re-running on a GROWN dataset never
+    reassigns an existing id."""
+    from fermor_spark.pipeline.sample import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    w = {"train": float(w_train), "val": float(w_val)}
+    got = {r["doc_id"]: r["split"]
+           for r in hash_split(df, "doc_id", w, seed=seed).collect()}
+    assert set(got) == set(range(n))
+    assert set(got.values()) <= set(w)
+
+    grown = spark.createDataFrame([(i,) for i in range(2 * n)], "doc_id long")
+    regrown = {r["doc_id"]: r["split"]
+               for r in hash_split(grown, "doc_id", w, seed=seed).collect()}
+    assert all(regrown[i] == got[i] for i in range(n))
