@@ -658,20 +658,75 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         levels: int = 127) -> DataFrame:
     """Symmetric per-vector scalar quantization → (id, scale, qvec
     ARRAY<INT> in [-levels, levels]) — the 4x storage reduction step of a
-    vector store (float32 → int8 range). Pure column expressions (one
-    array_max + one transform per row — linear, no quadratic expression
-    trap). Per-vector scaling leaves cosine similarity invariant up to
-    rounding, so downstream search quality degrades only by the
-    quantization noise (recall-gated in ann_quantized_topk)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.greatest(
-        F.array_max(F.transform(v, F.abs)) / F.lit(float(levels)),
-        F.lit(1e-12))
-    return df.select(
-        F.col(id_col).alias("id"),
-        scale.alias("scale"),
-        F.transform(v, lambda x: F.round(x / scale, 0).cast("int")).alias("qvec"),
-    )
+    vector store (float32 → int8 range).
+
+    One Arrow mapInPandas pass (the repo's vector-math rule). The previous
+    column-expression form inlined the ``array_max`` scale subtree into the
+    per-element ``transform`` lambda — Catalyst's projection collapse
+    duplicates the alias per reference, so each of the dim elements
+    re-evaluated an O(dim) interpreted max: O(dim²) per row (measured at
+    32k×64-dim, warm: 2.07 s expression form vs 0.54 s this kernel).
+
+    Semantics are pinned by tests against the expression form: scale =
+    max(|v|)/levels clamped at 1e-12, HALF-UP (away-from-zero) rounding
+    exactly like F.round(x, 0), null vector → (1e-12, null), empty vector
+    → (1e-12, []), null elements pass through as null ints. Ragged widths
+    are legal (per-vector scaling — no matrix contract). Per-vector
+    scaling leaves cosine similarity invariant up to rounding, so
+    downstream search quality degrades only by the quantization noise
+    (recall-gated in ann_quantized_topk)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("qvec", T.ArrayType(T.IntegerType())),
+    ])
+    lv = float(levels)
+
+    def _quant_row(vec):
+        # fallback path: ragged / null-element / non-finite rows
+        if vec is None:
+            return 1e-12, None
+        x = np.array([np.nan if e is None else float(e) for e in vec])
+        if x.size == 0:
+            return 1e-12, []
+        mx = np.nanmax(np.abs(x)) if not np.isnan(x).all() else np.nan
+        scale = mx / lv if mx / lv > 1e-12 else 1e-12  # nan compares False → clamp
+        r = x / scale
+        q = np.copysign(np.floor(np.abs(r) + 0.5), r)
+        return scale, [None if np.isnan(e) else int(e) for e in q]
+
+    def _kernel(it):
+        for pdf in it:
+            ids = pdf[id_col]
+            vecs = pdf[vec_col].to_numpy()
+            try:
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) \
+                    if len(vecs) else np.zeros((0, 0))
+                clean = len(vecs) > 0 and np.isfinite(mat).all()
+            except (ValueError, TypeError):
+                clean = False
+            if clean and mat.ndim == 2 and mat.shape[1] > 0:
+                scales = np.maximum(np.abs(mat).max(axis=1) / lv, 1e-12)
+                r = mat / scales[:, None]
+                q = np.copysign(np.floor(np.abs(r) + 0.5), r).astype(np.int64)
+                yield pd.DataFrame({
+                    "id": ids, "scale": scales,
+                    "qvec": [row.tolist() for row in q],
+                })
+            else:
+                rows = [_quant_row(v) for v in vecs]
+                yield pd.DataFrame({
+                    "id": ids,
+                    "scale": [s for s, _ in rows],
+                    "qvec": [qv for _, qv in rows],
+                })
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _kernel, out_schema)
 
 
 def dequantize_embeddings(qdf: DataFrame) -> DataFrame:

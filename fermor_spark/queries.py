@@ -6175,6 +6175,12 @@ _CHANGED_THIS_ROUND = [
     # (the union of per-step count rows re-evaluated each step's chain
     # prefix once per step >= it — O(k^2) event scans -> O(k)):
     "events_funnel_conversion",
+    # r13: quantize_embeddings moved to the Arrow kernel (the expression
+    # form re-inlined the array_max scale into the per-element transform
+    # lambda — O(dim^2) interpreted work per row, paid once per consumer
+    # of quantized_topk's dequantized corpus; gate line A/B old 3.0-5.3 s
+    # vs new 1.3-2.2 s warm at sf0.1):
+    "ann_quantized_topk",
 ]
 
 

@@ -1111,6 +1111,42 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
             assert abs(orig - rec) <= scales[i] / 2 + 1e-12, (orig, rec)
 
 
+def test_quantize_arrow_matches_expression_form(spark):
+    """The Arrow quantize kernel is semantics-pinned against the previous
+    column-expression form (scale = max(|v|)/levels clamp 1e-12, F.round
+    HALF-UP, null vector → (1e-12, null), empty → (1e-12, []), null
+    element → null int, ragged rows legal)."""
+    import numpy as np
+
+    rows = [(i, [float(x) for x in np.random.RandomState(100 + i).uniform(-5, 5, 16)])
+            for i in range(40)]
+    # exact half-way ratios: v = [2.5, -2.5, 127.0] with max 127 → scale 1.0
+    rows += [(1000, [2.5, -2.5, 127.0]),
+             (1001, []),                        # empty
+             (1002, None),                      # null vector
+             (1003, [0.0, 0.0]),                # zero vector → clamped scale
+             (1004, [1.0, None, -3.0]),         # null element
+             (1005, [4.0])]                     # ragged (width 1)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # the previous implementation, verbatim, as the semantic oracle
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(F.array_max(F.transform(v, F.abs)) / F.lit(127.0),
+                       F.lit(1e-12))
+    old = df.select(
+        F.col("vec_id").alias("id"), scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale, 0).cast("int")).alias("qvec"))
+    want = {r["id"]: (r["scale"], r["qvec"]) for r in old.collect()}
+    got = {r["id"]: (r["scale"], r["qvec"])
+           for r in similarity.quantize_embeddings(df).collect()}
+    assert set(want) == set(got)
+    for i in want:
+        ws, wq = want[i]
+        gs, gq = got[i]
+        assert gs == ws, (i, gs, ws)
+        assert gq == wq, (i, gq, wq)
+
+
 def test_quantized_topk_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     qs = emb.where(F.col("vec_id") < 10)
