@@ -210,6 +210,32 @@ def op_incr_semantic(spark, sf_dir: str) -> int:
         new, corpus, "vec_id", "embedding").count()
 
 
+def op_quantized_topk(spark, sf_dir: str) -> int:
+    """int8-quantize the replicated corpus (the r13 Arrow kernel) and run
+    the exact blocked-BLAS top-k for a fixed 10-query set: quantize is a
+    map-side pass (slope ~1 in rows), search grows linearly in corpus
+    blocks for a fixed query set."""
+    from pyspark.sql import functions as F
+
+    from fermor_spark.pipeline.similarity import quantized_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10)
+    return quantized_topk(e, q, k=5).count()
+
+
+def op_simhash_pairs(spark, sf_dir: str) -> int:
+    """SimHash near-dup candidates over the salted near-dup replicas —
+    like the minhash probe, adversarial for banding: every original gains
+    m-1 near-dup replicas, so TRUE pair volume grows ~m² while the banded
+    equi-join must stay bucket-bounded."""
+    from fermor_spark.pipeline.dedup import simhash_near_dup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=8).count()
+
+
 OPS = {
     "graph_build": op_graph_build,
     "bfs_2hop": op_bfs_2hop,
@@ -218,6 +244,8 @@ OPS = {
     "incr_minhash": op_incr_minhash,
     "embed_buckets": op_embed_buckets,
     "incr_semantic": op_incr_semantic,
+    "quantized_topk": op_quantized_topk,
+    "simhash_pairs": op_simhash_pairs,
 }
 
 
