@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Empty-input robustness sweep: run EVERY registered gate query against a
+zero-row copy of the testdata tables (same schemas, limit 0) and report,
+per query:
+
+  ok      — ran, returned rows (some gates synthesize their own fixture
+            data and legitimately produce rows even on empty inputs) or
+            an empty result, with the SAME result schema as at sf0.001
+            (the production contract: an incremental pipeline run over an
+            empty partition must not crash and must not change schema)
+  named   — raised an intentional, named error (ValueError/RuntimeError
+            with a message) — evidence-gate assertions that exist to
+            prove a fixture exercised a path; acceptable but listed
+  crash   — raised an opaque error (TypeError, IndexError, Py4J
+            internals, AnalysisException from schema inference, numpy
+            shape errors) — these are real production bugs: the exact
+            class the r13 null-dim-probe fix came from
+
+Usage:
+    python tools/empty_sweep.py [--queries name ...] [--report out.json]
+
+The zero-row tables are built once into --work-dir from --sf-dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# intentional, named gate errors (evidence assertions / loud contracts)
+NAMED = (ValueError, RuntimeError, AssertionError)
+
+
+def build_empty(spark, sf_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.mode(
+            "overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--work-dir", default="/tmp/fermor_empty_sf")
+    ap.add_argument("--queries", nargs="+", default=None)
+    ap.add_argument("--report", default="/tmp/empty_sweep.json")
+    args = ap.parse_args()
+
+    from fermor_spark import queries as Q
+    from fermor_spark.session import get_spark, release_caches
+
+    spark = get_spark(app_name="empty-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(
+            os.path.join(args.work_dir, f"{TABLES[-1]}.parquet", "_SUCCESS")):
+        print(f"building empty tables -> {args.work_dir}", file=sys.stderr)
+        build_empty(spark, args.sf_dir, args.work_dir)
+
+    names = args.queries or list(Q.QUERIES)
+    report: dict = {}
+    counts = {"ok": 0, "named": 0, "crash": 0}
+    for name in names:
+        fn = Q.QUERIES[name]
+        entry: dict = {}
+        try:
+            ref_schema = fn(spark, args.sf_dir).schema.simpleString()
+        except Exception:
+            # the reference run itself failing is out of scope here (the
+            # parity suite owns that); skip rather than misattribute
+            entry = {"status": "skip", "why": "sf0.001 run failed"}
+            report[name] = entry
+            release_caches()
+            continue
+        release_caches()
+        try:
+            df = fn(spark, args.work_dir)
+            n = df.count()
+            schema = df.schema.simpleString()
+            same = schema == ref_schema
+            entry = {"status": "ok" if same else "crash",
+                     "rows": n, "schema_stable": same}
+            if not same:
+                entry["why"] = f"schema drift: {schema} != {ref_schema}"
+        except NAMED as e:
+            entry = {"status": "named",
+                     "why": f"{type(e).__name__}: {str(e)[:200]}"}
+        except Exception as e:
+            entry = {"status": "crash",
+                     "why": f"{type(e).__name__}: {str(e)[:300]}",
+                     "trace": traceback.format_exc()[-1500:]}
+        counts[entry.get("status", "ok")] = counts.get(
+            entry.get("status", "ok"), 0) + 1
+        print(json.dumps({"query": name, **{k: v for k, v in entry.items()
+                                            if k != "trace"}}), flush=True)
+        report[name] = entry
+        release_caches()
+
+    with open(args.report, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"\nsummary: {counts} -> {args.report}")
+    return 0 if counts.get("crash", 0) == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
