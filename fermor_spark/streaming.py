@@ -172,6 +172,55 @@ def self_join_within(events: DataFrame, minutes: int = 10,
     )
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+class rocksdb_state:
+    """Scoped switch to the RocksDB state store provider — the 100 TB
+    state backend.
+
+    The default HDFSBackedStateStoreProvider keeps every state key in
+    executor HEAP (state size is bounded by memory: a long watermark
+    horizon over a high-cardinality key set OOMs the executor before it
+    spills). RocksDB keeps working state off-heap on local disk with
+    block-cache reads and changelog checkpointing, so state scales with
+    executor disk. Stateful operator SEMANTICS are provider-independent
+    — pinned by tests/test_streaming.py::test_rocksdb_provider_parity,
+    which drains the whole stateful family (tumbling, session,
+    watermark-dedup, applyInPandasWithState, stream-stream join) under
+    both providers and asserts identical results.
+
+    Usage::
+
+        with rocksdb_state(spark):
+            run_to_memory(session_aggregate(stream), "s")
+
+    The provider is read per-query at START, so the scope must cover the
+    .start() call; the previous setting is restored on exit.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._key = "spark.sql.streaming.stateStore.providerClass"
+        self._prev = None
+
+    def __enter__(self):
+        try:
+            self._prev = self.spark.conf.get(self._key)
+        except Exception:
+            self._prev = None
+        self.spark.conf.set(self._key, ROCKSDB_PROVIDER)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self.spark.conf.unset(self._key)
+        else:
+            self.spark.conf.set(self._key, self._prev)
+        return False
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
                   timeout_sec: int = 300):
     """Test/backfill helper: drain all available input into an in-memory

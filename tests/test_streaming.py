@@ -335,3 +335,43 @@ def test_streaming_warc_multi_batch_exact(spark):
         assert got == dict(rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rocksdb_provider_parity(spark, batch_events):
+    """The whole stateful family produces IDENTICAL results under the
+    RocksDB state store provider (the 100 TB state backend — off-heap,
+    disk-backed, changelog-checkpointed) as under the default heap-backed
+    provider: state-store choice is an ops knob, never a semantics knob.
+    Also pins that the provider class is actually available in this Spark
+    build (rocksdbjni ships inside spark-core)."""
+    cases = {
+        "tumbling": lambda s: streaming.tumbling_counts(s),
+        "sessions": lambda s: streaming.session_aggregate(s),
+        "dedup": lambda s: streaming.dedup_within_watermark(
+            s, ["user_id", "event_type"]),
+        "user_state": lambda s: streaming.running_user_totals(s),
+        "self_join": lambda s: streaming.self_join_within(s),
+    }
+    results: dict = {}
+    for provider in ("default", "rocksdb"):
+        ctx = streaming.rocksdb_state(spark) if provider == "rocksdb" else None
+        if ctx:
+            ctx.__enter__()
+        try:
+            modes = {"tumbling": "complete", "user_state": "update"}
+            for case, build in cases.items():
+                s = streaming.read_events_stream(spark, SF)
+                out = _drain(spark, build(s), f"t_rp_{provider}_{case}",
+                             mode=modes.get(case, "append"))
+                results[(provider, case)] = sorted(
+                    tuple(r) for r in out.collect())
+        finally:
+            if ctx:
+                ctx.__exit__(None, None, None)
+    # scoped restore: the session is back on the default provider
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "default-ish") != streaming.ROCKSDB_PROVIDER
+    for case in cases:
+        assert results[("default", case)] == results[("rocksdb", case)], case
+        assert results[("default", case)], f"{case} drained zero rows (vacuous)"
