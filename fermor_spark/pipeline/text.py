@@ -325,8 +325,19 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     char fraction = occurrences x n-gram length (joining spaces
     included) / length(text). Threshold
     comparisons are integerized; displayed ratios use the engine-agnostic
-    half-up rounding. One explode per representation (lines once, tokens
-    once with lead() windows for the n-grams) — row-linear, all JVM."""
+    half-up rounding.
+
+    Plan shape (r13 rewrite, value-parity-pinned): lines explode once;
+    tokens explode once and ONE window sort computes lead(1..3) together
+    (Spark evaluates all three in a single Window node), then a single
+    array-explode emits (n, ngram) pairs for n = 2, 3, 4 into ONE
+    (id, n, ngram) count aggregate, one (id, n)-partitioned max window,
+    and one conditional aggregate back to columns. The previous per-n
+    loop paid 3 window sorts + 3 groupBys over the re-computed token
+    explode and chained 2 joins — at corpus scale that is 3 full
+    shuffle-sorts of the token table where one suffices. Filtering on the
+    LAST lead alone is sufficient: within a partition lead(k) null
+    implies lead(k') null for every k' > k."""
     from fermor_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -349,22 +360,27 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                                     lambda x: F.length(x) > 0))
         .alias("pos", "tok"))
     w = Window.partitionBy("id").orderBy("pos")
-    tops = None
-    for n in (2, 3, 4):
-        parts = [F.col("tok")] + [F.lead("tok", i).over(w)
-                                  for i in range(1, n)]
-        ng = (toks.withColumn("_ng", F.concat_ws(" ", *parts))
-              .withColumn("_last", parts[-1])
-              .where(F.col("_last").isNotNull())
-              .groupBy("id", "_ng").agg(F.count("*").alias("c")))
-        ngl = ng.select("id", "c", F.length("_ng").alias("l"))
-        mxw = Window.partitionBy("id")
-        top = (ngl.withColumn("_mc", F.max("c").over(mxw))
-               .where(F.col("c") == F.col("_mc"))
-               .groupBy("id")
-               .agg(F.max(F.col("c") * F.col("l"))
-                    .alias(f"top{n}_chars")))
-        tops = top if tops is None else tops.join(top, "id", "left")
+    led = toks.select(
+        "id", "tok",
+        *[F.lead("tok", i).over(w).alias(f"_l{i}") for i in (1, 2, 3)])
+    cols = [F.col("tok")] + [F.col(f"_l{i}") for i in (1, 2, 3)]
+    gram_structs = [
+        F.struct(F.lit(n).alias("n"),
+                 F.when(cols[n - 1].isNotNull(),
+                        F.concat_ws(" ", *cols[:n])).alias("ng"))
+        for n in (2, 3, 4)]
+    grams = (led.select("id", F.explode(F.array(*gram_structs)).alias("g"))
+             .select("id", F.col("g.n").alias("n"), F.col("g.ng").alias("ng"))
+             .where(F.col("ng").isNotNull()))
+    ng = grams.groupBy("id", "n", "ng").agg(F.count("*").alias("c"))
+    mxw = Window.partitionBy("id", "n")
+    top = (ng.withColumn("_mc", F.max("c").over(mxw))
+           .where(F.col("c") == F.col("_mc"))
+           .groupBy("id", "n")
+           .agg(F.max(F.col("c") * F.length("ng")).alias("chars")))
+    tops = top.groupBy("id").agg(
+        *[F.max(F.when(F.col("n") == n, F.col("chars")))
+          .alias(f"top{n}_chars") for n in (2, 3, 4)])
 
     out = lagg.join(tops, "id", "left").na.fill(
         {f"top{n}_chars": 0 for n in (2, 3, 4)})

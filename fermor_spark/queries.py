@@ -6181,6 +6181,11 @@ _CHANGED_THIS_ROUND = [
     # of quantized_topk's dequantized corpus; gate line A/B old 3.0-5.3 s
     # vs new 1.3-2.2 s warm at sf0.1):
     "ann_quantized_topk",
+    # r13: gopher_repetition n-gram legs fused — one window sort computing
+    # lead(1..3) + one array-explode + one (id, n, ngram) aggregate
+    # replaces 3 window sorts + 3 groupBys + a 2-join chain
+    # (value-parity-verified on all 5000 sf0.1 docs before shipping):
+    "text_gopher_repetition",
 ]
 
 
