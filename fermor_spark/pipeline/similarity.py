@@ -14,16 +14,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _floor_half_up(a):
+    """floor with HALF-UP ties on a non-negative array, WITHOUT the
+    floor(a + 0.5) idiom: the float ADDITION itself can round across the
+    integer boundary when a and a+0.5 sit in different binades —
+    0.49999999999999994 + 0.5 rounds (ties-to-even) to exactly 1.0, so
+    floor(+0.5) yields 1 where Java BigDecimal HALF_UP (Spark F.round)
+    and C++ std::round (DuckDB) both yield 0. Comparing the fractional
+    part against 0.5 has no intermediate rounding, and for integer-scale
+    rounding it agrees with BigDecimal-on-shortest-repr for every double
+    (k.5 is exactly representable, so value and repr never straddle a
+    tie point)."""
+    import numpy as np
+
+    f = np.floor(a)
+    return f + (a - f >= 0.5)
+
+
 def _np_round6_half_away(S):
     """6dp rounding with HALF-AWAY-FROM-ZERO ties — the semantics of both
     DuckDB round() and Spark F.round. np.round is banker's (half-to-even),
     so a cosine landing exactly on a 6dp half-way point could flip a
     threshold comparison between the numpy kernel and the SQL oracle;
-    copysign(floor(|x|*1e6 + 0.5), x) is direction-consistent for both
-    signs (cosines are in [-1, 1])."""
+    copysign on |x|*1e6 is direction-consistent for both signs (cosines
+    are in [-1, 1]). Uses the frac>=0.5 compare, not floor(+0.5) (see
+    _floor_half_up); the residual risk unique to fractional scales —
+    |x|*1e6's binary value vs x's decimal repr straddling a .5 — is
+    measure-~0 and absorbed by the contract floors sitting BETWEEN
+    attainable values."""
     import numpy as np
 
-    return np.copysign(np.floor(np.abs(S) * 1e6 + 0.5), S) / 1e6
+    return np.copysign(_floor_half_up(np.abs(S) * 1e6), S) / 1e6
 
 
 def _hyperplanes(num_planes: int, dim: int, seed: int) -> list[list[float]]:
@@ -696,7 +717,7 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
         mx = np.nanmax(np.abs(x)) if not np.isnan(x).all() else np.nan
         scale = mx / lv if mx / lv > 1e-12 else 1e-12  # nan compares False → clamp
         r = x / scale
-        q = np.copysign(np.floor(np.abs(r) + 0.5), r)
+        q = np.copysign(_floor_half_up(np.abs(r)), r)
         return scale, [None if np.isnan(e) else int(e) for e in q]
 
     def _kernel(it):
@@ -712,7 +733,7 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
             if clean and mat.ndim == 2 and mat.shape[1] > 0:
                 scales = np.maximum(np.abs(mat).max(axis=1) / lv, 1e-12)
                 r = mat / scales[:, None]
-                q = np.copysign(np.floor(np.abs(r) + 0.5), r).astype(np.int64)
+                q = np.copysign(_floor_half_up(np.abs(r)), r).astype(np.int64)
                 yield pd.DataFrame({
                     "id": ids, "scale": scales,
                     "qvec": [row.tolist() for row in q],

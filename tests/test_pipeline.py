@@ -1121,7 +1121,12 @@ def test_quantize_arrow_matches_expression_form(spark):
     rows = [(i, [float(x) for x in np.random.RandomState(100 + i).uniform(-5, 5, 16)])
             for i in range(40)]
     # exact half-way ratios: v = [2.5, -2.5, 127.0] with max 127 → scale 1.0
-    rows += [(1000, [2.5, -2.5, 127.0]),
+    # and the cross-binade tie trap: x/scale = 0.49999999999999994 (the
+    # largest double below 0.5) — floor(|r|+0.5) rounds it to 1 because
+    # the ADDITION lands tie-even on exactly 1.0; Spark's BigDecimal
+    # HALF_UP says 0. The kernel must agree with Spark.
+    rows += [(999, [0.49999999999999994, -0.49999999999999994, 127.0]),
+             (1000, [2.5, -2.5, 127.0]),
              (1001, []),                        # empty
              (1002, None),                      # null vector
              (1003, [0.0, 0.0]),                # zero vector → clamped scale
