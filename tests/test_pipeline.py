@@ -1120,6 +1120,13 @@ def test_quantize_arrow_matches_expression_form(spark):
 
     rows = [(i, [float(x) for x in np.random.RandomState(100 + i).uniform(-5, 5, 16)])
             for i in range(40)]
+    # magnitude sweep: scales from subnormal-adjacent through 1e15 (incl.
+    # sub-clamp vectors where scale pins at 1e-12) — the kernel and the
+    # expression form must agree at every magnitude, not just O(1) data
+    rows += [(2000 + j,
+              [float(x) * 10.0 ** e for x in
+               np.random.RandomState(7 + j).uniform(-1, 1, 8)])
+             for j, e in enumerate((-15, -12, -9, -3, 3, 9, 15))]
     # exact half-way ratios: v = [2.5, -2.5, 127.0] with max 127 → scale 1.0
     # and the cross-binade tie trap: x/scale = 0.49999999999999994 (the
     # largest double below 0.5) — floor(|r|+0.5) rounds it to 1 because
