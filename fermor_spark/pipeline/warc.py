@@ -239,7 +239,14 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
     any input partitioning. ``record_type='conversion'`` emits the WET
     (extracted-text) layout instead — conversion records with a raw
     text/plain block and no HTTP envelope, under ``.wet``/``.wet.gz``
-    filenames so read_wet's default glob finds them."""
+    filenames so read_wet's default glob finds them.
+
+    Null-row rule (the sink analog of the ANN family's null-vector rule):
+    a row with a null url or null payload contributes NO record — there is
+    nothing addressable to write — and is filtered JVM-side before the
+    writer task. Without the filter one failed-extraction row (a real
+    crawl always has some) raised TypeError inside the Arrow writer and
+    killed the whole task (found by tools/empty_sweep.py --mode nulls)."""
     import os
 
     if record_type not in ("response", "conversion"):
@@ -248,7 +255,8 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
     os.makedirs(path, exist_ok=True)
     bucketed = df.select(
         F.col(url_col).alias("url"), F.col(payload_col).alias("payload"),
-        (F.abs(F.xxhash64(url_col)) % n_files).alias("_b"))
+        (F.abs(F.xxhash64(url_col)) % n_files).alias("_b"),
+    ).where(F.col("url").isNotNull() & F.col("payload").isNotNull())
     base_ext = "wet" if record_type == "conversion" else "warc"
     ext = f"{base_ext}.gz" if compress else base_ext
 

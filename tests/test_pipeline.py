@@ -1762,6 +1762,31 @@ def test_warc_roundtrip_adversarial_payloads(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_warc_sink_skips_null_rows(spark):
+    """The sink null-row rule: a null url or null payload contributes NO
+    record (nothing addressable to write) instead of raising TypeError
+    inside the writer task — one failed-extraction row must never kill a
+    crawl-scale write (found by the null-injection sweep)."""
+    from fermor_spark.pipeline import warc
+
+    rows = [("http://x.example/a", b"alpha"),
+            (None, b"orphan-payload"),
+            ("http://x.example/null-payload", None),
+            ("http://x.example/b", b"beta")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    import shutil
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    try:
+        warc.write_warc(df, f"{tmp}/w", n_files=2)
+        got = {r["url"]: bytes(r["payload"])
+               for r in warc.read_warc(spark, f"{tmp}/w").collect()}
+        assert got == {"http://x.example/a": b"alpha",
+                       "http://x.example/b": b"beta"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_warc_warcinfo_filter_and_malformed(spark):
     """warcinfo records are filtered by default but reachable via
     record_types; a truncated record fails loudly (ValueError), never

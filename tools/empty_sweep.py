@@ -1,7 +1,16 @@
 #!/usr/bin/env python3
-"""Empty-input robustness sweep: run EVERY registered gate query against a
-zero-row copy of the testdata tables (same schemas, limit 0) and report,
-per query:
+"""Degenerate-input robustness sweep: run EVERY registered gate query
+against a degraded copy of the testdata tables and report, per query:
+
+Two modes:
+  --mode empty  (default) zero-row tables, same schemas (limit 0)
+  --mode nulls  ~10% of the CONTENT columns nulled (documents.text/lang/
+                source, embeddings.embedding, events.event_type/value/
+                props/ts — deterministic hash pick, keys left intact):
+                the shape of a real crawl where extraction failed,
+                language id abstained, or an event arrived partial
+
+Per query:
 
   ok      — ran, returned rows (some gates synthesize their own fixture
             data and legitimately produce rows even on empty inputs) or
@@ -40,6 +49,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 NAMED = (ValueError, RuntimeError, AssertionError)
 
 
+NULL_COLS = {
+    "documents": ["text", "lang", "source"],
+    "embeddings": ["embedding"],
+    "events": ["event_type", "value", "props", "ts"],
+}
+
+
 def build_empty(spark, sf_dir: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
@@ -47,13 +63,37 @@ def build_empty(spark, sf_dir: str, out_dir: str) -> None:
             "overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
+def build_nulls(spark, sf_dir: str, out_dir: str, frac: float = 0.1) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    buckets = max(1, int(round(1 / frac)))
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for c in NULL_COLS.get(t, []):
+            # deterministic, per-column-offset pick so different columns
+            # null DIFFERENT rows (and some rows carry several nulls)
+            pick = F.abs(F.xxhash64(F.concat_ws(
+                ":", F.lit(c), *[F.col(k).cast("string")
+                                 for k in df.columns[:1]]))) % buckets == 0
+            df = df.withColumn(
+                c, F.when(pick, F.lit(None).cast(df.schema[c].dataType))
+                .otherwise(F.col(c)))
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    ap.add_argument("--work-dir", default="/tmp/fermor_empty_sf")
+    ap.add_argument("--mode", choices=["empty", "nulls"], default="empty")
+    ap.add_argument("--work-dir", default=None)
     ap.add_argument("--queries", nargs="+", default=None)
-    ap.add_argument("--report", default="/tmp/empty_sweep.json")
+    ap.add_argument("--report", default=None)
     args = ap.parse_args()
+    if args.work_dir is None:
+        args.work_dir = f"/tmp/fermor_{args.mode}_sf"
+    if args.report is None:
+        args.report = f"/tmp/{args.mode}_sweep.json"
 
     from fermor_spark import queries as Q
     from fermor_spark.session import get_spark, release_caches
@@ -62,8 +102,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(
             os.path.join(args.work_dir, f"{TABLES[-1]}.parquet", "_SUCCESS")):
-        print(f"building empty tables -> {args.work_dir}", file=sys.stderr)
-        build_empty(spark, args.sf_dir, args.work_dir)
+        print(f"building {args.mode} tables -> {args.work_dir}",
+              file=sys.stderr)
+        (build_empty if args.mode == "empty" else build_nulls)(
+            spark, args.sf_dir, args.work_dir)
 
     names = args.queries or list(Q.QUERIES)
     report: dict = {}
