@@ -160,7 +160,7 @@ class PropertyGraph:
                 (F.col("doc").cast("string") if "doc" in cols else F.lit(None).cast("string")).alias("doc"),
                 F.lit(batch).alias("_batch"),
                 F.monotonically_increasing_id().alias("_seq"),
-            )
+            ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         else:
             rows = []
             for i, t in enumerate(triples):
@@ -383,6 +383,14 @@ class PropertyGraph:
 
         The scale path: E/V come straight off Parquet/Delta, already
         deduplicated, optionally bucketed by (label, src).
+
+        Null-endpoint rule: an edge row with a null src or dst (the
+        orphan shape a null FK produces upstream) is NOT an edge and is
+        dropped here, as is a vertex row with a null id. Joins already
+        made such rows unreachable to traversals (null never equi-joins),
+        but they leaked a phantom null vertex id into vertex_ids() and
+        crashed the driver-side local finishes of the iterative hybrids
+        (sorted() over ids with a None — found by the null-FK sweep).
         """
         cols = edges.columns
         e = edges.select(
@@ -391,7 +399,7 @@ class PropertyGraph:
             F.col("dst").cast("string"),
             (F.col("weight").cast("double") if "weight" in cols else F.lit(None).cast("double")).alias("weight"),
             (F.col("doc").cast("string") if "doc" in cols else F.lit(None).cast("string")).alias("doc"),
-        )
+        ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         v = None
         if vertices is not None:
             vcols = vertices.columns
@@ -399,7 +407,7 @@ class PropertyGraph:
                 F.col("id").cast("string"),
                 (F.col("kind").cast("string") if "kind" in vcols else F.lit(None).cast("string")).alias("kind"),
                 (F.col("doc").cast("string") if "doc" in vcols else F.lit(None).cast("string")).alias("doc"),
-            )
+            ).where(F.col("id").isNotNull())
         if cache:
             e = e.cache()
             if v is not None:

@@ -802,7 +802,12 @@ def shortest_path_weighted(
             import pandas as pd
 
             apdf = adj.toPandas()
-            ids = sorted(set(apdf["u"]) | set(apdf["v"]) | set(starts))
+            # construction drops null-endpoint edges, but raw-DataFrame
+            # callers can still hand them in — a None would make sorted()
+            # raise and the ix lookup KeyError
+            apdf = apdf[apdf["u"].notna() & apdf["v"].notna()]
+            ids = sorted((set(apdf["u"]) | set(apdf["v"]) | set(starts))
+                         - {None})
             ix = {v: i for i, v in enumerate(ids)}
             su = np.fromiter((ix[u] for u in apdf["u"]), np.int64, len(apdf))
             sv = np.fromiter((ix[v] for v in apdf["v"]), np.int64, len(apdf))
@@ -1083,7 +1088,10 @@ def pagerank(
         import pandas as pd
 
         apdf = adj.toPandas()
-        ids = sorted({r["id"] for r in universe.collect()})
+        # defensive mirror of the construction-time null-endpoint rule
+        # (raw-DataFrame callers): None ids break sorted()/ix lookups
+        apdf = apdf[apdf["u"].notna() & apdf["v"].notna()]
+        ids = sorted({r["id"] for r in universe.collect()} - {None})
         ix = {v: i for i, v in enumerate(ids)}
         src = np.fromiter((ix[u] for u in apdf["u"]), dtype=np.int64,
                           count=len(apdf))

@@ -224,3 +224,29 @@ def test_add_edges_on_loaded_graph_keeps_existing(spark):
     g3 = g.add_edges("l", [("a", "b", {"v": 2})]).forked()
     docs = {(r["src"], r["dst"]): r["doc"] for r in g3._edges_df("l").collect()}
     assert json.loads(docs[("a", "b")]) == {"v": 2}
+
+
+def test_null_endpoint_edges_dropped(spark):
+    """The construction null-endpoint rule: an edge with a null src or dst
+    (the orphan shape a null FK produces) is not an edge — dropped by
+    from_dataframes and add_edges — and a null-id vertex row is dropped
+    too. Joins already made such rows unreachable; undropped they leaked a
+    phantom null vertex id into vertex_ids() and crashed the iterative
+    hybrids' driver-side local finishes (null-FK sweep finding)."""
+    e = spark.createDataFrame(
+        [("l", "a", "b"), ("l", None, "c"), ("l", "c", None),
+         ("l", "c", "d")],
+        "label string, src string, dst string")
+    v = spark.createDataFrame([("a",), (None,), ("d",)], "id string")
+    g = PropertyGraph.from_dataframes(spark, e, vertices=v)
+    assert set(g.edges().edge_tuples()) == {("l", "a", "b"), ("l", "c", "d")}
+    assert {r["id"] for r in g.V.collect()} == {"a", "d"}
+
+    g2 = (PropertyGraph.build(spark)
+          .add_edges("l", spark.createDataFrame(
+              [("a", "b"), (None, "b"), ("b", None)], "src string, dst string"))
+          .forked())
+    assert set(g2.edges().edge_tuples()) == {("l", "a", "b")}
+    # no phantom null vertex from either path
+    assert None not in {r["id"] for r in g.vertex_ids().collect()}
+    assert None not in {r["id"] for r in g2.vertex_ids().collect()}

@@ -53,6 +53,13 @@ NULL_COLS = {
     "documents": ["text", "lang", "source"],
     "embeddings": ["embedding"],
     "events": ["event_type", "value", "props", "ts"],
+    # graph FKs: an orphan row (extraction produced no parent) is the
+    # realistic dirty shape — a null key must drop out of joins, never
+    # crash a builder or traversal. PKs stay intact.
+    "customer": ["c_nationkey"],
+    "orders": ["o_custkey"],
+    "lineitem": ["l_suppkey", "l_partkey"],
+    "supplier": ["s_nationkey"],
 }
 
 
