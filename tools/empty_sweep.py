@@ -2,13 +2,19 @@
 """Degenerate-input robustness sweep: run EVERY registered gate query
 against a degraded copy of the testdata tables and report, per query:
 
-Two modes:
-  --mode empty  (default) zero-row tables, same schemas (limit 0)
-  --mode nulls  ~10% of the CONTENT columns nulled (documents.text/lang/
-                source, embeddings.embedding, events.event_type/value/
-                props/ts — deterministic hash pick, keys left intact):
-                the shape of a real crawl where extraction failed,
-                language id abstained, or an event arrived partial
+Three modes:
+  --mode empty   (default) zero-row tables, same schemas (limit 0)
+  --mode nulls   ~10% of the CONTENT columns nulled (documents.text/lang/
+                 source, embeddings.embedding, events.event_type/value/
+                 props/ts, graph FK columns — deterministic hash pick,
+                 PKs left intact): the shape of a real crawl where
+                 extraction failed, language id abstained, an event
+                 arrived partial, or a row is an orphan
+  --mode extreme documents.text replaced (by doc_id class) with the
+                 hostile shapes a crawl actually yields — empty string,
+                 whitespace-only, one 50k-char token, a 5k-token wall,
+                 control chars, emoji/CJK multibyte, 2000 one-char
+                 lines — and events.props with truncated JSON
 
 Per query:
 
@@ -89,10 +95,41 @@ def build_nulls(spark, sf_dir: str, out_dir: str, frac: float = 0.1) -> None:
         df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
+def build_extreme(spark, sf_dir: str, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "documents":
+            cls = F.col("doc_id") % 50
+            hostile = (
+                F.when(cls == 0, F.lit(""))
+                .when(cls == 1, F.lit(" \n\t \n "))
+                .when(cls == 2, F.lit("x" * 50000))
+                .when(cls == 3, F.lit("tok " * 5000))
+                .when(cls == 4, F.lit("\x00\x01\x02 control \x7f chars"))
+                .when(cls == 5, F.lit("😀 emoji ✓ ünïcödé 中文 text"))
+                .when(cls == 6, F.lit("a\n" * 2000))
+                .otherwise(F.col("text")))
+            df = df.withColumn("text", hostile)
+        if t == "events":
+            df = df.withColumn(
+                "props",
+                F.when(F.col("event_id") % 20 == 0, F.lit('{"unterminated'))
+                .otherwise(F.col("props")))
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+_BUILDERS = {"empty": build_empty, "nulls": build_nulls,
+             "extreme": build_extreme}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    ap.add_argument("--mode", choices=["empty", "nulls"], default="empty")
+    ap.add_argument("--mode", choices=["empty", "nulls", "extreme"],
+                    default="empty")
     ap.add_argument("--work-dir", default=None)
     ap.add_argument("--queries", nargs="+", default=None)
     ap.add_argument("--report", default=None)
@@ -111,8 +148,7 @@ def main() -> int:
             os.path.join(args.work_dir, f"{TABLES[-1]}.parquet", "_SUCCESS")):
         print(f"building {args.mode} tables -> {args.work_dir}",
               file=sys.stderr)
-        (build_empty if args.mode == "empty" else build_nulls)(
-            spark, args.sf_dir, args.work_dir)
+        _BUILDERS[args.mode](spark, args.sf_dir, args.work_dir)
 
     names = args.queries or list(Q.QUERIES)
     report: dict = {}
