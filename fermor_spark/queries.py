@@ -6186,6 +6186,15 @@ _CHANGED_THIS_ROUND = [
     # replaces 3 window sorts + 3 groupBys + a 2-join chain
     # (value-parity-verified on all 5000 sf0.1 docs before shipping):
     "text_gopher_repetition",
+    # r13: write_warc gained the null-row sink rule (JVM-side isNotNull
+    # filter executes inside the fixture write; value-neutral on
+    # null-free gate data):
+    "pipeline_warc_roundtrip",
+    # r13: the iterative hybrids' local finishes gained defensive
+    # null-endpoint filters at their toPandas boundaries (executed on the
+    # sf0.01 local-finish path these gates take):
+    "g_shortest_path_weighted",
+    "g_pagerank_supply",
 ]
 
 
