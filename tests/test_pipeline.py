@@ -76,6 +76,60 @@ def test_simhash_near_dups(planted):
     assert ham[(1, 2)] == 0
 
 
+def test_simhash_pairs_match_brute_force_model(spark):
+    """simhash_near_dup_pairs (portable variant) pinned against a pure-
+    Python model of the WHOLE pipeline: md5-60 token hash, +1/-1 per-bit
+    votes with sign(>0) digest, 4x15-bit banding (candidates = pairs
+    sharing >=1 exact band), hamming on the full 60-bit values. Pins the
+    documented semantics including banding recall: a pair within
+    max_hamming that shares NO band is (by design) not a candidate."""
+    import hashlib
+    import random
+    import re as _re
+
+    rng = random.Random(1311)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(5, 20))))
+            for i in range(30)]
+    # plus an exact pair and a whitespace-only doc (one empty token)
+    docs += [(100, docs[0][1]), (101, "   ")]
+
+    def sim60(text):
+        toks = _re.split(r"\s+", text.strip())
+        votes = [0] * 60
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(60) if votes[i] > 0)
+
+    sims = {i: sim60(t) for i, t in docs}
+
+    def bands(s):
+        return {(b, (s >> (b * 15)) & 0x7FFF) for b in range(4)}
+
+    max_h = 8
+    want = {}
+    ids = sorted(sims)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if bands(sims[a]) & bands(sims[b]):
+                h = bin(sims[a] ^ sims[b]).count("1")
+                if h <= max_h:
+                    want[(a, b)] = h
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_dup_pairs(
+               df, "doc_id", "text", max_hamming=max_h,
+               portable=True).collect()}
+    assert got == want
+    assert want, "vacuous: model produced no pairs"
+    assert (0, 100) in want and want[(0, 100)] == 0  # the exact pair
+
+
 def test_dedup_clusters(planted):
     pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", threshold=0.5)
     clusters = dedup.dedup_clusters(
