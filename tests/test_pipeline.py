@@ -130,6 +130,70 @@ def test_simhash_pairs_match_brute_force_model(spark):
     assert (0, 100) in want and want[(0, 100)] == 0  # the exact pair
 
 
+def test_minhash_pairs_match_brute_force_model(spark):
+    """minhash_dedup_pairs pinned against a pure-Python model of the
+    WHOLE pipeline: distinct word-3-gram shingles, 16 md5(seed||shingle)
+    string-min signatures, 8x2 banding (candidates share >=1 exact band
+    key), exact-Jaccard verify at the threshold. Pins hash spec, shingle
+    completeness (docs under 3 tokens yield none), banding recall, and
+    the intersection-count verify in one assertion."""
+    import hashlib
+    import random
+    import re as _re
+
+    rng = random.Random(77)
+    vocab = [f"w{k}" for k in range(40)]
+    docs = []
+    for base_id in range(8):
+        base = [rng.choice(vocab) for _ in range(60)]
+        docs.append((base_id * 10, " ".join(base)))
+        mut = list(base)
+        mut[rng.randrange(60)] = rng.choice(vocab)     # near-dup
+        docs.append((base_id * 10 + 1, " ".join(mut)))
+        if base_id % 3 == 0:
+            docs.append((base_id * 10 + 2, " ".join(base)))  # exact dup
+    docs.append((900, "one two"))                      # < 3 tokens: no shingles
+
+    def shingles(text):
+        toks = _re.split(r"\s+", text.strip())
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in docs}
+
+    def signature(ss):
+        return [min(hashlib.md5((str(k) + s).encode()).hexdigest()
+                    for s in ss) if ss else None
+                for k in range(16)]
+
+    sig = {i: signature(ss) for i, ss in sh.items()}
+
+    def band_keys(sg):
+        if sg[0] is None:
+            return set()
+        return {(b, sg[2 * b] + sg[2 * b + 1]) for b in range(8)}
+
+    want = {}
+    ids = sorted(sig)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if band_keys(sig[a]) & band_keys(sig[b]):
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a]) + len(sh[b]) - inter
+                if union and inter / union >= 0.8:
+                    want[(a, b)] = inter / union
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.minhash_dedup_pairs(df, "doc_id", "text").collect()}
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for k, j in want.items():
+        assert abs(got[k] - j) <= 5e-7, (k, got[k], j)
+    # non-vacuity: exact dups at 1.0 AND at least one strict near-dup
+    assert any(j == 1.0 for j in want.values())
+    assert any(j < 1.0 for j in want.values())
+
+
 def test_dedup_clusters(planted):
     pairs = dedup.ngram_jaccard_pairs(planted, "doc_id", "text", threshold=0.5)
     clusters = dedup.dedup_clusters(
