@@ -130,6 +130,42 @@ def test_simhash_pairs_match_brute_force_model(spark):
     assert (0, 100) in want and want[(0, 100)] == 0  # the exact pair
 
 
+def test_embedding_buckets_match_brute_force_model(spark):
+    """embedding_buckets pinned against a pure-Python model: hyperplane
+    components from md5-derived hash_u64(f"{seed}:{plane}:{dim_index}")
+    centered to [-1, 1), bucket bit = sign(v . plane) with >= 0 counting
+    as 1, null vector -> "" bucket. Pins the deterministic plane spec and
+    the Arrow matmul kernel together."""
+    import numpy as np
+
+    from fermor_spark.pipeline.similarity import hash_u64
+
+    rng = np.random.RandomState(4242)
+    rows = [(i, [float(x) for x in rng.uniform(-2, 2, 12)])
+            for i in range(25)]
+    rows += [(100, rows[0][1]), (101, None), (102, [0.0] * 12)]
+    num_planes, seed, dim = 8, 42, 12
+
+    planes = np.array([[ (hash_u64(f"{seed}:{p}:{d}") / 2**64) * 2.0 - 1.0
+                         for d in range(dim)] for p in range(num_planes)])
+
+    def bucket(vec):
+        if vec is None:
+            return ""
+        dots = planes @ np.asarray(vec, dtype=np.float64)
+        return "".join("1" if x >= 0 else "0" for x in dots)
+
+    want = {i: bucket(v) for i, v in rows}
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["id"]: r["bucket"]
+           for r in dedup.embedding_buckets(
+               df, "vec_id", "embedding", num_planes, seed).collect()}
+    assert got == want
+    assert got[100] == got[0] and len(got[0]) == num_planes  # identical copy
+    assert got[101] == ""                                    # null vector
+    assert got[102] == "1" * num_planes                      # zero vec: 0 >= 0
+
+
 def test_minhash_pairs_match_brute_force_model(spark):
     """minhash_dedup_pairs pinned against a pure-Python model of the
     WHOLE pipeline: distinct word-3-gram shingles, 16 md5(seed||shingle)
