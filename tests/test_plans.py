@@ -293,3 +293,27 @@ def test_banding_plans_are_union_free(spark, registry):
     assert "Union" not in plan_of(
         lsh_topk(e, qs, k=3, id_col="vec_id", vec_col="embedding",
                  num_planes=3, num_tables=4))
+
+
+def test_gopher_repetition_single_window_pass(spark):
+    """Plan contract for the r13 gopher_repetition fusion: the n-gram
+    side runs ONE window over the exploded token table (lead(1..3)
+    evaluated together in a single Window node) feeding one grouped
+    count — never the per-n loop's three window sorts over a recomputed
+    explode. The lines side contributes zero Window nodes, and the
+    (id, n)-partitioned top max-window is the only other one."""
+    from fermor_spark.pipeline.text import gopher_repetition
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    import re as _re
+
+    p = plan_of(gopher_repetition(d, "doc_id", "text"))
+    # formatted explain prints each node once in the tree and once in the
+    # detail section — count the detail headers "(NN) Window"
+    n_window = len(_re.findall(r"\(\d+\) Window", p))
+    n_generate = len(_re.findall(r"\(\d+\) Generate", p))
+    assert n_window <= 2, (n_window, p)
+    assert "Union" not in p
+    # three per-n legs would show three Generates over tokens; the fused
+    # plan has lines + tokens + the (n, ngram) array explode
+    assert n_generate <= 3, (n_generate, p)
