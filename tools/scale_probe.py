@@ -131,6 +131,23 @@ def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_off = {c: ev.agg(F.max(c)).collect()[0][0] + 1
+              for c in ("event_id", "user_id")}
+    parts = []
+    for r in range(m):
+        # user_id strides with the replica: sessions/as-of state stays
+        # per-user-sized (the realistic growth shape — more users, not
+        # infinitely long per-user histories); timestamps unchanged, so
+        # window/session counts per user replicate exactly
+        parts.append(ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(r * ev_off["event_id"])
+        ).withColumn(
+            "user_id", F.col("user_id") + F.lit(r * ev_off["user_id"])))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def op_graph_build(spark, sf_dir: str) -> int:
@@ -236,6 +253,24 @@ def op_simhash_pairs(spark, sf_dir: str) -> int:
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=8).count()
 
 
+def op_sessions(spark, sf_dir: str) -> int:
+    """Batch sessionization (session_window, 30-min gap) over the
+    replicated events — user-keyed shuffle + per-user session merge;
+    rows grow linearly (users stride per replica)."""
+    from fermor_spark import queries as Q
+
+    return Q.QUERIES["events_sessions_30m"](spark, sf_dir).count()
+
+
+def op_asof_join(spark, sf_dir: str) -> int:
+    """As-of join (purchases pick up the most recent prior click per
+    user) over the replicated events — the union-tag + running-last
+    window shape, ONE user-keyed shuffle."""
+    from fermor_spark import queries as Q
+
+    return Q.QUERIES["events_asof_prior_click"](spark, sf_dir).count()
+
+
 OPS = {
     "graph_build": op_graph_build,
     "bfs_2hop": op_bfs_2hop,
@@ -246,6 +281,8 @@ OPS = {
     "incr_semantic": op_incr_semantic,
     "quantized_topk": op_quantized_topk,
     "simhash_pairs": op_simhash_pairs,
+    "sessions": op_sessions,
+    "asof_join": op_asof_join,
 }
 
 
@@ -269,11 +306,11 @@ def main() -> int:
         out = os.path.join(args.work_dir, f"mult{m}")
         # _SUCCESS, not bare directory existence: an interrupted prior
         # write leaves a partial dataset a later run must not reuse.
-        # embeddings.parquet is the LAST table replicate() writes, so its
-        # marker implies the full set (and invalidates pre-r13 replica
-        # dirs that predate embedding replication)
+        # events.parquet is the LAST table replicate() writes, so its
+        # marker implies the full set (and invalidates replica dirs that
+        # predate embedding/events replication)
         if not os.path.exists(
-                os.path.join(out, "embeddings.parquet", "_SUCCESS")):
+                os.path.join(out, "events.parquet", "_SUCCESS")):
             print(f"replicating x{m} -> {out}", file=sys.stderr)
             replicate(spark, args.sf_dir, out, m)
         dirs[m] = out
