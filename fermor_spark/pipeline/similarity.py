@@ -722,7 +722,10 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
 
     def _kernel(it):
         for pdf in it:
-            ids = pdf[id_col]
+            # positional, not index-aligned: mixing an indexed Series with
+            # positional arrays in the output constructor would silently
+            # misalign on any non-default index
+            ids = pdf[id_col].to_numpy()
             vecs = pdf[vec_col].to_numpy()
             try:
                 mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) \
