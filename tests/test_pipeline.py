@@ -2660,3 +2660,33 @@ def test_ann_family_skips_null_vectors(spark):
 
     sd = semantic_dedup(e, threshold=0.5, k=2).collect()
     assert sd and all(r.vec_id != 3 for r in sd)
+
+
+def test_round6_helper_matches_duckdb():
+    """_np_round6_half_away (the numpy kernels' 6dp rounding) agrees with
+    DuckDB round(x, 6) — the oracle side of every cosine compare — across
+    a dense random grid and both signs. At EXACT 6dp knife-edge points
+    the three engines genuinely diverge (e.g. 0.9999994999999999: DuckDB
+    1.0, Spark BigDecimal HALF_UP and this helper 0.999999) — asserted
+    below as documentation: the divergence set is measure-~0, which is
+    why every contract floor sits BETWEEN attainable values and real
+    cosines never land there."""
+    import duckdb
+    import numpy as np
+
+    from fermor_spark.pipeline.similarity import _np_round6_half_away
+
+    rng = np.random.RandomState(66)
+    vals = list(rng.uniform(-1, 1, 2000))
+    arr = np.array(vals)
+    got = _np_round6_half_away(arr)
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        want = con.execute(f"select round({v!r}::DOUBLE, 6)").fetchone()[0]
+        assert g == want, (v, g, want)
+    # the documented knife-edge divergence, pinned so a future "fix" that
+    # chases DuckDB here knows it would diverge from Spark instead
+    edge = 0.9999994999999999
+    assert con.execute(
+        f"select round({edge!r}::DOUBLE, 6)").fetchone()[0] == 1.0
+    assert _np_round6_half_away(np.array([edge]))[0] == 0.999999
