@@ -130,6 +130,55 @@ def test_simhash_pairs_match_brute_force_model(spark):
     assert (0, 100) in want and want[(0, 100)] == 0  # the exact pair
 
 
+def test_ngram_jaccard_prefix_filter_is_lossless(spark):
+    """ngram_jaccard_pairs pinned against brute-force all-pairs Jaccard:
+    prefix filtering (AllPairs, Bayardo WWW'07) is a LOSSLESS candidate
+    pruning for Jaccard >= t, so the returned pair set and values must
+    EQUAL the quadratic model exactly — on a templated corpus (shared
+    boilerplate shingles, the case the prefix filter exists for) with
+    near-dups at and straddling the threshold."""
+    import random
+    import re as _re
+
+    rng = random.Random(99)
+    template = ["the", "quick", "brown", "fox", "jumps", "over", "lazy"]
+    docs = []
+    for base_id in range(10):
+        body = [rng.choice([f"u{base_id}_{k}" for k in range(30)])
+                for _ in range(40)]
+        text = " ".join(template + body)      # shared boilerplate prefix
+        docs.append((base_id * 10, text))
+        mut = list(body)
+        for _ in range(rng.randint(1, 6)):    # near-dups of varying depth
+            mut[rng.randrange(len(mut))] = f"m{rng.randrange(99)}"
+        docs.append((base_id * 10 + 1, " ".join(template + mut)))
+
+    def shingles(text):
+        toks = _re.split(r"\s+", text.strip())
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in docs}
+    t = 0.8
+    want = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a]) + len(sh[b]) - inter
+            if union and inter / union >= t:
+                want[(a, b)] = inter / union
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               df, "doc_id", "text", threshold=t).collect()}
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for k, j in want.items():
+        assert abs(got[k] - j) <= 5e-7, (k, got[k], j)
+    assert want and any(j < 1.0 for j in want.values())
+
+
 def test_embedding_buckets_match_brute_force_model(spark):
     """embedding_buckets pinned against a pure-Python model: hyperplane
     components from md5-derived hash_u64(f"{seed}:{plane}:{dim_index}")
