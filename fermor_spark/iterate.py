@@ -795,8 +795,12 @@ def shortest_path_weighted(
         "u", "v", F.coalesce(F.col("w"), F.lit(default_weight)).alias("w")
     ))
     if local_edge_threshold and adj.count() <= local_edge_threshold:
+        # null sources are dropped on BOTH legs (see the distributed init
+        # below): here a None start would KeyError at d[ix[s]] since ids
+        # excludes None; distributed, a null join key matches nothing.
         starts = [r["id"] for r in src_df.select("id").distinct()
-                  .limit(local_edge_threshold + 1).collect()]
+                  .limit(local_edge_threshold + 1).collect()
+                  if r["id"] is not None]
         if len(starts) <= local_edge_threshold:
             import numpy as np
             import pandas as pd
@@ -828,7 +832,8 @@ def shortest_path_weighted(
                 "dist": d[reach],
             })
             return g.spark.createDataFrame(out, "id string, dist double")
-    dist = src_df.select("id").distinct().withColumn("dist", F.lit(0.0))
+    dist = (src_df.select("id").where(F.col("id").isNotNull())
+            .distinct().withColumn("dist", F.lit(0.0)))
     for i in range(max_iter):
         relaxed = (
             dist.join(adj, dist["id"] == adj["u"], "inner")
@@ -1073,7 +1078,13 @@ def pagerank(
     if dangling not in ("redistribute", "none"):
         raise ValueError(f"dangling must be 'redistribute'|'none', not {dangling!r}")
     adj = _loop_adjacency(g, labels, direction)
-    universe = _persist(g.vertices_with_edge(labels))
+    # null ids are excluded from the universe BEFORE counting: the local
+    # finish drops them from `ids` (sorted()/ix can't hold None), so an
+    # unfiltered count would leave `rank` one longer than `ids` and skew
+    # 1/n by a phantom vertex; the distributed path likewise gains nothing
+    # from a null-id row (null join keys never match).
+    universe = _persist(
+        g.vertices_with_edge(labels).where(F.col("id").isNotNull()))
     n = universe.count()
     if n == 0:
         return universe.withColumn("rank", F.lit(0.0))

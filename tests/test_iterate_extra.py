@@ -200,6 +200,43 @@ def test_pagerank_dangling_none_leaks(spark, thresh):
     assert got.agg(F.sum("rank")).first()[0] < 1.0
 
 
+@pytest.mark.parametrize("thresh", [200_000, 0])
+def test_pagerank_null_vertex_id_excluded(spark, thresh):
+    """Raw-constructor graphs (no construction-time null filter) can hand
+    pagerank a null endpoint; the universe must drop it BEFORE n is
+    counted, else the local finish builds len(ids)=n-1 against a length-n
+    rank vector (ValueError) and 1/n is skewed by a phantom vertex."""
+    from fermor_spark import PropertyGraph
+
+    e = spark.createDataFrame(
+        [("to", "a", "b", None, None), ("to", "b", "a", None, None),
+         ("to", None, "a", None, None)],
+        "label string, src string, dst string, weight double, doc string")
+    g = PropertyGraph(spark, edges=e, forked=True)
+    got = {r["id"]: r["rank"] for r in
+           iterate.pagerank(g, iters=5, local_edge_threshold=thresh).collect()}
+    assert set(got) == {"a", "b"}
+    # with the phantom excluded, n=2: the a<->b 2-cycle is symmetric
+    assert abs(got["a"] - 0.5) < 1e-9 and abs(got["b"] - 0.5) < 1e-9
+
+
+@pytest.mark.parametrize("thresh", [200_000, 0])
+def test_shortest_path_null_source_dropped(spark, thresh):
+    """A null id in a raw sources DataFrame is not a source: locally it
+    would KeyError at d[ix[None]] (ids excludes None); distributed, a null
+    join key matches nothing — both legs drop it."""
+    from fermor_spark import PropertyGraph
+
+    g = (PropertyGraph.build(spark, edge_builders={"w": "weighted"})
+         .add_edges("w", [("a", "b", 1.0), ("b", "c", 2.0)])
+         .forked())
+    srcs = spark.createDataFrame([("a",), (None,)], "id string")
+    d = {r["id"]: r["dist"] for r in
+         iterate.shortest_path_weighted(g, srcs, labels="w",
+                                        local_edge_threshold=thresh).collect()}
+    assert d == {"a": 0.0, "b": 1.0, "c": 3.0}
+
+
 def test_label_propagation_path_iterations(spark):
     # path a-b-c; sync min-tie-break LPA has exact per-iteration values
     g = edges_graph(spark, "to", [("a", "b"), ("b", "c")])

@@ -64,9 +64,11 @@ def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
     for t in ("region", "nation"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode(
             "overwrite").parquet(f"{out_dir}/{t}.parquet")
+    # every max is coalesced to 0: an empty table (degenerate-input runs)
+    # would otherwise abort the whole replication with None + 1
     stride = {
         ent: spark.read.parquet(f"{sf_dir}/{ent}.parquet")
-        .agg(F.max(pk)).collect()[0][0] + 1
+        .agg(F.coalesce(F.max(pk), F.lit(0))).collect()[0][0] + 1
         for ent, pk in _ENTITY_PK.items()
     }
     for t, keys in GRAPH_TABLES.items():
@@ -82,7 +84,7 @@ def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    off = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    off = d.agg(F.coalesce(F.max("doc_id"), F.lit(0))).collect()[0][0] + 1
     parts = []
     for r in range(m):
         rep = d.withColumn("doc_id", F.col("doc_id") + F.lit(r * off))
@@ -100,8 +102,9 @@ def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    eoff = e.agg(F.max("vec_id")).collect()[0][0] + 1
-    edim = e.select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
+    eoff = e.agg(F.coalesce(F.max("vec_id"), F.lit(0))).collect()[0][0] + 1
+    _edim_row = e.select(F.size("embedding").alias("d")).limit(1).collect()
+    edim = _edim_row[0]["d"] if _edim_row else 2
     parts = []
     for r in range(m):
         rep = e.withColumn("vec_id", F.col("vec_id") + F.lit(r * eoff))
@@ -132,7 +135,7 @@ def replicate(spark, sf_dir: str, out_dir: str, m: int) -> None:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev_off = {c: ev.agg(F.max(c)).collect()[0][0] + 1
+    ev_off = {c: ev.agg(F.coalesce(F.max(c), F.lit(0))).collect()[0][0] + 1
               for c in ("event_id", "user_id")}
     parts = []
     for r in range(m):
