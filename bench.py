@@ -337,7 +337,9 @@ def main() -> None:
 
     from fermor_spark.session import release_caches
 
-    registry = q.all_queries()
+    # union: retired rows (r14 registry lever) left the driver gate but
+    # keep their bench lines comparable round-over-round
+    registry = {**q.all_queries(), **q.retired_queries()}
     # Within-query GC drain (r10): the boundary drain below cannot reach
     # cleanup deferred WITHIN a query's own best-of-3 — pipeline_curate_e2e's
     # r9 driver record shows a timed run ABOVE its warm-up ([18.1, 30.0,

@@ -222,14 +222,22 @@ class rocksdb_state:
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
-                  timeout_sec: int = 300):
+                  timeout_sec: int = 300, expect_state_provider: str | None = None):
     """Test/backfill helper: drain all available input into an in-memory
     table and stop. Returns the SparkSession-queryable table name.
 
     Raises instead of returning a PARTIAL table when the drain outlives
     ``timeout_sec`` — awaitTermination(timeout) returns False without
     raising, and a silently-partial memory table corrupts any downstream
-    comparison (the driver gate reads this table)."""
+    comparison (the driver gate reads this table).
+
+    ``expect_state_provider='rocksdb'`` makes the drain assert, from the
+    finished query's OWN progress (per-call, no global state), that its
+    stateful operators actually ran on the RocksDB store — the provider
+    conf is read at query START, so a scope bug (rocksdb_state entered
+    after .start(), or a conf clobbered by a concurrent session user)
+    would silently fall back to the heap store; the driver gate must fail
+    loudly instead of green-lighting the wrong backend."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -243,6 +251,22 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
         raise TimeoutError(
             f"streaming drain '{name}' still running after {timeout_sec}s — "
             f"memory table would be partial")
+    if expect_state_provider == "rocksdb":
+        ops = (q.lastProgress or {}).get("stateOperators", [])
+        if not ops:
+            raise RuntimeError(
+                f"drain '{name}' expected rocksdb state but the query ran "
+                "no stateful operators")
+        for op in ops:
+            if not any(k.startswith("rocksdb")
+                       for k in op.get("customMetrics", {})):
+                raise RuntimeError(
+                    f"drain '{name}' expected the RocksDB state store but "
+                    f"operator {op.get('operatorName')!r} reports no rocksdb "
+                    "metrics — provider scope did not cover query start")
+    elif expect_state_provider is not None:
+        raise ValueError(
+            f"unknown expect_state_provider {expect_state_provider!r}")
     return name
 
 

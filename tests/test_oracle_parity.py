@@ -47,18 +47,23 @@ def _rows_to_multiset(cols, rows):
     )
 
 
-QUERY_NAMES = sorted(entrymod.oracle_sql().keys())
+from fermor_spark import queries as _qmod
+
+# retired rows (r14 registry lever) keep full parity evidence here even
+# though they left the driver-gated registry
+QUERY_NAMES = sorted(set(entrymod.oracle_sql()) | set(_qmod.RETIRED_ORACLES))
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, name):
-    q = entrymod.queries()[name]
+    q = {**entrymod.queries(), **_qmod.RETIRED_QUERIES}[name]
     sdf = q(spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
     con = _duck()
-    res = con.execute(entrymod.oracle_sql()[name])
+    res = con.execute(
+        {**entrymod.oracle_sql(), **_qmod.RETIRED_ORACLES}[name])
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
 

@@ -375,3 +375,30 @@ def test_rocksdb_provider_parity(spark, batch_events):
     for case in cases:
         assert results[("default", case)] == results[("rocksdb", case)], case
         assert results[("default", case)], f"{case} drained zero rows (vacuous)"
+
+
+def test_run_to_memory_provider_telemetry(spark):
+    """expect_state_provider='rocksdb' passes when the scope covers query
+    start and RAISES when the query ran on the default heap store — the
+    per-call guard the driver-gated rocksdb row relies on (a scope bug
+    would otherwise silently fall back and still hash-match)."""
+    import pytest
+
+    s = streaming.read_events_stream(spark, SF)
+    with streaming.rocksdb_state(spark):
+        streaming.run_to_memory(streaming.tumbling_counts(s), "t_tel_ok",
+                                expect_state_provider="rocksdb")
+    assert spark.table("t_tel_ok").count() > 0
+
+    s2 = streaming.read_events_stream(spark, SF)
+    with pytest.raises(RuntimeError, match="RocksDB state store"):
+        streaming.run_to_memory(streaming.tumbling_counts(s2), "t_tel_bad",
+                                expect_state_provider="rocksdb")
+
+    # stateless drain + expectation: no stateOperators is also a failure
+    s3 = streaming.read_events_stream(spark, SF)
+    with streaming.rocksdb_state(spark), \
+            pytest.raises(RuntimeError, match="no stateful operators"):
+        streaming.run_to_memory(s3.select("event_id", "user_id"),
+                                "t_tel_stateless",
+                                expect_state_provider="rocksdb")
