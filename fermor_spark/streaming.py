@@ -252,6 +252,12 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
             f"streaming drain '{name}' still running after {timeout_sec}s — "
             f"memory table would be partial")
     if expect_state_provider == "rocksdb":
+        progresses = [p for p in (q.recentProgress or []) if p]
+        if sum(p.get("numInputRows", 0) for p in progresses) == 0:
+            # vacuously satisfied: zero rows drained (empty partition /
+            # empty table) means the state store was never exercised —
+            # the production contract says an empty input must not crash
+            return name
         ops = (q.lastProgress or {}).get("stateOperators", [])
         if not ops:
             raise RuntimeError(

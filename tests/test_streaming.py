@@ -402,3 +402,20 @@ def test_run_to_memory_provider_telemetry(spark):
         streaming.run_to_memory(s3.select("event_id", "user_id"),
                                 "t_tel_stateless",
                                 expect_state_provider="rocksdb")
+
+    # zero rows drained (empty partition) is vacuously OK — the store was
+    # never exercised and the production contract forbids crashing there
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="tel_empty_sf_")
+    try:
+        spark.read.parquet(f"{SF}/events.parquet").limit(0) \
+            .write.mode("overwrite").parquet(f"{d}/events.parquet")
+        s4 = streaming.read_events_stream(spark, d)
+        with streaming.rocksdb_state(spark):
+            streaming.run_to_memory(streaming.tumbling_counts(s4),
+                                    "t_tel_empty",
+                                    expect_state_provider="rocksdb")
+        assert spark.table("t_tel_empty").count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
