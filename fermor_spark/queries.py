@@ -2212,7 +2212,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")).cast("binary"))).alias(f"h{i}")
         for i in range(8)
     ]
-    mh = sh.groupBy("doc_id").agg(*aggs)
+    # eager-cache the SIGNATURE table (r14; the incremental variant's
+    # c420cbe treatment, pre-applied per VERDICT r13 #4): the band
+    # self-join reads `bands` on BOTH sides, and uncached each side
+    # re-evaluates the whole shingle explode + groupBy — the surface the
+    # r13 driver band's mid-sequence spread ([2.90, 1.09, 0.83]) can
+    # multiply through when storage pressure evicts mid-sequence. The
+    # signature table is n_docs × 8 hex strings (corpus-shrinking, tiny
+    # at any SF), so caching it is the production shape too: at 100 TB
+    # you persist signatures, never the shingle explode.
+    from fermor_spark.session import managed_cache
+    mh = managed_cache(sh.groupBy("doc_id").agg(*aggs))
+    mh.count()
     # ONE array-explode banding (the lsh_candidates pattern) — the union
     # of per-band selects re-evaluated the signature groupBy once per
     # band per self-join side (8×); under full-bench storage pressure a
@@ -6177,6 +6188,11 @@ _CHANGED_THIS_ROUND = [
     # per-call provider telemetry (VERDICT r13 #6 — driver evidence for
     # the 100 TB state backend; oracle unchanged by construction):
     "events_streaming_tumbling",
+    # r14: signature table eager-cached inside the gate (VERDICT r13 #4
+    # — the incremental variant's c420cbe treatment, pre-applied; the
+    # band self-join's two sides otherwise re-evaluate the shingle
+    # explode and a mid-sequence eviction multiplies through it):
+    "dedup_minhash_lsh",
 ]
 
 

@@ -1858,8 +1858,10 @@ def test_curate_v2_nonvacuous_and_every_stage_bites(spark):
     n3 = sd.where("kept").count()
     assert n0 > n1 > n2 > n3 > 0, (n0, n1, n2, n3)
 
+    from fermor_spark.queries import RETIRED_QUERIES
     out = {r["split"]: r for r in
-           QUERIES["pipeline_curate_v2"](spark, sf).collect()}
+           {**QUERIES, **RETIRED_QUERIES}["pipeline_curate_v2"](
+               spark, sf).collect()}
     assert set(out) == {"train", "val", "test"}
     assert sum(r["n_docs"] for r in out.values()) == n3
     assert all(r["n_docs"] > 0 and r["sum_chars"] > 0 for r in out.values())

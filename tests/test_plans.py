@@ -25,7 +25,10 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def registry():
-    return q.all_queries()
+    # union: plan contracts apply to retired (parity-swept, benchable)
+    # rows exactly as to gated ones — q19's disjunctive-pushdown pin
+    # outlives its r14 retirement from the driver gate
+    return {**q.all_queries(), **q.retired_queries()}
 
 
 def test_q1_pushdown_and_pruning(spark, registry):
