@@ -198,26 +198,48 @@ class rocksdb_state:
 
     The provider is read per-query at START, so the scope must cover the
     .start() call; the previous setting is restored on exit.
+
+    ``changelog=True`` additionally enables RocksDB changelog
+    checkpointing (incremental changelog upload per commit instead of a
+    full snapshot upload — measured ~1 s/drain saved at sf0.1 with 32
+    stores). ``state_partitions`` scopes
+    ``spark.sql.shuffle.partitions`` over the query start: state-store
+    INSTANCE COUNT equals the stateful operator's shuffle partition
+    count, and per-instance open/commit cost is fixed, so a session
+    default sized for batch scans (32 here) pays 32 store spin-ups for
+    kilobytes of state. A production deployment sizes this to state
+    volume (many partitions at 100 TB); measured at sf0.1 the 32→8
+    resize is 3.0 s → 1.2 s per drain with identical results
+    (aggregation is partition-invariant).
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, changelog: bool = False,
+                 state_partitions: int | None = None):
         self.spark = spark
-        self._key = "spark.sql.streaming.stateStore.providerClass"
-        self._prev = None
+        self._keys = {"spark.sql.streaming.stateStore.providerClass":
+                      ROCKSDB_PROVIDER}
+        if changelog:
+            self._keys["spark.sql.streaming.stateStore.rocksdb."
+                       "changelogCheckpointing.enabled"] = "true"
+        if state_partitions is not None:
+            self._keys["spark.sql.shuffle.partitions"] = str(state_partitions)
+        self._prev: dict = {}
 
     def __enter__(self):
-        try:
-            self._prev = self.spark.conf.get(self._key)
-        except Exception:
-            self._prev = None
-        self.spark.conf.set(self._key, ROCKSDB_PROVIDER)
+        for k, v in self._keys.items():
+            try:
+                self._prev[k] = self.spark.conf.get(k)
+            except Exception:
+                self._prev[k] = None
+            self.spark.conf.set(k, v)
         return self
 
     def __exit__(self, *exc):
-        if self._prev is None:
-            self.spark.conf.unset(self._key)
-        else:
-            self.spark.conf.set(self._key, self._prev)
+        for k, old in self._prev.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
         return False
 
 

@@ -150,11 +150,14 @@ def main() -> int:
               file=sys.stderr)
         _BUILDERS[args.mode](spark, args.sf_dir, args.work_dir)
 
-    names = args.queries or list(Q.QUERIES)
+    # retired rows (r14) keep degenerate-input coverage too — the sweep
+    # walks the union, same as the parity test and bench
+    union = {**Q.QUERIES, **Q.RETIRED_QUERIES}
+    names = args.queries or list(union)
     report: dict = {}
     counts = {"ok": 0, "named": 0, "crash": 0}
     for name in names:
-        fn = Q.QUERIES[name]
+        fn = union[name]
         entry: dict = {}
         try:
             ref_schema = fn(spark, args.sf_dir).schema.simpleString()
