@@ -128,6 +128,21 @@ def test_gate_window_invariant():
         (len(names), len(tier_a))
 
 
+def test_retired_registry_integrity():
+    """The r14 retirement contract: retired rows are disjoint from the
+    gated registry, every retired query kept its oracle (full parity
+    evidence), no oracle is orphaned on either side, and the arithmetic
+    headroom the retirement bought (>= 10 rows of slack at the budgeted
+    tier-A max of 14) actually holds at the live sizes."""
+    from fermor_spark.queries import (ORACLES, QUERIES, RETIRED_ORACLES,
+                                      RETIRED_QUERIES)
+
+    assert not set(RETIRED_QUERIES) & set(QUERIES)
+    assert set(RETIRED_ORACLES) == set(RETIRED_QUERIES)
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) <= 4 * 50 - 3 * 14 - 10, len(QUERIES)
+
+
 def test_suite_state_counts_parse():
     """suite_state parses pytest summary tails, treating errors as
     failures, and refuses unparseable output."""
