@@ -44,18 +44,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     """File-source stream over the events parquet (ts normalized to a
     session-tz timestamp, same dtype-adaptive rule as datasets.table)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file streaming source requires a directory; expose the single
-    # events.parquet through a stable symlinked dir
+    # the file streaming source requires a directory. The testdata ships
+    # events.parquet as a SINGLE FILE, which is exposed through a stable
+    # symlinked dir; a Spark-written events table is a DIRECTORY of part
+    # files, and symlinking the directory into another dir would make the
+    # source list zero files (the file listing does not descend into
+    # subdirectories) — a silent zero-row drain, found by the r14
+    # state-partitions scale experiment. A directory streams directly.
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = os.path.join(tempfile.gettempdir(), f"fermor_events_{key}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(target):
+        stream_dir = target
+    else:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        stream_dir = os.path.join(tempfile.gettempdir(), f"fermor_events_{key}")
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(target, link)
     # batch-read the footer once to learn which layout this file carries
     from pyspark.sql.types import LongType
     probe_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
@@ -333,18 +342,22 @@ DOCUMENTS_SCHEMA = (
 
 def read_documents_stream(spark: SparkSession, sf_dir: str,
                           max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream over the documents parquet (same symlink-dir
-    pattern as read_events_stream)."""
+    """File-source stream over the documents parquet (same
+    single-file-symlink / direct-directory rule as read_events_stream)."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = os.path.join(tempfile.gettempdir(), f"fermor_docs_{key}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    target = os.path.abspath(f"{sf_dir}/documents.parquet")
+    if os.path.isdir(target):
+        stream_dir = target
+    else:
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        stream_dir = os.path.join(tempfile.gettempdir(), f"fermor_docs_{key}")
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(target, link)
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -377,6 +377,29 @@ def test_rocksdb_provider_parity(spark, batch_events):
         assert results[("default", case)], f"{case} drained zero rows (vacuous)"
 
 
+def test_read_events_stream_directory_table(spark):
+    """A Spark-WRITTEN events table is a directory of part files; the
+    single-file symlink-dir exposure listed zero files through the
+    symlinked subdirectory (file listing does not descend), silently
+    draining an empty stream — found by the r14 state-scale experiment.
+    Directory-shaped tables must stream directly and yield every row."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dir_events_")
+    try:
+        src = spark.read.parquet(f"{SF}/events.parquet")
+        n = src.count()
+        src.repartition(4).write.mode("overwrite").parquet(
+            f"{d}/events.parquet")
+        s = streaming.read_events_stream(spark, d)
+        assert s.isStreaming
+        streaming.run_to_memory(s.select("event_id"), "t_dir_events")
+        assert spark.table("t_dir_events").count() == n
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_run_to_memory_provider_telemetry(spark):
     """expect_state_provider='rocksdb' passes when the scope covers query
     start and RAISES when the query ran on the default heap store — the
