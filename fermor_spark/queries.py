@@ -5909,7 +5909,14 @@ def events_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink's _spark_metadata commit log. Matching the closed-window oracle
     proves the production landing path end-to-end: state store +
     watermark + no-data flush, exactly-once file commits, directory-key
-    partition recovery, and the JSON timestamp round trip."""
+    partition recovery, and the JSON timestamp round trip.
+
+    Stays on the DEFAULT heap provider (provider diversity across the
+    streaming gates — events_streaming_tumbling carries the rocksdb
+    evidence) but sizes state partitions to state volume (r14): the
+    drain's phase profile put ~85% of warm wall in two microbatches'
+    addBatch at 32 one-state-store-per-partition cycles for kilobytes
+    of window state."""
     import hashlib
     import shutil
     import tempfile
@@ -5919,8 +5926,9 @@ def events_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="fermor_stream_sink_gate_")
     try:
-        S.run_to_files(S.tumbling_counts(ev), f"{tmp}/out", f"{tmp}/cp",
-                       fmt="json", partition_by=["event_type"])
+        with S.state_partitions(spark, 8):
+            S.run_to_files(S.tumbling_counts(ev), f"{tmp}/out", f"{tmp}/cp",
+                           fmt="json", partition_by=["event_type"])
         back = spark.read.schema(
             "window_start timestamp, n_events long, total_value double, "
             "event_type string").json(f"{tmp}/out")
@@ -6198,6 +6206,11 @@ _CHANGED_THIS_ROUND = [
     # band self-join's two sides otherwise re-evaluate the shingle
     # explode and a mid-sequence eviction multiplies through it):
     "dedup_minhash_lsh",
+    # r14: state partitions sized to state volume for the file-sink
+    # drain (phase profile: ~85% of warm wall = 2 microbatches' addBatch
+    # at 32 store cycles for kilobytes of state); heap provider kept for
+    # provider diversity across the streaming gates:
+    "events_streaming_file_sink",
 ]
 
 

@@ -185,6 +185,51 @@ ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
                     "RocksDBStateStoreProvider")
 
 
+class scoped_confs:
+    """Set session confs for a scope and restore the previous values on
+    exit (unset if previously absent). Streaming uses this for settings
+    the query reads at START — provider class, changelog mode, and
+    state-partition count — so the scope must cover the .start() call.
+
+    ``state_partitions(spark, n)`` below is the common case: stateful
+    operators create one state-store instance per shuffle partition, and
+    per-instance open/commit is a fixed cost, so partition count should
+    track state VOLUME (r14 measurement: a kilobyte-state drain at 32
+    partitions pays 32 store cycles per microbatch; resizing to 8 cut
+    the tumbling drain 3.0 s → 1.2 s, and the crossover where more
+    stores win arrives between 1x and 8x state in
+    tools/exp_state_partitions_scale.py)."""
+
+    def __init__(self, spark: SparkSession, confs: dict):
+        self.spark = spark
+        self._confs = dict(confs)
+        self._prev: dict = {}
+
+    def __enter__(self):
+        for k, v in self._confs.items():
+            try:
+                self._prev[k] = self.spark.conf.get(k)
+            except Exception:
+                self._prev[k] = None
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._prev.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+        return False
+
+
+def state_partitions(spark: SparkSession, n: int) -> scoped_confs:
+    """Scope the stateful operator's state-store instance count (=
+    shuffle partitions) to ``n`` over a query start; results are
+    partition-invariant, cost is not (see scoped_confs docstring)."""
+    return scoped_confs(spark, {"spark.sql.shuffle.partitions": str(n)})
+
+
 class rocksdb_state:
     """Scoped switch to the RocksDB state store provider — the 100 TB
     state backend.
@@ -224,32 +269,21 @@ class rocksdb_state:
 
     def __init__(self, spark: SparkSession, changelog: bool = False,
                  state_partitions: int | None = None):
-        self.spark = spark
-        self._keys = {"spark.sql.streaming.stateStore.providerClass":
-                      ROCKSDB_PROVIDER}
+        keys = {"spark.sql.streaming.stateStore.providerClass":
+                ROCKSDB_PROVIDER}
         if changelog:
-            self._keys["spark.sql.streaming.stateStore.rocksdb."
-                       "changelogCheckpointing.enabled"] = "true"
+            keys["spark.sql.streaming.stateStore.rocksdb."
+                 "changelogCheckpointing.enabled"] = "true"
         if state_partitions is not None:
-            self._keys["spark.sql.shuffle.partitions"] = str(state_partitions)
-        self._prev: dict = {}
+            keys["spark.sql.shuffle.partitions"] = str(state_partitions)
+        self._scope = scoped_confs(spark, keys)
 
     def __enter__(self):
-        for k, v in self._keys.items():
-            try:
-                self._prev[k] = self.spark.conf.get(k)
-            except Exception:
-                self._prev[k] = None
-            self.spark.conf.set(k, v)
+        self._scope.__enter__()
         return self
 
     def __exit__(self, *exc):
-        for k, old in self._prev.items():
-            if old is None:
-                self.spark.conf.unset(k)
-            else:
-                self.spark.conf.set(k, old)
-        return False
+        return self._scope.__exit__(*exc)
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
