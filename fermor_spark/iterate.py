@@ -798,9 +798,13 @@ def shortest_path_weighted(
         # null sources are dropped on BOTH legs (see the distributed init
         # below): here a None start would KeyError at d[ix[s]] since ids
         # excludes None; distributed, a null join key matches nothing.
-        starts = [r["id"] for r in src_df.select("id").distinct()
-                  .limit(local_edge_threshold + 1).collect()
-                  if r["id"] is not None]
+        # The null drop must precede the limit probe — a null row occupying
+        # one of the threshold+1 slots would let the local leg accept a
+        # source set whose real (non-null) cardinality exceeds the limit,
+        # silently truncating sources instead of falling through.
+        starts = [r["id"] for r in src_df.select("id")
+                  .where(F.col("id").isNotNull()).distinct()
+                  .limit(local_edge_threshold + 1).collect()]
         if len(starts) <= local_edge_threshold:
             import numpy as np
             import pandas as pd

@@ -5757,8 +5757,9 @@ def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate SFs — store INSTANCE count = shuffle partitions and
     per-instance open/commit is a fixed cost; a 100 TB deployment sets
     this high) and changelog checkpointing replaces full snapshot
-    uploads — measured 3.0 s → 1.0 s per drain at sf0.1, results
-    identical (aggregation is partition-invariant)."""
+    uploads — measured 3.0 s → 1.0-1.2 s per drain at sf0.1 (r14 A/B
+    band, PLANS.md), results identical (aggregation is
+    partition-invariant)."""
     import hashlib
 
     from fermor_spark import streaming as S
@@ -5807,7 +5808,15 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions as late rows arrive). Append emits exactly the sessions whose
     end (last event + gap) the final watermark (max ts − 1 h) has passed —
     the oracle restates that horizon over the batch session derivation
-    that the gated events_sessions_30m row already proved equivalent."""
+    that the gated events_sessions_30m row already proved equivalent.
+
+    r15: state partitions scoped to 8 over the drain (the last stateful
+    gate still on the session default) — store INSTANCE count = shuffle
+    partitions, per-instance open/commit is fixed cost, and per-user
+    session state at gate SFs sits below the 8↔32 crossover measured by
+    tools/exp_state_partitions_scale.py (x1: 8 stores 2.13 s vs 32
+    stores 2.66 s). Results are partition-invariant; a 100 TB deployment
+    sizes this to state volume instead."""
     import hashlib
 
     from fermor_spark import streaming as S
@@ -5815,7 +5824,8 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.read_events_stream(spark, sf_dir)
     name = "gate_stream_sessions_" + hashlib.md5(
         sf_dir.encode()).hexdigest()[:8]
-    S.run_to_memory(S.session_aggregate(ev), name, output_mode="append")
+    with S.state_partitions(spark, 8):
+        S.run_to_memory(S.session_aggregate(ev), name, output_mode="append")
     return spark.table(name)
 
 

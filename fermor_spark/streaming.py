@@ -196,7 +196,7 @@ class scoped_confs:
     per-instance open/commit is a fixed cost, so partition count should
     track state VOLUME (r14 measurement: a kilobyte-state drain at 32
     partitions pays 32 store cycles per microbatch; resizing to 8 cut
-    the tumbling drain 3.0 s → 1.2 s, and the crossover where more
+    the tumbling drain 3.0 s → 1.0-1.2 s, and the crossover where more
     stores win arrives between 1x and 8x state in
     tools/exp_state_partitions_scale.py)."""
 
@@ -206,12 +206,19 @@ class scoped_confs:
         self._prev: dict = {}
 
     def __enter__(self):
-        for k, v in self._confs.items():
-            try:
-                self._prev[k] = self.spark.conf.get(k)
-            except Exception:
-                self._prev[k] = None
-            self.spark.conf.set(k, v)
+        # if a set() raises partway (e.g. a non-modifiable conf), __exit__
+        # never runs — restore the keys already applied before re-raising,
+        # otherwise they leak into the session permanently
+        try:
+            for k, v in self._confs.items():
+                try:
+                    self._prev[k] = self.spark.conf.get(k)
+                except Exception:
+                    self._prev[k] = None
+                self.spark.conf.set(k, v)
+        except BaseException:
+            self.__exit__()
+            raise
         return self
 
     def __exit__(self, *exc):
@@ -263,7 +270,7 @@ class rocksdb_state:
     default sized for batch scans (32 here) pays 32 store spin-ups for
     kilobytes of state. A production deployment sizes this to state
     volume (many partitions at 100 TB); measured at sf0.1 the 32→8
-    resize is 3.0 s → 1.2 s per drain with identical results
+    resize is 3.0 s → 1.0-1.2 s per drain with identical results
     (aggregation is partition-invariant).
     """
 
@@ -317,28 +324,45 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append",
             f"streaming drain '{name}' still running after {timeout_sec}s — "
             f"memory table would be partial")
     if expect_state_provider == "rocksdb":
-        progresses = [p for p in (q.recentProgress or []) if p]
-        if sum(p.get("numInputRows", 0) for p in progresses) == 0:
-            # vacuously satisfied: zero rows drained (empty partition /
-            # empty table) means the state store was never exercised —
-            # the production contract says an empty input must not crash
-            return name
-        ops = (q.lastProgress or {}).get("stateOperators", [])
-        if not ops:
-            raise RuntimeError(
-                f"drain '{name}' expected rocksdb state but the query ran "
-                "no stateful operators")
-        for op in ops:
-            if not any(k.startswith("rocksdb")
-                       for k in op.get("customMetrics", {})):
-                raise RuntimeError(
-                    f"drain '{name}' expected the RocksDB state store but "
-                    f"operator {op.get('operatorName')!r} reports no rocksdb "
-                    "metrics — provider scope did not cover query start")
+        _assert_rocksdb_provider(q, name)
     elif expect_state_provider is not None:
         raise ValueError(
             f"unknown expect_state_provider {expect_state_provider!r}")
     return name
+
+
+def _assert_rocksdb_provider(q, name: str) -> None:
+    """Per-call provider telemetry for a FINISHED drain: raise unless the
+    query's stateful operators report RocksDB customMetrics (the provider
+    conf is read at query START, so a scope bug silently falls back to the
+    heap store). Split out of run_to_memory so the guard is unit-testable
+    against stub progress objects."""
+    ops = (q.lastProgress or {}).get("stateOperators", [])
+    progresses = [p for p in (q.recentProgress or []) if p]
+    # vacuity must not rely on recentProgress alone: it retains only the
+    # last numRecentProgressUpdates (default 100) entries, so a
+    # many-microbatch drain whose input all landed in evicted early
+    # batches would sum to 0 and silently skip the provider assertion.
+    # lastProgress's stateOperators numRowsTotal survives eviction — any
+    # retained state proves the store was exercised.
+    state_rows = sum(op.get("numRowsTotal", 0) or 0 for op in ops)
+    input_rows = sum(p.get("numInputRows", 0) for p in progresses)
+    if state_rows == 0 and input_rows == 0:
+        # vacuously satisfied: zero rows drained (empty partition / empty
+        # table) means the state store was never exercised — the
+        # production contract says an empty input must not crash
+        return
+    if not ops:
+        raise RuntimeError(
+            f"drain '{name}' expected rocksdb state but the query ran "
+            "no stateful operators")
+    for op in ops:
+        if not any(k.startswith("rocksdb")
+                   for k in op.get("customMetrics", {})):
+            raise RuntimeError(
+                f"drain '{name}' expected the RocksDB state store but "
+                f"operator {op.get('operatorName')!r} reports no rocksdb "
+                "metrics — provider scope did not cover query start")
 
 
 def run_to_files(stream_df: DataFrame, path: str, checkpoint: str,

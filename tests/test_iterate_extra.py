@@ -237,6 +237,28 @@ def test_shortest_path_null_source_dropped(spark, thresh):
     assert d == {"a": 0.0, "b": 1.0, "c": 3.0}
 
 
+def test_shortest_path_null_source_does_not_eat_limit_slot(spark):
+    """The local-leg source probe collects limit(threshold+1) DISTINCT ids
+    to decide whether the source set fits. A null row occupying one of
+    those slots would let len(starts) pass the threshold check while real
+    sources beyond the limit were silently truncated — the null drop must
+    precede the limit. With threshold=3 and 4 non-null sources (+1 null),
+    the probe must overflow to the distributed leg and every source must
+    come back at dist 0 (ADVICE r14, iterate.py local-leg probe)."""
+    from fermor_spark import PropertyGraph
+
+    edges = [(f"s{i}", "hub", 1.0) for i in range(4)]
+    g = (PropertyGraph.build(spark, edge_builders={"w": "weighted"})
+         .add_edges("w", edges)
+         .forked())
+    srcs = spark.createDataFrame(
+        [(None,)] + [(f"s{i}",) for i in range(4)], "id string")
+    d = {r["id"]: r["dist"] for r in
+         iterate.shortest_path_weighted(g, srcs, labels="w",
+                                        local_edge_threshold=3).collect()}
+    assert d == {f"s{i}": 0.0 for i in range(4)} | {"hub": 1.0}
+
+
 def test_label_propagation_path_iterations(spark):
     # path a-b-c; sync min-tie-break LPA has exact per-iteration values
     g = edges_graph(spark, "to", [("a", "b"), ("b", "c")])

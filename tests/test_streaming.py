@@ -442,3 +442,67 @@ def test_run_to_memory_provider_telemetry(spark):
         assert spark.table("t_tel_empty").count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scoped_confs_restores_applied_keys_on_partial_failure():
+    """If conf.set raises partway through the apply loop, __exit__ never
+    runs — scoped_confs must restore the already-applied keys itself
+    before re-raising, or they leak into the session permanently
+    (ADVICE r14). Pure-python via a stub conf."""
+    import pytest
+
+    class StubConf:
+        def __init__(self):
+            self.vals = {"a": "1"}
+
+        def get(self, k):
+            if k in self.vals:
+                return self.vals[k]
+            raise Exception("no such conf")
+
+        def set(self, k, v):
+            if k == "boom":
+                raise RuntimeError("non-modifiable conf")
+            self.vals[k] = v
+
+        def unset(self, k):
+            self.vals.pop(k, None)
+
+    class StubSpark:
+        conf = StubConf()
+
+    stub = StubSpark()
+    with pytest.raises(RuntimeError, match="non-modifiable"):
+        # dicts preserve insertion order: 'a' and 'b' apply, 'boom' raises
+        with streaming.scoped_confs(stub, {"a": "2", "b": "9", "boom": "x"}):
+            raise AssertionError("body must not run")
+    assert stub.conf.vals == {"a": "1"}  # 'a' restored, 'b' unset
+
+
+def test_rocksdb_guard_vacuity_defeated_by_retained_state():
+    """The vacuity guard must treat retained state (lastProgress
+    stateOperators numRowsTotal) as proof the store was exercised even
+    when recentProgress has evicted every row-carrying batch (bounded at
+    numRecentProgressUpdates, default 100) — a long drain on the heap
+    store must still RAISE, not silently skip the provider assertion
+    (ADVICE r14). Stub query: heap-store state retained, all
+    recentProgress entries row-free (the evicted-batches shape)."""
+    import pytest
+
+    class StubQuery:
+        lastProgress = {"stateOperators": [
+            {"operatorName": "stateStoreSave", "numRowsTotal": 42,
+             "customMetrics": {}}]}
+        recentProgress = [{"numInputRows": 0}] * 3
+
+    with pytest.raises(RuntimeError, match="RocksDB state store"):
+        streaming._assert_rocksdb_provider(StubQuery(), "t_evicted")
+
+    # truly-empty drain (no retained state, no input) stays vacuous
+    class EmptyQuery:
+        lastProgress = {"stateOperators": [
+            {"operatorName": "stateStoreSave", "numRowsTotal": 0,
+             "customMetrics": {}}]}
+        recentProgress = [{"numInputRows": 0}]
+
+    streaming._assert_rocksdb_provider(EmptyQuery(), "t_empty")
