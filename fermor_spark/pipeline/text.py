@@ -153,22 +153,29 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     × alphabetic density — the standard cheap pre-filter shape for web-scale
     corpus cleaning.
 
-    Explode-then-aggregate formulation: doc-level expressions evaluate once
-    per document (Generate replicates them), token statistics come from one
+    Explode-then-aggregate formulation: token statistics come from one
     groupBy — array-lambda forms re-inline the tokenization per use after
-    projection collapse (quadratic per document).
+    projection collapse (quadratic per document). Doc-level expressions
+    are materialized in their OWN select below the explode: the analyzer
+    places a select's non-generator expressions in a Project ABOVE the
+    Generate, where they re-evaluate once per exploded token (measured 5x
+    on gopher_quality's rule set at sf0.1, r15) — a separate select pins
+    them under the Generate so they evaluate once per document and flow
+    through as plain attributes.
     """
     from fermor_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
-    exploded = df.select(
+    stats = df.select(
         F.col(id_col).alias("id"),
         (
             F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) * 1.0
             / F.greatest(F.length(F.col(text_col)), F.lit(1))
         ).alias("_alpha"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
+        F.col(text_col).alias("_t"),
     )
+    exploded = stats.select(
+        "id", "_alpha", F.explode(tokens(F.col("_t"))).alias("tok"))
     agg = exploded.groupBy("id", "_alpha").agg(
         F.count("*").alias("n"),
         F.sum(F.length("tok")).alias("tot_len"),
@@ -247,7 +254,11 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sum_len >= 3*n) so `passes` has no float boundary; displayed ratios
     round half-up in integer space (floor(x*1e4 + 0.5)/1e4 — engine-
     agnostic, unlike round()). Explode-then-aggregate like quality_score:
-    doc-level line/symbol stats evaluate once, token stats in one groupBy.
+    doc-level line/symbol stats materialize in their OWN select BELOW the
+    explode \u2014 in a single select the analyzer projects them ABOVE the
+    Generate, where the split/filter-lambda/regexp tree re-evaluates once
+    per exploded token instead of once per document (measured 5x at
+    sf0.1, the r15 driver-drift mechanism); token stats in one groupBy.
     """
     from fermor_spark.session import ensure_parallelism
 
@@ -264,13 +275,18 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.floor((F.length(t)
                    - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3)
     )
-    exploded = df.select(
+    stats = df.select(
         F.col(id_col).alias("id"),
         F.size(lines).alias("_nl"),
         bullet.alias("_bl"),
         ellipsis.alias("_el"),
         symbols.cast("long").alias("_sym"),
-        F.explode(F.filter(tokens(t), lambda x: F.length(x) > 0)).alias("tok"),
+        t.alias("_t"),
+    )
+    exploded = stats.select(
+        "id", "_nl", "_bl", "_el", "_sym",
+        F.explode(F.filter(tokens(F.col("_t")),
+                           lambda x: F.length(x) > 0)).alias("tok"),
     )
     agg = exploded.groupBy("id", "_nl", "_bl", "_el", "_sym").agg(
         F.count("*").alias("n"),
@@ -343,9 +359,12 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     df = ensure_parallelism(df)
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
 
-    lines = base.select(
-        "id", F.length("_t").alias("_tc"),
-        F.explode(F.split("_t", "\n")).alias("line"))
+    # _tc materializes in its own select below the explode (same Generate
+    # projection rule as gopher_quality: a sibling expression in the
+    # explode's select re-evaluates per exploded line — length() is an
+    # O(chars) scan, so the fused form costs O(chars x lines) per doc)
+    lines = base.select("id", F.length("_t").alias("_tc"), "_t").select(
+        "id", "_tc", F.explode(F.split("_t", "\n")).alias("line"))
     lc = lines.groupBy("id", "_tc", "line").agg(F.count("*").alias("c"))
     lagg = lc.groupBy("id", "_tc").agg(
         F.sum("c").alias("n_lines"),

@@ -320,3 +320,37 @@ def test_gopher_repetition_single_window_pass(spark):
     # three per-n legs would show three Generates over tokens; the fused
     # plan has lines + tokens + the (n, ngram) array explode
     assert n_generate <= 3, (n_generate, p)
+
+
+def test_doc_stats_project_below_generate(spark):
+    """Plan contract for the r15 per-exploded-row recompute fix: in
+    gopher_quality / quality_score / gopher_repetition, the doc-level
+    statistic expressions (split + filter lambdas + regexp over the full
+    text) must sit in a Project BELOW the token/line Generate, evaluating
+    once per document. A single select(stats..., explode(...)) puts them
+    ABOVE the Generate where they re-evaluate once per exploded row —
+    measured 5x on gopher_quality at sf0.1 and the mechanism behind its
+    three-record driver drift (r12-r14)."""
+    from fermor_spark.pipeline.text import (gopher_quality,
+                                            gopher_repetition,
+                                            quality_score)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # markers are the EXPENSIVE doc-level expressions (not the alias names:
+    # float grouping keys reprint as `knownfloatingpointnormalized(...) AS
+    # _alpha` inside the partial aggregate, a false positive above the
+    # Generate). Plans print root-first, so below-the-Generate = a LARGER
+    # string index than the Generate that consumes the stats.
+    for fn, gen_marker, stat_marker in (
+            (gopher_quality, "Generate", "regexp_replace"),
+            (quality_score, "Generate", "regexp_replace"),
+            (gopher_repetition, "Generate explode(split(_t",
+             "AS _tc")):
+        plan = fn(d, "doc_id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        gen_i = plan.find(gen_marker)
+        stat_i = plan.find(stat_marker)
+        assert gen_i != -1 and stat_i != -1, (fn.__name__, plan[:500])
+        assert stat_i > gen_i, (
+            f"{fn.__name__}: doc-stat expression '{stat_marker}' appears "
+            f"ABOVE the Generate — re-evaluates per exploded row")
