@@ -163,6 +163,12 @@ BENCH_QUERIES = [
     # union-of-bands recompute cost was invisible — now measured, after the
     # rebuild as one array-explode projection
     "dedup_simhash_candidates",
+    # r15 additions (VERDICT r14 #5): the directory-table streaming round
+    # trip (write 4-part dir -> stream -> drain; the r14 silent-empty bug
+    # class now carries perf evidence too) and the rocksdb sessions drain
+    # (merging-window state on the disk-backed provider)
+    "events_streaming_dir_table",
+    "events_streaming_sessions_rocksdb",
 ]
 
 
@@ -324,10 +330,22 @@ def main() -> None:
     # a phantom regression (the r10 record's 1.18x cluster). Carrying the
     # floor in every record lets round-over-round comparisons normalize:
     # a line moving with sched_floor is environment, not plan.
-    t0 = time.perf_counter()
-    for _ in range(24):
-        spark.range(1024).repartition(32).count()
-    sched_floor = round(time.perf_counter() - t0, 3)
+    #
+    # r15 (VERDICT r14 #2): the probe runs at START, MID and END — the r14
+    # close proved a start-only probe gets invalidated by mid-run steal
+    # (record 3: start floor 7.75, solo re-measures of its own lines
+    # immediately read 2-3x). The full series rides in both records;
+    # round_close_check reads regressions against the series median and
+    # flags a record whose own probes spread >1.5x as a contended epoch,
+    # making environment adjudications mechanical instead of narrative.
+    def _floor_probe() -> float:
+        t0 = time.perf_counter()
+        for _ in range(24):
+            spark.range(1024).repartition(32).count()
+        return round(time.perf_counter() - t0, 3)
+
+    sched_floors = [_floor_probe()]
+    sched_floor = sched_floors[0]
 
     t0 = time.perf_counter()
     g = star_graph(spark, SF_DIR)
@@ -358,7 +376,10 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.3)
 
-    for name in BENCH_QUERIES:
+    mid_at = len(BENCH_QUERIES) // 2
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi == mid_at:
+            sched_floors.append(_floor_probe())  # mid-run probe (untimed)
         # one UNTIMED warm-up run, then best of three timed runs. Best-of-N
         # is defined to measure the steady-state plan, but r6 proved N=3
         # alone doesn't reach it under the shared VM: the warm-up run pays
@@ -411,6 +432,7 @@ def main() -> None:
 
     _bench_bucketed_traversal(spark, timings)
     _bench_bucketed_funnel(spark, timings)
+    sched_floors.append(_floor_probe())  # end-of-run probe
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -429,6 +451,7 @@ def main() -> None:
         "metric": "headline_queries_total", "value": total, "unit": "sec",
         "sf": sf_val, "rounds": rounds, "queries": timings,
         "runs": all_runs, "key_map": keymap, "sched_floor": sched_floor,
+        "sched_floors": sched_floors,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -445,6 +468,7 @@ def main() -> None:
         "metric": "headline_queries_total", "value": total, "unit": "sec",
         "queries": {keymap[k]: round(v, 2) for k, v in timings.items()},
         "sf": sf_val, "rounds": rounds, "sched_floor": sched_floor,
+        "sched_floors": sched_floors,
     }, separators=(",", ":"))
     if len(line) > 1950:
         # keep the queries map's value type name->float (empty beats a
@@ -454,6 +478,7 @@ def main() -> None:
             "metric": "headline_queries_total", "value": total,
             "unit": "sec", "queries": {}, "detail": "BENCH_DETAIL.json",
             "sf": sf_val, "rounds": rounds, "sched_floor": sched_floor,
+            "sched_floors": sched_floors,
         }, separators=(",", ":"))
     print(line)
 

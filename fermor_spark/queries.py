@@ -5830,6 +5830,112 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_streaming_dir_table",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_streaming_dir_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver evidence for the r14 silent-empty bug class: a Spark-WRITTEN
+    table is a DIRECTORY of part files, and the pre-r14 symlink-dir source
+    exposure listed ZERO files through it — the stream drained an empty
+    memory table, vacuously green. Every pre-r14 streaming gate read the
+    single-file testdata shape, so no driver row ever exercised the
+    directory listing this production contract depends on (a 100 TB events
+    table is always a multi-part directory).
+
+    The gate writes the events table as a REAL 4-part Spark directory
+    (mode=overwrite each call — the write is part of the measured
+    round-trip, same cost class as pipeline_sink_roundtrip), streams it
+    back through read_events_stream's direct-directory branch with a
+    stateless append drain, and aggregates the LANDED rows per event_type.
+    Full-value equality against the oracle over the ORIGINAL parquet is
+    exactly the anti-silent-truncation check: any unlisted part file
+    changes n_events/sum_ids and the hash mismatches."""
+    import hashlib
+    import os
+    import tempfile
+
+    from fermor_spark import streaming as S
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dir_root = os.path.join(tempfile.gettempdir(), f"fermor_dir_table_{key}")
+    # raw-layout read (nanosAsLong matches read_events_stream's probe rule)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.repartition(4).write.mode("overwrite").parquet(
+        f"{dir_root}/events.parquet")
+    ev = S.read_events_stream(spark, dir_root)
+    name = "gate_stream_dir_" + key
+    S.run_to_memory(ev.select("event_id", "event_type", "value"), name,
+                    output_mode="append")
+    return spark.table(name).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_ids"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "events_streaming_sessions_rocksdb",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), agg AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+             count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM sess GROUP BY user_id, sid
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT user_id, session_start, n_events, total_value
+    FROM agg, mx
+    WHERE session_last + INTERVAL 30 MINUTE <= m - INTERVAL 1 HOUR
+    """,
+)
+def events_streaming_sessions_rocksdb(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Session windows drained on the ROCKSDB state store with per-call
+    provider telemetry — the store-count-scaled sessions gate pairing
+    with the r15 heap-sessions resize (VERDICT r14 #4/#5). MERGING
+    windows are the one stateful shape whose RocksDB execution no driver
+    row evidenced: tumbling carries the rocksdb gate on FIXED windows,
+    but session-window state must coalesce adjacent sessions as late
+    rows arrive — a different store access pattern (range reads +
+    deletes on merge, not point upserts). run_to_memory asserts the
+    finished query's stateOperators report rocksdb customMetrics, so a
+    scope bug falls loudly instead of silently draining on heap. State
+    partitions are sized to state volume (8 at gate SFs, per the
+    exp_state_partitions_scale crossover; a 100 TB deployment raises
+    this) and changelog checkpointing replaces full snapshot uploads.
+    Semantics are provider-independent (test_rocksdb_provider_parity
+    pins the family), so the oracle is the sessions gate's horizon
+    restatement unchanged."""
+    import hashlib
+
+    from fermor_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_dir)
+    name = "gate_stream_sess_rdb_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    with S.rocksdb_state(spark, changelog=True, state_partitions=8):
+        S.run_to_memory(S.session_aggregate(ev), name, output_mode="append",
+                        expect_state_provider="rocksdb")
+    return spark.table(name)
+
+
+@query(
     "events_retention_cohorts",
     """
     WITH c AS (
@@ -6199,28 +6305,30 @@ def dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows whose EXECUTED implementation changed this round (error-path-only
 # changes stay off per the r10 convention). Rotates each round.
 _CHANGED_THIS_ROUND = [
-    # r14: pagerank's universe drops null vertex ids BEFORE n is counted
-    # (ADVICE r13 — phantom-vertex 1/n skew + local-finish length
-    # mismatch); executed on every pagerank call:
-    "g_pagerank_supply",
-    # r14: shortest_path_weighted drops null source ids on both legs
-    # (ADVICE r13 — KeyError at d[ix[None]] on the local finish):
+    # r15: the local-leg source probe drops null ids BEFORE the
+    # distinct/limit threshold check (ADVICE r14 — a null occupying a
+    # probe slot silently truncated real sources past the threshold);
+    # the distributed gate forces threshold=0 so only the weighted row's
+    # executed path changed:
     "g_shortest_path_weighted",
-    "g_shortest_path_distributed",
-    # r14: the tumbling drain runs under the RocksDB state store with
-    # per-call provider telemetry (VERDICT r13 #6 — driver evidence for
-    # the 100 TB state backend; oracle unchanged by construction):
+    # r15: run_to_memory's provider guard treats retained state
+    # (numRowsTotal) as non-vacuous even when recentProgress evicted the
+    # row-carrying batches (ADVICE r14); executed on the telemetry path:
     "events_streaming_tumbling",
-    # r14: signature table eager-cached inside the gate (VERDICT r13 #4
-    # — the incremental variant's c420cbe treatment, pre-applied; the
-    # band self-join's two sides otherwise re-evaluate the shingle
-    # explode and a mid-sequence eviction multiplies through it):
-    "dedup_minhash_lsh",
-    # r14: state partitions sized to state volume for the file-sink
-    # drain (phase profile: ~85% of warm wall = 2 microbatches' addBatch
-    # at 32 store cycles for kilobytes of state); heap provider kept for
-    # provider diversity across the streaming gates:
+    # r15: sessions drain scopes state partitions to state volume (the
+    # last stateful gate on the session default; VERDICT r14 #4) —
+    # scoped_confs' partial-apply restore also executes here:
+    "events_streaming_sessions",
+    # r15: scoped_confs.__enter__ hardened (restore-on-partial-failure);
+    # the file-sink drain executes the changed scope:
     "events_streaming_file_sink",
+    # r15: doc-level stats materialize BELOW the token/line explode —
+    # the per-exploded-row recompute fix (VERDICT r14 #3, measured 5x
+    # per core; plan contract test_doc_stats_project_below_generate):
+    "text_gopher_quality",
+    "text_gopher_repetition",
+    # r15: curate's funnel executes gopher_repetition's fixed plan:
+    "pipeline_curate_e2e",
 ]
 
 

@@ -140,7 +140,10 @@ def test_retired_registry_integrity():
     assert not set(RETIRED_QUERIES) & set(QUERIES)
     assert set(RETIRED_ORACLES) == set(RETIRED_QUERIES)
     assert set(ORACLES) <= set(QUERIES)
-    assert len(QUERIES) <= 4 * 50 - 3 * 14 - 10, len(QUERIES)
+    # r15 spent 2 of the 10 slack rows on the directory-table streaming
+    # gate and the rocksdb sessions gate (VERDICT r14 #5 sanctioned the
+    # spend); 8 rows of slack remain under the 158 ceiling at tier-A 14
+    assert len(QUERIES) <= 4 * 50 - 3 * 14 - 8, len(QUERIES)
 
 
 def test_suite_state_counts_parse():
