@@ -444,13 +444,22 @@ def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     df = ensure_parallelism(df)
     t = F.col(text_col)
-    base = df.select(
+    # doc-level stats materialize in their OWN select below the line
+    # explode (the Generate projection rule fixed repo-wide in r15: a
+    # sibling expression in the explode's select re-evaluates once per
+    # exploded LINE — regexp_replace + two instr scans over the full
+    # text, O(chars x lines) per document)
+    stats = df.select(
         F.col(id_col).alias("id"),
         (F.length(t) - F.length(F.regexp_replace(t, "[.!?]", "")))
         .alias("n_sentences"),
         F.instr(t, "{").alias("_br"),
         F.instr(F.lower(t), "lorem ipsum").alias("_lo"),
-        F.posexplode(F.split(t, "\n")).alias("pos", "line"),
+        t.alias("_t"),
+    )
+    base = stats.select(
+        "id", "n_sentences", "_br", "_lo",
+        F.posexplode(F.split("_t", "\n")).alias("pos", "line"),
     )
     lw = F.size(F.filter(F.split(F.trim("line"), r"\s+"),
                          lambda x: F.length(x) > 0))

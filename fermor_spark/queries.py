@@ -6327,6 +6327,7 @@ _CHANGED_THIS_ROUND = [
     # per core; plan contract test_doc_stats_project_below_generate):
     "text_gopher_quality",
     "text_gopher_repetition",
+    "text_c4_filters",
     # r15: curate's funnel executes gopher_repetition's fixed plan:
     "pipeline_curate_e2e",
 ]

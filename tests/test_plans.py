@@ -341,9 +341,12 @@ def test_doc_stats_project_below_generate(spark):
     # _alpha` inside the partial aggregate, a false positive above the
     # Generate). Plans print root-first, so below-the-Generate = a LARGER
     # string index than the Generate that consumes the stats.
+    from fermor_spark.pipeline.text import c4_filters
+
     for fn, gen_marker, stat_marker in (
             (gopher_quality, "Generate", "regexp_replace"),
             (quality_score, "Generate", "regexp_replace"),
+            (c4_filters, "Generate", "regexp_replace"),
             (gopher_repetition, "Generate explode(split(_t",
              "AS _tc")):
         plan = fn(d, "doc_id", "text")._jdf.queryExecution() \
