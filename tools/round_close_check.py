@@ -40,13 +40,44 @@ _NON_QUERY_KEYS = {"value", "sf", "n", "rc", "cpus", "sched_floor",
                    "cc", "kcore", "scc", "bf", "bfs"}
 
 
+_LEGACY_FULL_OF: dict[str, str] | None = None
+
+
+def _legacy_full_of() -> dict[str, str]:
+    """old-short-key -> full-name union over every committed
+    BENCH_DETAIL_r{N}.json key_map. short_key's abbreviation table grew in
+    r15 (the compact line outgrew the 1950-byte capture window), so driver
+    records written under the OLD rule carry old short keys; translating
+    them to full names and re-shortening keeps round-over-round
+    comparisons keyed consistently instead of silently shrinking the
+    shared-key set."""
+    global _LEGACY_FULL_OF
+    if _LEGACY_FULL_OF is None:
+        m: dict[str, str] = {}
+        for p in sorted(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*.json"))):
+            try:
+                for full, short in (json.load(open(p)).get("key_map")
+                                    or {}).items():
+                    m[short] = full
+            except Exception:
+                continue
+        _LEGACY_FULL_OF = m
+    return _LEGACY_FULL_OF
+
+
+def _normalize(k: str) -> str:
+    """Map a (possibly legacy) short key to the CURRENT short key."""
+    return short_key(_legacy_full_of().get(k, k))
+
+
 def load_driver_record(path: str) -> dict[str, float]:
     """Driver BENCH_r{N}.json: {'parsed': {...}} or tail-only when the line
     outgrew the capture window (r7). Returns short_key -> seconds."""
     d = json.load(open(path))
     parsed = d.get("parsed")
     if parsed and parsed.get("queries"):
-        return {k: float(v) for k, v in parsed["queries"].items()}
+        return {_normalize(k): float(v)
+                for k, v in parsed["queries"].items()}
     if parsed is not None and parsed.get("detail"):
         # bench.py's 1950-byte overflow guard emits queries={} with a
         # 'detail' pointer. The live BENCH_DETAIL.json is overwritten by
@@ -73,7 +104,7 @@ def load_driver_record(path: str) -> dict[str, float]:
     q = dict(re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d.get("tail", "")))
     for k in _NON_QUERY_KEYS:
         q.pop(k, None)
-    out = {short_key(k): float(v) for k, v in q.items()}
+    out = {_normalize(k): float(v) for k, v in q.items()}
     if not out:
         raise ValueError(
             f"{path}: no parseable per-query timings (parsed=null and the "
@@ -162,23 +193,48 @@ def main() -> int:
     print(f"shared-key totals: {shared_prev:.1f}s -> {shared_cur:.1f}s "
           f"({shared_cur / max(shared_prev, 1e-9):.2f}x)")
 
-    # scheduler-floor normalization (r11): records carry bench.py's
-    # fixed 24-round barrier probe; a shared-key shift that tracks the
-    # floor ratio is environment, not plan decay.
-    def _floor(path):
+    # scheduler-floor normalization (r11; series since r15): records carry
+    # bench.py's fixed 24-round barrier probe — start-only through r14,
+    # start/mid/end from r15 (VERDICT r14 #2: the r14 close proved start
+    # probes get invalidated by mid-run steal). A shared-key shift that
+    # tracks the floor ratio is environment, not plan decay; a record
+    # whose OWN probes spread >1.5x is a contended epoch and its per-line
+    # reads carry that caveat mechanically.
+    def _floor_series(path):
         d = json.load(open(path))
         for src in (d, d.get("parsed") or {}):
+            if isinstance(src, dict) and src.get("sched_floors"):
+                return [float(x) for x in src["sched_floors"]]
             if isinstance(src, dict) and "sched_floor" in src:
-                return float(src["sched_floor"])
-        m = re.search(r'"sched_floor":\s*([0-9.]+)', d.get("tail", "")
-                      if "tail" in d else "")
-        return float(m.group(1)) if m else None
+                return [float(src["sched_floor"])]
+        tail = d.get("tail", "") if "tail" in d else ""
+        m = re.search(r'"sched_floors":\[([0-9.,]+)\]', tail)
+        if m:
+            return [float(x) for x in m.group(1).split(",")]
+        m = re.search(r'"sched_floor":\s*([0-9.]+)', tail)
+        return [float(m.group(1))] if m else None
 
-    fp, fc = _floor(prev_path), _floor(cur_path)
+    def _eff(series):
+        s = sorted(series)
+        return s[len(s) // 2]  # median
+
+    sp, sc = _floor_series(prev_path), _floor_series(cur_path)
+    fp = _eff(sp) if sp else None
+    fc = _eff(sc) if sc else None
+    for label, series in (("prev", sp), ("cur", sc)):
+        if series and len(series) > 1 and max(series) > 1.5 * min(series):
+            print(f"  CONTENDED-EPOCH {label}: floor probes "
+                  f"{[round(x, 2) for x in series]} spread "
+                  f"{max(series) / min(series):.2f}x within the run — treat "
+                  "this record's per-line reads as environment-dominated")
     if fp and fc:
-        print(f"sched_floor: {fp:.2f}s -> {fc:.2f}s ({fc / fp:.2f}x) — "
-              "compare line moves against this before calling them plan "
-              "changes")
+        fmt = (lambda s: "/".join(f"{x:.1f}" for x in s))
+        print(f"sched_floor (median of probes): {fp:.2f}s -> {fc:.2f}s "
+              f"({fc / fp:.2f}x; series {fmt(sp)} -> {fmt(sc)}) — compare "
+              "line moves against this before calling them plan changes")
+        norm = (shared_cur / max(shared_prev, 1e-9)) / (fc / fp)
+        print(f"floor-normalized shared-key ratio: {norm:.2f}x "
+              "(raw ratio / floor ratio)")
     for k, p, v in regressions:
         note = "(explained in PLANS.md)" if (k, p, v) not in blocked else \
             "** NO PLANS.md ROOT CAUSE — BLOCKS CLOSE **"
