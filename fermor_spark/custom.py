@@ -23,7 +23,9 @@ class DomainRoute(Route):
     subclass, so user-defined domain steps chain with core steps freely."""
 
     def _with(self, df: DataFrame, etype: str | None = None) -> "DomainRoute":
-        return type(self)(self.g, df, etype or self.etype)
+        r = type(self)(self.g, df, etype or self.etype)
+        r._broadcast_frontier = getattr(self, "_broadcast_frontier", False)
+        return r
 
 
 class DomainGraph(PropertyGraph):

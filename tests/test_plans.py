@@ -357,3 +357,32 @@ def test_doc_stats_project_below_generate(spark):
         assert stat_i > gen_i, (
             f"{fn.__name__}: doc-stat expression '{stat_marker}' appears "
             f"ABOVE the Generate — re-evaluates per exploded row")
+
+
+def test_broadcast_frontier_pins_build_side(spark, registry):
+    """broadcast_frontier() must make every hop join a BroadcastHashJoin
+    that builds the FRONTIER side in the INITIAL plan (no AQE repair
+    needed, no edge-side exchange), stick through chained hops and
+    carried columns, and leave the un-hinted default untouched. The r15
+    recommender measurement: un-hinted, AQE fixed the SortMergeJoins only
+    after the edge shuffle map stages ran and built the EDGE side."""
+    import re as _re
+
+    from fermor_spark.datasets import star_graph
+
+    g = star_graph(spark, SF)
+    cust = g.vertices("customer").where("id = 'c:1'")
+    hinted = cust.broadcast_frontier().out("in_nation").in_("in_nation")
+    p = plan_of(hinted.df)
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2, p
+    assert "SortMergeJoin" not in p
+    # the hinted build side is the frontier projection (_fid), never __e_
+    assert "BuildLeft" in p or "BuildRight" in p
+    # recommender gate carries the pin end to end: all three hop joins
+    # (plus the kind lookup) broadcast in the INITIAL plan; the one
+    # SortMergeJoin left is the anti-join against the full bought table
+    # (its 590k-row right side has no compile-time stats and must not be
+    # frontier-hinted — at 100 TB it stays a shuffle by design)
+    p2 = plan_of(registry["g_recommender"](spark, SF))
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", p2)) >= 3, p2
+    assert len(_re.findall(r"\(\d+\) SortMergeJoin", p2)) <= 1, p2
