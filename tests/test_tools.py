@@ -161,3 +161,42 @@ def test_suite_state_counts_parse():
     assert _counts("1 error in 1.2s") == {"passed": 0, "failed": 1}
     with pytest.raises(RuntimeError):
         _counts("collected 0 items")
+
+
+def test_legacy_short_keys_normalize_through_detail_keymaps(tmp_path, monkeypatch):
+    """r15 grew short_key's abbreviation table; driver records written
+    under the old rule must translate old-short -> full -> current-short
+    via the committed detail key_maps, or round-over-round comparisons
+    silently lose shared keys."""
+    import round_close_check as rcc
+
+    monkeypatch.setattr(rcc, "REPO", str(tmp_path))
+    _write(tmp_path / "BENCH_DETAIL_r90.json",
+           {"queries": {}, "key_map": {
+               "dedup_minhash_lsh": "dd_minhash_lsh",
+               "ann_nearest_neighbor_all": "ann_nearest_neighbor_all"}})
+    p = _write(tmp_path / "BENCH_r90.json",
+               {"n": 90, "parsed": {"queries": {
+                   "ann_nearest_neighbor_all": 1.27,
+                   "dd_minhash_lsh": 0.66}}})
+    # current short_key: nearest_neighbor -> nn; minhash key unchanged
+    assert load_driver_record(p) == {"ann_nn_all": 1.27,
+                                     "dd_minhash_lsh": 0.66}
+
+
+def test_floor_series_parse_and_median(tmp_path):
+    from round_close_check import _eff, _floor_series
+
+    # r15 detail body: full series
+    p1 = _write(tmp_path / "a.json", {"sched_floors": [10.8, 10.2, 9.0],
+                                      "sched_floor": 10.8})
+    assert _floor_series(p1) == [10.8, 10.2, 9.0]
+    assert _eff([10.8, 10.2, 9.0]) == 10.2
+    # pre-r15 driver record: single probe from the parsed body
+    p2 = _write(tmp_path / "b.json",
+                {"parsed": {"sched_floor": 14.66, "queries": {"q1": 1.0}}})
+    assert _floor_series(p2) == [14.66]
+    # tail-only record with the r15 series
+    p3 = _write(tmp_path / "c.json",
+                {"tail": '... "sched_floor":13.41,"sched_floors":[13.41,5.84,4.69]}'})
+    assert _floor_series(p3) == [13.41, 5.84, 4.69]

@@ -40,7 +40,7 @@ _NON_QUERY_KEYS = {"value", "sf", "n", "rc", "cpus", "sched_floor",
                    "cc", "kcore", "scc", "bf", "bfs"}
 
 
-_LEGACY_FULL_OF: dict[str, str] | None = None
+_LEGACY_CACHE: dict[str, dict] = {}
 
 
 def _legacy_full_of() -> dict[str, str]:
@@ -50,9 +50,8 @@ def _legacy_full_of() -> dict[str, str]:
     records written under the OLD rule carry old short keys; translating
     them to full names and re-shortening keeps round-over-round
     comparisons keyed consistently instead of silently shrinking the
-    shared-key set."""
-    global _LEGACY_FULL_OF
-    if _LEGACY_FULL_OF is None:
+    shared-key set. Cache keyed by REPO (tests monkeypatch it)."""
+    if REPO not in _LEGACY_CACHE:
         m: dict[str, str] = {}
         for p in sorted(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*.json"))):
             try:
@@ -61,8 +60,8 @@ def _legacy_full_of() -> dict[str, str]:
                     m[short] = full
             except Exception:
                 continue
-        _LEGACY_FULL_OF = m
-    return _LEGACY_FULL_OF
+        _LEGACY_CACHE[REPO] = m
+    return _LEGACY_CACHE[REPO]
 
 
 def _normalize(k: str) -> str:
@@ -149,6 +148,29 @@ def prior_driver_records(cur_path: str) -> list[str]:
     return out
 
 
+def _floor_series(path):
+    """The record's scheduler-floor probe series: `sched_floors`
+    (start/mid/end, r15+) or the single `sched_floor` (pre-r15), from the
+    detail/parsed body or the raw tail line."""
+    d = json.load(open(path))
+    for src in (d, d.get("parsed") or {}):
+        if isinstance(src, dict) and src.get("sched_floors"):
+            return [float(x) for x in src["sched_floors"]]
+        if isinstance(src, dict) and "sched_floor" in src:
+            return [float(src["sched_floor"])]
+    tail = d.get("tail", "") if "tail" in d else ""
+    m = re.search(r'"sched_floors":\[([0-9.,]+)\]', tail)
+    if m:
+        return [float(x) for x in m.group(1).split(",")]
+    m = re.search(r'"sched_floor":\s*([0-9.]+)', tail)
+    return [float(m.group(1))] if m else None
+
+
+def _eff(series):
+    s = sorted(series)
+    return s[len(s) // 2]  # median
+
+
 def main() -> int:
     args = dict(zip(sys.argv[1::2], sys.argv[2::2]))
     cur_path = args.get("--cur") or os.path.join(REPO, "BENCH_DETAIL.json")
@@ -200,24 +222,6 @@ def main() -> int:
     # tracks the floor ratio is environment, not plan decay; a record
     # whose OWN probes spread >1.5x is a contended epoch and its per-line
     # reads carry that caveat mechanically.
-    def _floor_series(path):
-        d = json.load(open(path))
-        for src in (d, d.get("parsed") or {}):
-            if isinstance(src, dict) and src.get("sched_floors"):
-                return [float(x) for x in src["sched_floors"]]
-            if isinstance(src, dict) and "sched_floor" in src:
-                return [float(src["sched_floor"])]
-        tail = d.get("tail", "") if "tail" in d else ""
-        m = re.search(r'"sched_floors":\[([0-9.,]+)\]', tail)
-        if m:
-            return [float(x) for x in m.group(1).split(",")]
-        m = re.search(r'"sched_floor":\s*([0-9.]+)', tail)
-        return [float(m.group(1))] if m else None
-
-    def _eff(series):
-        s = sorted(series)
-        return s[len(s) // 2]  # median
-
     sp, sc = _floor_series(prev_path), _floor_series(cur_path)
     fp = _eff(sp) if sp else None
     fc = _eff(sc) if sc else None
