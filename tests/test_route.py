@@ -180,3 +180,22 @@ def test_lookahead_max_only_keeps_zero(spark):
     # every vertex with 0 or 1 created-edges: i.e. everything except blueprints
     assert "rexster" in ids and "blueprints" not in ids
     assert "bob" in ids  # has no created edges at all → count 0 → kept
+
+
+def test_broadcast_frontier_identical_results(spark):
+    """broadcast_frontier is a pure plan hint: results must be identical
+    to the un-hinted traversal through chained hops, filters, and carried
+    columns (the r15 recommender pin relies on this)."""
+    g = job_graph(spark)
+    base = g.vertices().where(F.col("id").isin("alice", "bob"))
+    plain = (base._with(base.df.withColumn("_o", F.col("id")))
+             .out("completes").out("appliesTo"))
+    hinted_base = base.broadcast_frontier()
+    hinted = (hinted_base._with(
+        hinted_base.df.withColumn("_o", F.col("id")))
+        .out("completes").out("appliesTo"))
+    a = sorted((r["_o"], r["id"]) for r in plain.df.collect())
+    b = sorted((r["_o"], r["id"]) for r in hinted.df.collect())
+    assert a == b and a, a
+    # the flag survives _with and chained hops
+    assert getattr(hinted, "_broadcast_frontier", False)
