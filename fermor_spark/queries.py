@@ -6346,6 +6346,10 @@ _CHANGED_THIS_ROUND = [
     # (the off-path is a no-op attribute check), so only this row
     # re-tiers:
     "g_recommender",
+    # r15: is_/one_of auto-apply broadcast_frontier (frontier bounded by
+    # the literal id list — building it is always the right hop plan);
+    # the one gate executing one_of re-tiers:
+    "g_filter_one_of",
 ]
 
 

@@ -206,14 +206,25 @@ class Route:
         return self._with(self.df.where(cond))
 
     def is_(self, vid) -> "Route":
-        """(reference: is, src/fermor/core.clj:1262-1272)."""
-        return self._with(self.df.where(F.col("id") == str(vid)))
+        """(reference: is, src/fermor/core.clj:1262-1272).
+
+        Auto-applies broadcast_frontier: the surviving frontier is at most
+        one id per carried tag, so building it is always the right hop
+        plan (see broadcast_frontier — the negated filters isnt/none_of
+        stay un-hinted, their frontier is unbounded)."""
+        return self._with(self.df.where(F.col("id") == str(vid))) \
+            .broadcast_frontier()
 
     def isnt(self, vid) -> "Route":
         return self._with(self.df.where(F.col("id") != str(vid)))
 
     def one_of(self, vids: Sequence) -> "Route":
-        return self._with(self.df.where(F.col("id").isin([str(v) for v in vids])))
+        """Membership filter (reference: src/fermor/core.clj:1274-1282).
+        Auto-applies broadcast_frontier: cardinality is bounded by the
+        literal id list."""
+        return self._with(
+            self.df.where(F.col("id").isin([str(v) for v in vids]))
+        ).broadcast_frontier()
 
     def none_of(self, vids: Sequence) -> "Route":
         return self._with(self.df.where(~F.col("id").isin([str(v) for v in vids])))

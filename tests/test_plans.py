@@ -386,3 +386,24 @@ def test_broadcast_frontier_pins_build_side(spark, registry):
     p2 = plan_of(registry["g_recommender"](spark, SF))
     assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", p2)) >= 3, p2
     assert len(_re.findall(r"\(\d+\) SortMergeJoin", p2)) <= 1, p2
+
+
+def test_point_filters_auto_broadcast_frontier(spark):
+    """is_/one_of bound the frontier by a literal id list, so they
+    auto-apply broadcast_frontier — the following hop must be an
+    initial-plan BroadcastHashJoin; the negated filters (isnt/none_of)
+    leave the default (their frontier is unbounded)."""
+    import re as _re
+
+    from fermor_spark.datasets import star_graph
+
+    g = star_graph(spark, SF)
+    hop = g.vertices("nation").one_of(["n:1", "n:5"]).out("in_region")
+    p = plan_of(hop.df)
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 1, p
+    assert "SortMergeJoin" not in p
+    assert getattr(g.vertices().is_("n:1"), "_broadcast_frontier", False)
+    assert not getattr(g.vertices().isnt("n:1"), "_broadcast_frontier",
+                       False)
+    assert not getattr(g.vertices().none_of(["n:1"]),
+                       "_broadcast_frontier", False)
