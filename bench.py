@@ -408,7 +408,35 @@ def main() -> None:
             spark.range(1024).repartition(32).count()
         return round(time.perf_counter() - t0, 3)
 
+    # r16 (VERDICT r15 #1): the scheduler floor is structurally blind to
+    # IO-bound lines — pipeline_crawl_e2e rose monotonically across four
+    # driver records while sched floors FELL, and its stage profile says
+    # write_warc dominates. This probe writes+fsyncs a fixed 96 MB payload
+    # to the SAME tempdir filesystem the crawl gate's WARC write lands on,
+    # at the same start/mid/end points, so write-bound lines get the same
+    # mechanical environment normalization scheduler-bound lines have.
+    def _disk_probe(mb: int = 96) -> float:
+        import tempfile
+        block = os.urandom(1 << 20)  # defeat page-level compression
+        fd, path = tempfile.mkstemp(prefix="fermor_diskprobe_")
+        try:
+            t0 = time.perf_counter()
+            with os.fdopen(fd, "wb") as fh:
+                for _ in range(mb):
+                    fh.write(block)
+                fh.flush()
+                os.fsync(fh.fileno())
+            dt = time.perf_counter() - t0
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        return round(mb / dt)  # MB/s, int-rounded: the compact line is
+        # ~100 bytes under the driver's 1950-byte capture window
+
     sched_floors = [_floor_probe()]
+    disk_mbps = [_disk_probe()]
     sched_floor = sched_floors[0]
 
     t0 = time.perf_counter()
@@ -444,6 +472,7 @@ def main() -> None:
     for qi, name in enumerate(BENCH_QUERIES):
         if qi == mid_at:
             sched_floors.append(_floor_probe())  # mid-run probe (untimed)
+            disk_mbps.append(_disk_probe())
         # one UNTIMED warm-up run, then best of three timed runs. Best-of-N
         # is defined to measure the steady-state plan, but r6 proved N=3
         # alone doesn't reach it under the shared VM: the warm-up run pays
@@ -497,6 +526,7 @@ def main() -> None:
     _bench_bucketed_traversal(spark, timings)
     _bench_bucketed_funnel(spark, timings)
     sched_floors.append(_floor_probe())  # end-of-run probe
+    disk_mbps.append(_disk_probe())
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -515,7 +545,7 @@ def main() -> None:
         "metric": "headline_queries_total", "value": total, "unit": "sec",
         "sf": sf_val, "rounds": rounds, "queries": timings,
         "runs": all_runs, "key_map": keymap, "sched_floor": sched_floor,
-        "sched_floors": sched_floors,
+        "sched_floors": sched_floors, "disk_mbps": disk_mbps,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -532,7 +562,7 @@ def main() -> None:
         "metric": "headline_queries_total", "value": total, "unit": "sec",
         "queries": {keymap[k]: round(v, 2) for k, v in timings.items()},
         "sf": sf_val, "rounds": rounds, "sched_floor": sched_floor,
-        "sched_floors": sched_floors,
+        "sched_floors": sched_floors, "disk_mbps": disk_mbps,
     }, separators=(",", ":"))
     if len(line) > 1950:
         # keep the queries map's value type name->float (empty beats a
@@ -542,7 +572,7 @@ def main() -> None:
             "metric": "headline_queries_total", "value": total,
             "unit": "sec", "queries": {}, "detail": "BENCH_DETAIL.json",
             "sf": sf_val, "rounds": rounds, "sched_floor": sched_floor,
-            "sched_floors": sched_floors,
+            "sched_floors": sched_floors, "disk_mbps": disk_mbps,
         }, separators=(",", ":"))
     print(line)
 

@@ -5869,7 +5869,12 @@ def events_streaming_dir_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fermor_spark import streaming as S
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # key includes the applicationId: two concurrent processes (bench +
+    # test suite on the same sf_dir) must not overwrite each other's part
+    # files while the other's stream is listing/reading them (ADVICE r15)
+    key = hashlib.md5(
+        (sf_dir + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:8]
     dir_root = os.path.join(tempfile.gettempdir(), f"fermor_dir_table_{key}")
     # raw-layout read (nanosAsLong matches read_events_stream's probe rule)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

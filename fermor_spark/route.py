@@ -57,6 +57,10 @@ class Route:
     def _with(self, df: DataFrame, etype: str | None = None) -> "Route":
         r = Route(self.g, df, etype or self.etype)
         r._broadcast_frontier = getattr(self, "_broadcast_frontier", False)
+        # one-hop auto hint (is_/one_of): survives intermediate filters/
+        # projections but is CONSUMED by the first hop join — after a hop
+        # the frontier is no longer bounded by the literal id list
+        r._bcast_auto = getattr(self, "_bcast_auto", False)
         return r
 
     def broadcast_frontier(self, on: bool = True) -> "Route":
@@ -108,7 +112,9 @@ class Route:
         f = self.df.select(
             F.col("id").alias("_fid"), *[F.col(c) for c in self._carries()]
         )
-        if getattr(self, "_broadcast_frontier", False):
+        if getattr(self, "_broadcast_frontier", False) or getattr(
+            self, "_bcast_auto", False
+        ):
             f = f.hint("broadcast")
         joined = f.join(e, f["_fid"] == e[f"__e_{on_edge_col}"], "inner")
         cols = [F.col(f"__e_{c}").alias(c) for c in E_FIELDS] + [F.lit(direction).alias("dir")]
@@ -122,7 +128,9 @@ class Route:
                 )
             else:
                 cols.append(f[c])
-        return self._with(joined.select(*cols), "e")
+        out = self._with(joined.select(*cols), "e")
+        out._bcast_auto = False  # the one-hop auto hint is spent
+        return out
 
     def out_e(self, labels=None) -> "Route":
         """vertex → outgoing edges (reference: out-e, src/fermor/core.clj:484-523)."""
@@ -137,7 +145,10 @@ class Route:
     def both_e(self, labels=None) -> "Route":
         """(reference: both-e, src/fermor/core.clj:525-592)."""
         a, b = self.out_e(labels), self.in_e(labels)
-        return self._with(a.df.unionByName(b.df), "e")
+        # build from a (hop result), not self: the one-hop auto hint was
+        # consumed by BOTH legs of this single logical hop and must not
+        # leak past the union to the next hop
+        return a._with(a.df.unionByName(b.df), "e")
 
     def _project_v(self, idcol, append_path: bool = True) -> "Route":
         cols = [idcol.alias("id")]
@@ -189,7 +200,8 @@ class Route:
 
     def both(self, labels=None) -> "Route":
         """neighbors in both directions (reference: both, src/fermor/core.clj:650-660)."""
-        return self._with(self.out(labels).df.unionByName(self.in_(labels).df), "v")
+        a = self.out(labels)
+        return a._with(a.df.unionByName(self.in_(labels).df), "v")
 
     def siblings(self, labels=None) -> "Route":
         """(src)-[:l]->(parent)<-[:l]-(dest), minus self
@@ -208,23 +220,28 @@ class Route:
     def is_(self, vid) -> "Route":
         """(reference: is, src/fermor/core.clj:1262-1272).
 
-        Auto-applies broadcast_frontier: the surviving frontier is at most
-        one id per carried tag, so building it is always the right hop
-        plan (see broadcast_frontier — the negated filters isnt/none_of
-        stay un-hinted, their frontier is unbounded)."""
-        return self._with(self.df.where(F.col("id") == str(vid))) \
-            .broadcast_frontier()
+        Auto-applies a ONE-HOP broadcast hint: the surviving frontier is
+        at most one id per carried tag, so building it on the next hop is
+        always the right plan — but only that hop. After an expansion hop
+        the frontier is no longer bounded by the literal id list, so the
+        auto hint is consumed by the first _edge_join (a forced broadcast
+        of an unbounded frontier could OOM the driver at scale). Sticky
+        behavior stays reserved for the explicit broadcast_frontier()
+        opt-in. The negated filters isnt/none_of stay un-hinted."""
+        r = self._with(self.df.where(F.col("id") == str(vid)))
+        r._bcast_auto = True
+        return r
 
     def isnt(self, vid) -> "Route":
         return self._with(self.df.where(F.col("id") != str(vid)))
 
     def one_of(self, vids: Sequence) -> "Route":
         """Membership filter (reference: src/fermor/core.clj:1274-1282).
-        Auto-applies broadcast_frontier: cardinality is bounded by the
-        literal id list."""
-        return self._with(
-            self.df.where(F.col("id").isin([str(v) for v in vids]))
-        ).broadcast_frontier()
+        Auto-applies a ONE-HOP broadcast hint (see is_): cardinality is
+        bounded by the literal id list, but only until the next hop."""
+        r = self._with(self.df.where(F.col("id").isin([str(v) for v in vids])))
+        r._bcast_auto = True
+        return r
 
     def none_of(self, vids: Sequence) -> "Route":
         return self._with(self.df.where(~F.col("id").isin([str(v) for v in vids])))
@@ -354,7 +371,9 @@ class Route:
         return Route(routes[0].g, u, routes[0].etype)
 
     def union(self, other: "Route") -> "Route":
-        return self._with(self.df.unionByName(other.df, allowMissingColumns=True))
+        r = self._with(self.df.unionByName(other.df, allowMissingColumns=True))
+        r._bcast_auto = False  # the union side may be unbounded
+        return r
 
     def intersect(self, other: "Route") -> "Route":
         return self._with(self.df.intersect(other.df.select(*self.df.columns)))

@@ -212,21 +212,41 @@ class scoped_confs:
         try:
             for k, v in self._confs.items():
                 try:
-                    self._prev[k] = self.spark.conf.get(k)
+                    prev = self.spark.conf.get(k)
                 except Exception:
-                    self._prev[k] = None
+                    prev = None
                 self.spark.conf.set(k, v)
+                # record AFTER set() succeeds: for a non-modifiable conf
+                # set() itself raises, and restoring the failing key would
+                # raise again inside __exit__, masking the original error
+                # and aborting the restore of the keys that did apply
+                self._prev[k] = prev
         except BaseException:
-            self.__exit__()
+            # best-effort unwind; the ORIGINAL exception must propagate
+            self._restore()
             raise
         return self
 
-    def __exit__(self, *exc):
+    def _restore(self):
+        """Per-key isolated restore — one unrestorable key must not abort
+        restoring the rest. Returns the first restore error, if any."""
+        first_err = None
         for k, old in self._prev.items():
-            if old is None:
-                self.spark.conf.unset(k)
-            else:
-                self.spark.conf.set(k, old)
+            try:
+                if old is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, old)
+            except Exception as e:  # pragma: no cover - provider-specific
+                if first_err is None:
+                    first_err = e
+        self._prev = {}
+        return first_err
+
+    def __exit__(self, *exc):
+        first_err = self._restore()
+        if first_err is not None and not any(exc):
+            raise first_err
         return False
 
 

@@ -390,9 +390,12 @@ def test_broadcast_frontier_pins_build_side(spark, registry):
 
 def test_point_filters_auto_broadcast_frontier(spark):
     """is_/one_of bound the frontier by a literal id list, so they
-    auto-apply broadcast_frontier — the following hop must be an
-    initial-plan BroadcastHashJoin; the negated filters (isnt/none_of)
-    leave the default (their frontier is unbounded)."""
+    auto-apply a ONE-HOP broadcast hint — the immediately following hop
+    must be an initial-plan BroadcastHashJoin, but the hint is CONSUMED
+    by that hop (after an expansion the frontier is unbounded and a
+    forced broadcast could OOM the driver at scale). The negated filters
+    (isnt/none_of) leave the default, and the explicit
+    broadcast_frontier() opt-in stays sticky."""
     import re as _re
 
     from fermor_spark.datasets import star_graph
@@ -402,8 +405,17 @@ def test_point_filters_auto_broadcast_frontier(spark):
     p = plan_of(hop.df)
     assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 1, p
     assert "SortMergeJoin" not in p
-    assert getattr(g.vertices().is_("n:1"), "_broadcast_frontier", False)
-    assert not getattr(g.vertices().isnt("n:1"), "_broadcast_frontier",
-                       False)
-    assert not getattr(g.vertices().none_of(["n:1"]),
-                       "_broadcast_frontier", False)
+    # the auto hint survives intermediate filters but not the hop itself
+    filtered = g.vertices().is_("n:1").where("id IS NOT NULL")
+    assert getattr(filtered, "_bcast_auto", False)
+    assert not getattr(filtered, "_broadcast_frontier", False)
+    hopped = g.vertices().is_("n:1").out("in_region")
+    assert not getattr(hopped, "_bcast_auto", True)
+    hopped_both = g.vertices().is_("n:1").both("in_region")
+    assert not getattr(hopped_both, "_bcast_auto", True)
+    # explicit opt-in is sticky through hops
+    sticky = g.vertices().is_("n:1").broadcast_frontier().out("in_region")
+    assert getattr(sticky, "_broadcast_frontier", False)
+    # negated filters stay un-hinted
+    assert not getattr(g.vertices().isnt("n:1"), "_bcast_auto", False)
+    assert not getattr(g.vertices().none_of(["n:1"]), "_bcast_auto", False)

@@ -479,6 +479,62 @@ def test_scoped_confs_restores_applied_keys_on_partial_failure():
     assert stub.conf.vals == {"a": "1"}  # 'a' restored, 'b' unset
 
 
+def test_scoped_confs_partial_failure_does_not_mask_or_abort():
+    """ADVICE r15: the failing key must NOT be recorded in _prev before
+    set() raises — for a non-modifiable conf the restore would raise
+    AGAIN inside the unwind, masking the original exception and aborting
+    the restore of the keys that did apply. And one unrestorable key in
+    __exit__ must not abort restoring the rest."""
+    import pytest
+
+    class StubConf:
+        def __init__(self):
+            self.vals = {"a": "1", "boom": "locked", "c": "3"}
+
+        def get(self, k):
+            if k in self.vals:
+                return self.vals[k]
+            raise Exception("no such conf")
+
+        def set(self, k, v):
+            if k == "boom":
+                raise RuntimeError("non-modifiable conf")
+            self.vals[k] = v
+
+        def unset(self, k):
+            self.vals.pop(k, None)
+
+    class StubSpark:
+        conf = StubConf()
+
+    stub = StubSpark()
+    # 'a' applies, 'boom' raises on set AND would raise again on restore:
+    # the ORIGINAL RuntimeError must propagate and 'a' must be restored
+    with pytest.raises(RuntimeError, match="non-modifiable"):
+        with streaming.scoped_confs(stub, {"a": "2", "boom": "x", "c": "9"}):
+            raise AssertionError("body must not run")
+    assert stub.conf.vals["a"] == "1"
+    assert stub.conf.vals["c"] == "3"  # never applied
+
+    # clean-body exit with one unrestorable key: the other keys still
+    # restore, and the restore error surfaces (not swallowed)
+    class StickyConf(StubConf):
+        def set(self, k, v):
+            if k == "sticky" and self.vals.get("sticky") == "applied":
+                raise RuntimeError("cannot restore sticky")
+            self.vals[k] = v
+
+    class StickySpark:
+        conf = StickyConf()
+
+    s2 = StickySpark()
+    s2.conf.vals = {"sticky": "orig", "z": "0"}
+    with pytest.raises(RuntimeError, match="cannot restore sticky"):
+        with streaming.scoped_confs(s2, {"sticky": "applied", "z": "9"}):
+            pass
+    assert s2.conf.vals["z"] == "0"  # restored despite sticky's failure
+
+
 def test_rocksdb_guard_vacuity_defeated_by_retained_state():
     """The vacuity guard must treat retained state (lastProgress
     stateOperators numRowsTotal) as proof the store was exercised even

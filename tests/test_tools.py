@@ -69,6 +69,85 @@ def test_tail_parse_only_scalars_refuses(tmp_path):
         load_driver_record(p)
 
 
+def test_load_current_accepts_driver_record_wrapper(tmp_path):
+    """VERDICT r15 #5: --cur handed a driver-record wrapper used to crash
+    with an opaque ValueError (d.get('queries', d) picked up the
+    wrapper's `tail` string) — it must fall back to the driver-record
+    loader instead."""
+    from round_close_check import load_current
+
+    p = _write(tmp_path / "BENCH_r93.json",
+               {"n": 93, "tail": '{"queries":{"q1":1.25},"sf":0.1}',
+                "parsed": {"queries": {"q1": 1.25}, "sf": 0.1}})
+    assert load_current(p) == {"q1": 1.25}
+    # tail-only wrapper (the r7 shape) also resolves
+    p2 = _write(tmp_path / "BENCH_r92.json",
+                {"n": 92, "tail": '{"queries":{"q1":0.5},"sf":0.1}'})
+    assert load_current(p2) == {"q1": 0.5}
+    # and an empty plain dict still refuses vacuous comparison
+    p3 = _write(tmp_path / "empty.json", {"queries": {}})
+    with pytest.raises(ValueError, match="vacuous"):
+        load_current(p3)
+
+
+def test_legacy_keymap_conflict_warns(tmp_path, monkeypatch, capsys):
+    """ADVICE r15 low: if the same short key maps to DIFFERENT full names
+    in different rounds' key_maps, last-file-wins silently mistranslates
+    older records — the union builder must warn."""
+    import round_close_check as rcc
+
+    monkeypatch.setattr(rcc, "REPO", str(tmp_path))
+    rcc._LEGACY_CACHE.pop(str(tmp_path), None)
+    _write(tmp_path / "BENCH_DETAIL_r01.json",
+           {"key_map": {"alpha_query_one": "aq1"}})
+    _write(tmp_path / "BENCH_DETAIL_r02.json",
+           {"key_map": {"another_query_one": "aq1"}})
+    m = rcc._legacy_full_of()
+    err = capsys.readouterr().err
+    assert "key_map conflict" in err and "'aq1'" in err
+    assert m["aq1"] == "another_query_one"  # documented last-wins
+    rcc._LEGACY_CACHE.pop(str(tmp_path), None)
+
+
+def test_disk_series_reads_all_record_shapes(tmp_path):
+    """r16: the disk-throughput probe series must resolve from a detail
+    body, a parsed driver record, and a raw tail line — same contract as
+    the sched-floor series."""
+    from round_close_check import _disk_series
+
+    p1 = _write(tmp_path / "detail.json",
+                {"queries": {"q1": 1.0}, "disk_mbps": [400, 380, 410]})
+    assert _disk_series(p1) == [400.0, 380.0, 410.0]
+    p2 = _write(tmp_path / "BENCH_r91.json",
+                {"n": 91, "parsed": {"queries": {"q1": 1.0},
+                                     "disk_mbps": [300, 290, 310]}})
+    assert _disk_series(p2) == [300.0, 290.0, 310.0]
+    p3 = _write(tmp_path / "BENCH_r90.json",
+                {"n": 90, "tail": '"queries":{"q1":1.0},'
+                                  '"disk_mbps":[250,260,255]}'})
+    assert _disk_series(p3) == [250.0, 260.0, 255.0]
+    p4 = _write(tmp_path / "old.json", {"queries": {"q1": 1.0}})
+    assert _disk_series(p4) is None
+
+
+def test_contended_io_flagged(tmp_path):
+    """A record whose own disk probes spread >1.5x must print the
+    CONTENDED-IO flag so write-bound lines get the mechanical caveat."""
+    prev = _write(tmp_path / "BENCH_r89.json",
+                  {"n": 89, "parsed": {"queries": {"q1": 1.0},
+                                       "disk_mbps": [400, 390, 405]}})
+    cur = _write(tmp_path / "cur.json",
+                 {"queries": {"q1_pricing_summary": 1.1},
+                  "disk_mbps": [400, 150, 380]})
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "round_close_check.py"),
+         "--prev", prev, "--cur", cur],
+        capture_output=True, text=True)
+    assert "CONTENDED-IO cur" in r.stdout
+    assert "disk_mbps (median of probes)" in r.stdout
+    assert r.returncode == 0
+
+
 def test_zero_shared_keys_blocks_close(tmp_path):
     prev = _write(tmp_path / "BENCH_r94.json",
                   {"n": 94, "parsed": {"queries": {"q1": 1.0}}})

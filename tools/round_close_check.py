@@ -53,11 +53,27 @@ def _legacy_full_of() -> dict[str, str]:
     shared-key set. Cache keyed by REPO (tests monkeypatch it)."""
     if REPO not in _LEGACY_CACHE:
         m: dict[str, str] = {}
+        origin: dict[str, str] = {}
         for p in sorted(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*.json"))):
             try:
                 for full, short in (json.load(open(p)).get("key_map")
                                     or {}).items():
+                    # the substitution table keeps growing: if the SAME
+                    # short key ever maps to DIFFERENT full names in
+                    # different rounds, last-file-wins silently
+                    # mistranslates older records — warn loudly (ADVICE
+                    # r15 low) so the collision gets a table fix, not a
+                    # corrupted shared-key comparison
+                    if m.get(short, full) != full:
+                        print(
+                            f"round_close_check: WARNING key_map conflict "
+                            f"for short key '{short}': "
+                            f"'{m[short]}' ({origin[short]}) vs "
+                            f"'{full}' ({os.path.basename(p)}) — older "
+                            "driver records may be mistranslated",
+                            file=sys.stderr)
                     m[short] = full
+                    origin[short] = os.path.basename(p)
             except Exception:
                 continue
         _LEGACY_CACHE[REPO] = m
@@ -112,11 +128,24 @@ def load_driver_record(path: str) -> dict[str, float]:
 
 
 def load_current(path: str) -> dict[str, float]:
-    """BENCH_DETAIL.json (full names, best-of values) or a raw bench stdout
-    line. Returns short_key -> seconds."""
+    """BENCH_DETAIL.json (full names, best-of values), a raw bench stdout
+    line, or a driver-record wrapper passed as --cur (VERDICT r15 #5: the
+    wrapper's `tail` string used to reach the float() loop and crash with
+    an opaque ValueError). Returns short_key -> seconds."""
     d = json.load(open(path))
+    if isinstance(d, dict) and ("parsed" in d or "tail" in d):
+        return load_driver_record(path)
     queries = d.get("queries", d)
-    return {short_key(k): float(v) for k, v in queries.items()}
+    out = {}
+    for k, v in queries.items():
+        if k in _NON_QUERY_KEYS or not isinstance(v, (int, float)):
+            continue
+        out[short_key(k)] = float(v)
+    if not out:
+        raise ValueError(
+            f"{path}: no per-query timings found — refusing a vacuous "
+            "comparison")
+    return out
 
 
 def driver_records() -> list[str]:
@@ -164,6 +193,21 @@ def _floor_series(path):
         return [float(x) for x in m.group(1).split(",")]
     m = re.search(r'"sched_floor":\s*([0-9.]+)', tail)
     return [float(m.group(1))] if m else None
+
+
+def _disk_series(path):
+    """The record's disk-throughput probe series `disk_mbps` (96 MB
+    write+fsync to the bench tempdir fs at start/mid/end, r16+) — the
+    IO-side twin of the scheduler floor: sched probes are structurally
+    blind to write-bound lines (VERDICT r15 #1, pipeline_crawl_e2e rose
+    4 records straight while sched floors FELL)."""
+    d = json.load(open(path))
+    for src in (d, d.get("parsed") or {}):
+        if isinstance(src, dict) and src.get("disk_mbps"):
+            return [float(x) for x in src["disk_mbps"]]
+    tail = d.get("tail", "") if "tail" in d else ""
+    m = re.search(r'"disk_mbps":\[([0-9.,]+)\]', tail)
+    return [float(x) for x in m.group(1).split(",")] if m else None
 
 
 def _eff(series):
@@ -239,6 +283,28 @@ def main() -> int:
         norm = (shared_cur / max(shared_prev, 1e-9)) / (fc / fp)
         print(f"floor-normalized shared-key ratio: {norm:.2f}x "
               "(raw ratio / floor ratio)")
+
+    # disk-throughput twin (r16): write-bound lines (pipeline_crawl_e2e,
+    # es_file_sink, the sink round-trips) move with MB/s, not with the
+    # scheduler floor — read them against this series before calling a
+    # plan regression. Spread >1.5x within a run = CONTENDED-IO epoch.
+    dp, dc = _disk_series(prev_path), _disk_series(cur_path)
+    for label, series in (("prev", dp), ("cur", dc)):
+        if series and len(series) > 1 and max(series) > 1.5 * min(series):
+            print(f"  CONTENDED-IO {label}: disk probes "
+                  f"{[round(x) for x in series]} MB/s spread "
+                  f"{max(series) / min(series):.2f}x within the run — treat "
+                  "this record's write-bound lines as IO-dominated")
+    if dp and dc:
+        fmt_i = (lambda s: "/".join(f"{x:.0f}" for x in s))
+        print(f"disk_mbps (median of probes): {_eff(dp):.0f} -> "
+              f"{_eff(dc):.0f} MB/s ({_eff(dc) / _eff(dp):.2f}x; series "
+              f"{fmt_i(dp)} -> {fmt_i(dc)}) — normalize write-bound lines "
+              "against this, not sched_floor")
+    elif dc:
+        print(f"disk_mbps (cur only, no prev series): "
+              f"{[round(x) for x in dc]} MB/s — baseline for future "
+              "write-bound adjudications")
     for k, p, v in regressions:
         note = "(explained in PLANS.md)" if (k, p, v) not in blocked else \
             "** NO PLANS.md ROOT CAUSE — BLOCKS CLOSE **"
