@@ -6318,43 +6318,28 @@ def dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows whose EXECUTED implementation changed this round (error-path-only
 # changes stay off per the r10 convention). Rotates each round.
 _CHANGED_THIS_ROUND = [
-    # r15: the local-leg source probe drops null ids BEFORE the
-    # distinct/limit threshold check (ADVICE r14 — a null occupying a
-    # probe slot silently truncated real sources past the threshold);
-    # the distributed gate forces threshold=0 so only the weighted row's
-    # executed path changed:
-    "g_shortest_path_weighted",
-    # r15: run_to_memory's provider guard treats retained state
-    # (numRowsTotal) as non-vacuous even when recentProgress evicted the
-    # row-carrying batches (ADVICE r14); executed on the telemetry path:
-    "events_streaming_tumbling",
-    # r15: sessions drain scopes state partitions to state volume (the
-    # last stateful gate on the session default; VERDICT r14 #4) —
-    # scoped_confs' partial-apply restore also executes here:
-    "events_streaming_sessions",
-    # r15: scoped_confs.__enter__ hardened (restore-on-partial-failure);
-    # the file-sink drain executes the changed scope:
-    "events_streaming_file_sink",
-    # r15: doc-level stats materialize BELOW the token/line explode —
-    # the per-exploded-row recompute fix (VERDICT r14 #3, measured 5x
-    # per core; plan contract test_doc_stats_project_below_generate):
-    "text_gopher_quality",
-    "text_gopher_repetition",
-    "text_c4_filters",
-    # r15: curate's funnel executes gopher_repetition's fixed plan:
-    "pipeline_curate_e2e",
-    # r15: the flagship pins its 20-origin frontier as every hop join's
-    # build side (route.broadcast_frontier — VERDICT r14 #6: AQE was
-    # repairing the stat-less SortMergeJoins only after the edge shuffle
-    # map stages ran, and picked the EDGE table as build side at gate
-    # SF). The flag is opt-in: every other g_* row's plan is unchanged
-    # (the off-path is a no-op attribute check), so only this row
-    # re-tiers:
-    "g_recommender",
-    # r15: is_/one_of auto-apply broadcast_frontier (frontier bounded by
-    # the literal id list — building it is always the right hop plan);
-    # the one gate executing one_of re-tiers:
+    # r16: is_/one_of's auto broadcast hint is now ONE-HOP (consumed by
+    # the first hop join; ADVICE r15 medium — the sticky auto-apply
+    # force-broadcast every later frontier, unbounded after expansion
+    # hops and a driver-OOM risk at scale). The one gate executing
+    # one_of re-tiers:
     "g_filter_one_of",
+    # r16: both()/both_e() build their union from the hop result (not
+    # the pre-hop route) so the one-hop hint cannot leak past the union
+    # — these two gates execute the changed constructors:
+    "g_both_neighbors_nation",
+    "g_other_v_both",
+    # r16: scoped_confs records a key for restore only AFTER set()
+    # succeeds, and __exit__ restores per-key isolated (ADVICE r15
+    # medium) — every gate scoping state partitions / the RocksDB
+    # provider executes the changed enter/exit path:
+    "events_streaming_tumbling",
+    "events_streaming_sessions",
+    "events_streaming_sessions_rocksdb",
+    "events_streaming_file_sink",
+    # r16: the dir-table gate keys its temp directory by applicationId
+    # (ADVICE r15 low — concurrent processes raced on the fixed path):
+    "events_streaming_dir_table",
 ]
 
 
