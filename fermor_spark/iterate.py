@@ -37,7 +37,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fermor_spark.graph import PropertyGraph
@@ -293,21 +293,30 @@ def square_count(g: PropertyGraph, labels=None) -> DataFrame:
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("z"))
     wedges = e1.join(e2, "b").where(F.col("a") < F.col("z"))  # 2-paths a-b-z, a<z
-    mcount = wedges.groupBy("a", "z").agg(F.count("*").alias("m")).where(F.col("m") >= 2)
-    # endpoints a and z are each on C(m,2) squares for this pair
-    endpoint_counts = (
-        mcount.select(F.col("a").alias("id"), (F.col("m") * (F.col("m") - 1) / 2).alias("sq"))
-        .unionByName(mcount.select(F.col("z").alias("id"),
-                                   (F.col("m") * (F.col("m") - 1) / 2).alias("sq")))
-    )
-    # each middle b of pair (a,z) is on (m-1) squares for this pair
-    middle_counts = (
-        wedges.join(mcount, ["a", "z"])
-        .select(F.col("b").alias("id"), (F.col("m") - 1).cast("double").alias("sq"))
-    )
-    # every 4-cycle is discovered via BOTH of its diagonal pairs → halve
-    counts = endpoint_counts.unionByName(middle_counts).groupBy("id").agg(
-        (F.sum("sq") / 2).cast("long").alias("squares")
+    # Single pass over the wedge set (r16): m = wedges per endpoint pair
+    # via a window, then per-ROW integer credits — a and z each carry
+    # (m-1) (summing to m(m-1) = 2*C(m,2) per pair), the middle b carries
+    # 2(m-1); the final /4 folds the 2x credit scaling with the 2x
+    # diagonal double-discovery. The previous shape referenced the
+    # un-persisted wedge join from FOUR subtrees (groupBy m twice for the
+    # endpoint union, once more under the middle join, plus the join's own
+    # wedge leg) — at scale the wedge set dwarfs the edge set, and
+    # recomputing it 4x is exactly the recompute class the r15 Generate
+    # fix removed from the text family. One wedge join, one window
+    # shuffle, all-integer arithmetic (the old double-typed shares lose
+    # exactness before longs do).
+    m = F.count("*").over(Window.partitionBy("a", "z"))
+    wm = wedges.withColumn("_m", m).where(F.col("_m") >= 2)
+    credits = wm.select(
+        F.explode(F.array(
+            F.struct(F.col("a").alias("id"), (F.col("_m") - 1).alias("c")),
+            F.struct(F.col("z").alias("id"), (F.col("_m") - 1).alias("c")),
+            F.struct(F.col("b").alias("id"),
+                     (2 * (F.col("_m") - 1)).alias("c")),
+        )).alias("s")
+    ).select(F.col("s.id").alias("id"), F.col("s.c").alias("c"))
+    counts = credits.groupBy("id").agg(
+        (F.sum("c") / 4).cast("long").alias("squares")
     )
     return (
         g.vertex_ids().join(counts, "id", "left")

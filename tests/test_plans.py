@@ -359,6 +359,23 @@ def test_doc_stats_project_below_generate(spark):
             f"ABOVE the Generate — re-evaluates per exploded row")
 
 
+def test_square_count_single_wedge_pass(spark, registry):
+    """square_count must compute the wedge join ONCE: per-pair wedge
+    multiplicity m comes from a single Window over (a, z), and the three
+    credit streams (both endpoints + middle) explode out of that one
+    pass. The pre-r16 shape referenced the un-persisted wedge join from
+    FOUR subtrees (40 Exchange nodes at gate shape vs 13 now) — at scale
+    the wedge set dwarfs the edge set and recomputing it is the same
+    recompute class as the r15 Generate fix."""
+    import re as _re
+
+    p = plan_of(registry["g_square_count_bipartite"](spark, SF))
+    assert len(_re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert len(_re.findall(r"\(\d+\) Generate", p)) == 1, p
+    n_exch = len(_re.findall(r"\(\d+\) Exchange", p))
+    assert n_exch <= 20, f"wedge recompute came back: {n_exch} exchanges"
+
+
 def test_broadcast_frontier_pins_build_side(spark, registry):
     """broadcast_frontier() must make every hop join a BroadcastHashJoin
     that builds the FRONTIER side in the INITIAL plan (no AQE repair
