@@ -289,7 +289,16 @@ def square_count(g: PropertyGraph, labels=None) -> DataFrame:
     and z (the distributed shape of the reference's `squares` counter,
     src/fermor/force_atlas/graph.clj:15-42). Middle vertices are credited
     via the per-(middle, endpoint-pair) wedge rows."""
-    e = g.undirected_view(labels).select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    # NOT cached/persisted: both wedge legs re-run the distinct shuffle,
+    # but the r16 tree A/Bs measured every materialization variant
+    # (eager _persist, lazy managed_cache) SLOWER at gate SF than the
+    # recompute — the columnar encode + read-back of the edge set costs
+    # more than one extra small shuffle, and the window rewrite below
+    # already removed the dominant 4x wedge-JOIN recompute (PLANS r16).
+    e = (
+        g.undirected_view(labels).select("src", "dst")
+        .where(F.col("src") != F.col("dst")).distinct()
+    )
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("z"))
     wedges = e1.join(e2, "b").where(F.col("a") < F.col("z"))  # 2-paths a-b-z, a<z
@@ -1030,9 +1039,17 @@ def triangle_count(g: PropertyGraph, labels=None) -> DataFrame:
     low- to high-degree endpoint) to bound the wedge join.
     """
     e = g.undirected_view(labels).select("src", "dst").where(F.col("src") != F.col("dst"))
-    canon = e.select(
+    # managed_cache, not a raw .cache(): the raw cache never entered the
+    # managed registry, so it leaked past release_caches() and lived
+    # until JVM GC (the r5 eviction-contamination class). Within-query
+    # warmth is identical — release happens at the bench query boundary
+    # — and the three join legs reuse the cache either way. Lazy, not
+    # eager _persist: the checkpoint pass measured slower at gate SF.
+    from fermor_spark.session import managed_cache
+
+    canon = managed_cache(e.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct().cache()
+    ).distinct())
     ab = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = canon.select(F.col("u").alias("a"), F.col("v").alias("c"))

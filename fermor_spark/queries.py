@@ -6346,6 +6346,11 @@ _CHANGED_THIS_ROUND = [
     # density probe reads 10.2 vs 17.3 s old). The gate executes the
     # rewritten operator:
     "g_square_count_bipartite",
+    # r16: triangle_count's canonical edge cache moved into the managed
+    # registry (the raw .cache() leaked past release_caches; warmth at
+    # the query boundary is unchanged). The gate executes the changed
+    # persistence path:
+    "g_triangle_count_copurchase",
 ]
 
 
