@@ -655,19 +655,33 @@ class PropertyGraph:
         (distributed topological peel); raises ValueError on a cycle."""
         e = self._edges_df(labels).select("src", "dst")
         remaining = e.cache()
-        for i in range(max_iter):
-            if remaining.limit(1).count() == 0:
-                return self
-            # strip edges pointing at sinks (dst with no outgoing edge)
-            srcs = remaining.select(F.col("src").alias("x")).distinct()
-            nxt = remaining.join(
-                srcs.withColumnRenamed("x", "dst"), "dst", "left_semi"
-            )
-            nxt = (nxt.localCheckpoint(eager=True) if i % 6 == 5 else nxt.cache())
-            if nxt.count() == remaining.count():
-                raise ValueError(f"cycle detected among labels {labels!r}")
-            remaining = nxt
-        raise ValueError("assert_acyclic: max iterations exceeded")
+        # superseded frames unpersist as the peel advances (the iterate.py
+        # loop discipline): this loop used to cache every iteration's
+        # frame and release NONE — up to max_iter live caches on a deep
+        # DAG, plus a permanent leak of the last one past return/raise
+        try:
+            for i in range(max_iter):
+                if remaining.limit(1).count() == 0:
+                    return self
+                # strip edges pointing at sinks (dst with no outgoing edge)
+                srcs = remaining.select(F.col("src").alias("x")).distinct()
+                nxt = remaining.join(
+                    srcs.withColumnRenamed("x", "dst"), "dst", "left_semi"
+                )
+                nxt = (nxt.localCheckpoint(eager=True) if i % 6 == 5
+                       else nxt.cache())
+                same = nxt.count() == remaining.count()
+                remaining.unpersist()
+                remaining = nxt
+                if same:
+                    raise ValueError(
+                        f"cycle detected among labels {labels!r}")
+            raise ValueError("assert_acyclic: max iterations exceeded")
+        finally:
+            try:
+                remaining.unpersist()
+            except Exception:
+                pass
 
     def merge_with(self, other: "PropertyGraph", doc_merge) -> "PropertyGraph":
         """Merge graphs resolving edge-document conflicts with a user fn
