@@ -98,7 +98,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -131,8 +131,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -950,8 +950,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
           .cast("long").alias("min_cents"))
     j = (
-        cost.join(F.broadcast(p), cost["pk"] == p["p_partkey"])
-        .join(F.broadcast(s), cost["sk"] == s["s_suppkey"])
+        cost.join(p, cost["pk"] == p["p_partkey"])
+        .join(s, cost["sk"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
@@ -990,7 +990,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     val = (
-        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.sum(cents).cast("long").alias("cents"))
@@ -1027,8 +1027,8 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = table(spark, sf_dir, "supplier").where(
         F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("l_suppkey"))
     return (
-        l.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(bad, "l_suppkey", "left_anti")
+        .join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1066,7 +1066,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
     s = table(spark, sf_dir, "supplier")
     sq = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
     )
@@ -1075,7 +1075,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sq.join(pt, sq["pk"] == pt["pk2"])
         .where(F.col("qty") * 2 > F.col("total"))
-        .join(F.broadcast(s), sq["sk"] == s["s_suppkey"])
+        .join(s, sq["sk"] == s["s_suppkey"])
         .select("s_suppkey", "s_name")
         .distinct()
     )
@@ -6351,6 +6351,20 @@ _CHANGED_THIS_ROUND = [
     # the query boundary is unchanged). The gate executes the changed
     # persistence path:
     "g_triangle_count_copurchase",
+    # r16: forced F.broadcast hints REMOVED from every SF-scaling table
+    # (customer/supplier/part and their filtered subsets) — the hint
+    # bypasses autoBroadcastJoinThreshold, which at ~100 TB (TPC-H
+    # SF~70k: customer ~10B rows) is a guaranteed OOM; Catalyst
+    # auto-broadcasts the same tables at gate SF via the 64 MB
+    # threshold, verified plan-identical at sf0.001 AND sf0.1 (12/12
+    # SAME — BHJ/SMJ/Exchange counts unchanged). nation/region and
+    # 1-row aggregate crossJoins keep their hints (bounded by schema):
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
 ]
 
 
