@@ -436,3 +436,33 @@ def test_point_filters_auto_broadcast_frontier(spark):
     # negated filters stay un-hinted
     assert not getattr(g.vertices().isnt("n:1"), "_bcast_auto", False)
     assert not getattr(g.vertices().none_of(["n:1"]), "_bcast_auto", False)
+
+
+def test_bounded_broadcast_guards_the_hint(spark):
+    """bounded_broadcast attaches the broadcast hint ONLY when the side
+    is provably small — the r17-ready replacement for the two deferred
+    OOM-class forced broadcasts (of_kind/vertices(kind) against V, the
+    k-core round frontier; PLANS.md r16 forced-broadcast audit). A
+    too-large side must come back as the SAME un-hinted frame so
+    Catalyst/AQE own the join strategy."""
+    from fermor_spark.hints import bounded_broadcast
+
+    big = spark.range(100).selectExpr("cast(id as string) id")
+    small = spark.range(5).selectExpr("cast(id as string) id")
+
+    # probe path: over the bar -> identity (no hint object created)
+    assert bounded_broadcast(big, max_rows=10) is big
+    # probe path: under the bar -> hinted (visible in the analyzed plan)
+    hinted = bounded_broadcast(small, max_rows=10)
+    assert hinted is not small
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    # known_rows skips the probe and is taken as the caller's bound
+    assert bounded_broadcast(big, max_rows=10, known_rows=11) is big
+    assert bounded_broadcast(big, max_rows=10, known_rows=10) is not big
+
+    # hinted and un-hinted joins agree on results
+    left = spark.range(50).selectExpr("cast(id as string) id", "id * 2 as v")
+    a = sorted(left.join(bounded_broadcast(small, max_rows=10), "id").collect())
+    b = sorted(left.join(small, "id").collect())
+    assert a == b and len(a) == 5
