@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fermor_spark.graph import PropertyGraph
+from fermor_spark.hints import bounded_broadcast
 from fermor_spark.route import Route
 
 def _persist(df: DataFrame) -> DataFrame:
@@ -324,8 +325,11 @@ def square_count(g: PropertyGraph, labels=None) -> DataFrame:
                      (2 * (F.col("_m") - 1)).alias("c")),
         )).alias("s")
     ).select(F.col("s.id").alias("id"), F.col("s.c").alias("c"))
+    # integer FLOOR division (the sum is provably divisible by 4): `/` is
+    # Spark true division — long -> double before the cast — which loses
+    # exactness above 2^53 even though every credit is integer (ADVICE r16)
     counts = credits.groupBy("id").agg(
-        (F.sum("c") / 4).cast("long").alias("squares")
+        F.expr("CAST(sum(c) DIV 4 AS BIGINT)").alias("squares")
     )
     return (
         g.vertex_ids().join(counts, "id", "left")
@@ -1316,8 +1320,15 @@ def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500,
         fr = deg.where(F.col("deg") < k).select("id")
         # edges lost by survivors: one per (frontier u → v) edge; rows whose
         # v was removed (this round or earlier) drop out in the anti-join
+        # size-guarded hint (r17, closes the r16 audit's deferred OOM
+        # class): the round-1 frontier (every deg<k vertex) can be MOST
+        # of the graph, and the old literal F.broadcast collected it to
+        # the driver at any size. fr ⊆ deg, so the loop's own per-round
+        # count n bounds it with zero extra jobs; above the bar the
+        # semi-join falls back to Catalyst + AQE.
         delta = (
-            e.join(F.broadcast(fr.withColumnRenamed("id", "u")), "u", "left_semi")
+            e.join(bounded_broadcast(fr.withColumnRenamed("id", "u"),
+                                     known_rows=n), "u", "left_semi")
             .groupBy(F.col("v").alias("id")).agg(F.count("*").alias("_d"))
         )
         new_deg = _persist(

@@ -5869,6 +5869,10 @@ def events_streaming_dir_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fermor_spark import streaming as S
 
+    import glob
+    import shutil
+    import time
+
     # key includes the applicationId: two concurrent processes (bench +
     # test suite on the same sf_dir) must not overwrite each other's part
     # files while the other's stream is listing/reading them (ADVICE r15)
@@ -5876,20 +5880,40 @@ def events_streaming_dir_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sf_dir + ":" + spark.sparkContext.applicationId).encode()
     ).hexdigest()[:8]
     dir_root = os.path.join(tempfile.gettempdir(), f"fermor_dir_table_{key}")
-    # raw-layout read (nanosAsLong matches read_events_stream's probe rule)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    raw.repartition(4).write.mode("overwrite").parquet(
-        f"{dir_root}/events.parquet")
-    ev = S.read_events_stream(spark, dir_root)
-    name = "gate_stream_dir_" + key
-    S.run_to_memory(ev.select("event_id", "event_type", "value"), name,
-                    output_mode="append")
-    return spark.table(name).groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum("event_id").alias("sum_ids"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-    )
+    # /tmp hygiene (ADVICE r16): the per-application key means every run
+    # creates a fresh dir; a crashed run leaks its own. Sweep siblings a
+    # concurrent process cannot still be streaming (a gate drains in
+    # seconds — an hour-old dir is an orphan) before creating ours.
+    for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), "fermor_dir_table_*")):
+        try:
+            if stale != dir_root and time.time() - os.path.getmtime(stale) > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+    try:
+        # raw-layout read (nanosAsLong matches read_events_stream's probe rule)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.repartition(4).write.mode("overwrite").parquet(
+            f"{dir_root}/events.parquet")
+        ev = S.read_events_stream(spark, dir_root)
+        name = "gate_stream_dir_" + key
+        S.run_to_memory(ev.select("event_id", "event_type", "value"), name,
+                        output_mode="append")
+        return spark.table(name).groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    finally:
+        # run_to_memory's availableNow drain has TERMINATED the file
+        # stream by the time we get here, and the landed rows live in the
+        # driver-side memory sink — the returned aggregate never re-reads
+        # the directory, so removing it immediately is safe even though
+        # the caller collects later (ADVICE r16: the per-app keying made
+        # accumulation unbounded across bench/test runs)
+        shutil.rmtree(dir_root, ignore_errors=True)
 
 
 @query(

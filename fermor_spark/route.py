@@ -205,12 +205,17 @@ class Route:
 
     def siblings(self, labels=None) -> "Route":
         """(src)-[:l]->(parent)<-[:l]-(dest), minus self
-        (reference: siblings, src/fermor/core.clj:745-790)."""
+        (reference: siblings, src/fermor/core.clj:745-790).
+
+        Built from the hop RESULT, not the pre-hop route (mirrors the
+        both() fix): the one-hop auto hint set by is_/one_of is consumed
+        by the first internal hop, and building from self would
+        resurrect it — the next hop after one_of(...).siblings() would
+        force-broadcast an unbounded expanded frontier."""
         assert self.etype == "v"
         tagged = self._with(self.df.withColumn("_self", F.col("id")))
         res = tagged.out(labels).in_(labels)
-        out = res.df.where(F.col("id") != F.col("_self")).drop("_self")
-        return self._with(out, "v")
+        return res._with(res.df.where(F.col("id") != F.col("_self")).drop("_self"), "v")
 
     # ---------------------------------------------------------------- filters
 
@@ -247,10 +252,18 @@ class Route:
         return self._with(self.df.where(~F.col("id").isin([str(v) for v in vids])))
 
     def of_kind(self, kind: str) -> "Route":
-        """(reference: of-kind, src/fermor/core.clj:1284-1289). Kind lives in V."""
-        v = self.g.V.select("id", "kind")
+        """(reference: of-kind, src/fermor/core.clj:1284-1289). Kind lives in V.
+
+        The (id, kind) slice carries a size-guarded hint (r17): V scales
+        with the graph, so the old literal F.broadcast was an OOM at
+        100x — bounded_broadcast hints only when the graph's memoized
+        limit probe proves V small, else Catalyst + AQE plan the join."""
+        from fermor_spark.hints import bounded_broadcast
+
+        v = bounded_broadcast(self.g.V.select("id", "kind"),
+                              known_rows=self.g._v_probe_rows())
         return self._with(
-            self.df.join(F.broadcast(v), "id", "left").where(F.col("kind") == kind).drop("kind")
+            self.df.join(v, "id", "left").where(F.col("kind") == kind).drop("kind")
         )
 
     def has_property(self, key: str, value) -> "Route":

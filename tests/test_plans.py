@@ -430,6 +430,14 @@ def test_point_filters_auto_broadcast_frontier(spark):
     assert not getattr(hopped, "_bcast_auto", True)
     hopped_both = g.vertices().is_("n:1").both("in_region")
     assert not getattr(hopped_both, "_bcast_auto", True)
+    # siblings builds from its hop result too (ADVICE r16 medium): the
+    # pre-r17 shape rebuilt from the PRE-hop route, resurrecting the
+    # spent hint for the next hop over an unbounded expanded frontier
+    hopped_sib = g.vertices().one_of(["n:1", "n:5"]).siblings("in_region")
+    assert not getattr(hopped_sib, "_bcast_auto", True)
+    # ...while the sticky explicit opt-in still propagates through it
+    sticky_sib = g.vertices().is_("n:1").broadcast_frontier().siblings("in_region")
+    assert getattr(sticky_sib, "_broadcast_frontier", False)
     # explicit opt-in is sticky through hops
     sticky = g.vertices().is_("n:1").broadcast_frontier().out("in_region")
     assert getattr(sticky, "_broadcast_frontier", False)
@@ -466,3 +474,93 @@ def test_bounded_broadcast_guards_the_hint(spark):
     a = sorted(left.join(bounded_broadcast(small, max_rows=10), "id").collect())
     b = sorted(left.join(small, "id").collect())
     assert a == b and len(a) == 5
+
+
+def test_kind_scan_sites_are_size_guarded(spark):
+    """r17 flip of the r16 audit's deferred OOM class: vertices(kind) and
+    Route.of_kind hint the (id, kind) V slice ONLY under the graph's
+    memoized probe bound. Under the bar (every gate graph) the plan
+    keeps the pre-flip BroadcastHashJoin; faking an over-the-bar probe
+    must drop the hint (Catalyst/AQE own the join) with equal values."""
+    from fermor_spark.datasets import star_graph
+
+    g = star_graph(spark, SF)
+    # under the bar: kind scan broadcasts in the INITIAL plan, and the
+    # analyzed plan carries the explicit hint node
+    p = plan_of(g.vertices("nation").df)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "ResolvedHint" in \
+        g.vertices("nation").df._jdf.queryExecution().analyzed().toString()
+    # the probe is memoized per graph (keyed to the live V frame)
+    assert g._v_probe_cache[0] is g.V
+    want_v = sorted(r["id"] for r in g.vertices("nation").df.collect())
+    want_k = sorted(r["id"] for r in
+                    g.vertices().of_kind("nation").df.collect())
+
+    # fake an over-the-bar probe: hint gone on BOTH sites, values equal
+    g._v_probe_cache = (g.V, 10**9)
+    over_v = g.vertices("nation").df
+    over_k = g.vertices().of_kind("nation").df
+    assert "ResolvedHint" not in \
+        over_v._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in \
+        over_k._jdf.queryExecution().analyzed().toString()
+    assert sorted(r["id"] for r in over_v.collect()) == want_v
+    assert sorted(r["id"] for r in over_k.collect()) == want_k
+
+
+def test_kcore_frontier_guard_wired(spark, monkeypatch):
+    """r17: k_core's delta leg routes its frontier through
+    bounded_broadcast with the loop's own per-round surviving-degree
+    count as known_rows (fr ⊆ deg ⇒ the bound is sound and free). Wiring
+    is asserted by interception, and forcing the guard to refuse the
+    hint (the at-scale path) must leave the peel result unchanged."""
+    from fermor_spark import iterate
+    from tests.fixtures import edges_graph
+
+    g = edges_graph(
+        spark, "to",
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+    )
+    want = {r["id"]: r["deg"] for r in
+            iterate.k_core(g, k=2, local_edge_threshold=0).collect()}
+    assert want == {"a": 2, "b": 2, "c": 2}
+
+    seen = []
+
+    def refuse(df, max_rows=None, known_rows=None, **kw):
+        seen.append(known_rows)
+        return df  # over-the-bar behavior: no hint, Catalyst/AQE plan it
+
+    monkeypatch.setattr(iterate, "bounded_broadcast", refuse)
+    got = {r["id"]: r["deg"] for r in
+           iterate.k_core(g, k=2, local_edge_threshold=0).collect()}
+    assert got == want
+    # called once per peel round, always with the caller-known bound
+    assert seen and all(n is not None and n >= 0 for n in seen)
+
+
+def test_bounded_broadcast_bytes_guard(spark):
+    """ADVICE r16: rows alone don't prove broadcast-safety — 1M rows of
+    a wide frame blows the 64 MB the row bar reasons from. The static
+    schema estimate must refuse wide frames at row counts the row bar
+    would pass, refuse narrow frames whose row count implies > max_bytes,
+    and stay job-free (known_rows path runs zero Spark jobs)."""
+    from fermor_spark.hints import (_estimated_row_bytes, bounded_broadcast)
+
+    narrow = spark.range(5).selectExpr("cast(id as string) id")
+    wide = spark.range(5).selectExpr(
+        "cast(id as string) id", "array_repeat(id, 10) emb",
+        "named_struct('a', id, 'b', cast(id as string)) meta")
+
+    # estimates: narrow = one string; wide adds two nested columns
+    assert _estimated_row_bytes(narrow) == 64
+    assert _estimated_row_bytes(wide) == 64 + 512 + 512
+
+    # same known_rows: the narrow frame hints, the wide one refuses
+    kr = 200_000  # narrow: 12.8 MB est; wide: ~217 MB est
+    assert bounded_broadcast(narrow, known_rows=kr) is not narrow
+    assert bounded_broadcast(wide, known_rows=kr) is wide
+    # a tighter max_bytes binds before the row bar even for narrow frames
+    assert bounded_broadcast(narrow, known_rows=kr,
+                             max_bytes=1 << 20) is narrow
