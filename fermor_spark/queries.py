@@ -6342,53 +6342,41 @@ def dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows whose EXECUTED implementation changed this round (error-path-only
 # changes stay off per the r10 convention). Rotates each round.
 _CHANGED_THIS_ROUND = [
-    # r16: is_/one_of's auto broadcast hint is now ONE-HOP (consumed by
-    # the first hop join; ADVICE r15 medium — the sticky auto-apply
-    # force-broadcast every later frontier, unbounded after expansion
-    # hops and a driver-OOM risk at scale). The one gate executing
-    # one_of re-tiers:
+    # r17: vertices(kind) routes its (id, kind) V-slice hint through
+    # bounded_broadcast with a per-graph memoized limit probe (the r16
+    # audit's deferred OOM class — the literal F.broadcast bypassed
+    # autoBroadcastJoinThreshold on a frame that scales with the graph).
+    # Every registered gate rooting at a kind scan executes the guarded
+    # path (three more — g_out_nation, g_take_drop_parts,
+    # g_lookahead_big_buyers — retired to _RETIRED_R17 below, which is
+    # what makes this cohort fit the tier-A arithmetic):
+    "g_2hop_region",
+    "g_branch_merge",
     "g_filter_one_of",
-    # r16: both()/both_e() build their union from the hop result (not
-    # the pre-hop route) so the one-hop hint cannot leak past the union
-    # — these two gates execute the changed constructors:
-    "g_both_neighbors_nation",
+    "g_lookahead_range",
+    "g_neg_lookahead_nations",
+    "g_order_count_distribution",
     "g_other_v_both",
-    # r16: scoped_confs records a key for restore only AFTER set()
-    # succeeds, and __exit__ restores per-key isolated (ADVICE r15
-    # medium) — every gate scoping state partitions / the RocksDB
-    # provider executes the changed enter/exit path:
-    "events_streaming_tumbling",
-    "events_streaming_sessions",
-    "events_streaming_sessions_rocksdb",
-    "events_streaming_file_sink",
-    # r16: the dir-table gate keys its temp directory by applicationId
-    # (ADVICE r15 low — concurrent processes raced on the fixed path):
-    "events_streaming_dir_table",
-    # r16: square_count computes the wedge join ONCE (window-m + per-row
-    # integer credits; the old shape recomputed the un-persisted wedge
-    # join from four subtrees — 40 Exchange nodes -> 13, and the x4
-    # density probe reads 10.2 vs 17.3 s old). The gate executes the
-    # rewritten operator:
+    "g_recommender",
+    "g_set_documents_nation",
+    "g_sorted_section_orders",
+    "g_subseq_degree",
+    "g_transpose_nation",
+    # r17: siblings() builds from its hop result so the one-hop auto
+    # hint cannot leak past it (ADVICE r16 medium); the gate executing
+    # siblings() also roots at a kind scan:
+    "g_siblings_same_nation",
+    # r17: k_core's delta leg guards its frontier broadcast with the
+    # loop's own per-round count (the second deferred OOM-class site):
+    "g_kcore_ring_chains",
+    "g_kcore_distributed",
+    # r17: square_count's final fold is integer DIV 4 (exact above 2^53;
+    # ADVICE r16 low):
     "g_square_count_bipartite",
-    # r16: triangle_count's canonical edge cache moved into the managed
-    # registry (the raw .cache() leaked past release_caches; warmth at
-    # the query boundary is unchanged). The gate executes the changed
-    # persistence path:
-    "g_triangle_count_copurchase",
-    # r16: forced F.broadcast hints REMOVED from every SF-scaling table
-    # (customer/supplier/part and their filtered subsets) — the hint
-    # bypasses autoBroadcastJoinThreshold, which at ~100 TB (TPC-H
-    # SF~70k: customer ~10B rows) is a guaranteed OOM; Catalyst
-    # auto-broadcasts the same tables at gate SF via the 64 MB
-    # threshold, verified plan-identical at sf0.001 AND sf0.1 (12/12
-    # SAME — BHJ/SMJ/Exchange counts unchanged). nation/region and
-    # 1-row aggregate crossJoins keep their hints (bounded by schema):
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_relationship",
-    "q20_potential_promotion",
+    # r17: the dir-table gate removes its temp directory after the drain
+    # and sweeps hour-old orphans (ADVICE r16 low — the applicationId
+    # keying accumulated one dir per run):
+    "events_streaming_dir_table",
 ]
 
 
@@ -6431,6 +6419,36 @@ _RETIRED_R14 = [
 ]
 
 for _n in _RETIRED_R14:
+    RETIRED_QUERIES[_n] = QUERIES.pop(_n)
+    RETIRED_ORACLES[_n] = ORACLES.pop(_n)
+
+# r17 retirement (the registry lever, second use — VERDICT r13 #5 set the
+# precedent at r14). The r17 kind-scan guard re-tiers every gate rooting
+# at vertices(kind): 16 rows, plus both k-core gates and the two
+# ADVICE-fix gates = a 20-row tier A against the 16-row cap
+# (150 <= 200 - 3*|A|). Retiring three duplicate-shape rows FROM that
+# cohort shrinks both sides of the inequality — registry 147, tier A 17,
+# 147 <= 200 - 51 = 149 — without touching any unique operator surface:
+#   g_out_nation           single out() hop + projection — literally the
+#                          first hop of g_2hop_region (same root kind,
+#                          same tag idiom), directionally covered by
+#                          g_both_neighbors_nation
+#   g_lookahead_big_buyers min_count-only lookahead on the same customer
+#                          root and same sub-route as g_lookahead_range,
+#                          whose {min,max} form strictly contains it
+#   g_take_drop_parts      take/drop pagination over an ordered kinded
+#                          scan — same windowed-subrange family the
+#                          registry keeps via g_subseq_degree
+#                          (subseq_route) and the sorted-section gates
+# Retired rows keep full-value parity (test_oracle_parity sweeps the
+# union) and their bench lines (bench resolves from the union), exactly
+# like the r14 cohort.
+
+_RETIRED_R17 = [
+    "g_out_nation", "g_lookahead_big_buyers", "g_take_drop_parts",
+]
+
+for _n in _RETIRED_R17:
     RETIRED_QUERIES[_n] = QUERIES.pop(_n)
     RETIRED_ORACLES[_n] = ORACLES.pop(_n)
 
