@@ -5342,15 +5342,23 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
+    from fermor_spark.hints import bounded_broadcast
+
+    n_orders = o.count()
     sketch = sketches.bloom_build(o, "o_custkey",
-                                  expected_items=o.count(), fpp=0.01)
+                                  expected_items=n_orders, fpp=0.01)
     keys = c.select(F.col("c_custkey").cast("long").alias("key"))
     probe_set = keys.unionByName(
         keys.select((-F.col("key") - 1).alias("key")))
     probed = sketches.bloom_member_col(probe_set, "key", sketch)
     truth = o.select(F.col("o_custkey").cast("long").alias("key")) \
         .distinct().withColumn("is_member", F.lit(True))
-    j = probed.join(F.broadcast(truth), "key", "left") \
+    # the truth leg (distinct ordering customers) scales with SF — the
+    # r17 repo-wide audit caught this as the last unguarded data-scaled
+    # broadcast; |truth| <= |orders|, already counted for the filter
+    # sizing, so the guard costs zero extra jobs
+    j = probed.join(bounded_broadcast(truth, known_rows=n_orders),
+                    "key", "left") \
         .select("bloom_hit", F.coalesce("is_member", F.lit(False))
                 .alias("is_member"))
     agg = j.agg(
@@ -6361,7 +6369,6 @@ _CHANGED_THIS_ROUND = [
     "g_set_documents_nation",
     "g_sorted_section_orders",
     "g_subseq_degree",
-    "g_transpose_nation",
     # r17: siblings() builds from its hop result so the one-hop auto
     # hint cannot leak past it (ADVICE r16 medium); the gate executing
     # siblings() also roots at a kind scan:
@@ -6377,6 +6384,11 @@ _CHANGED_THIS_ROUND = [
     # and sweeps hour-old orphans (ADVICE r16 low — the applicationId
     # keying accumulated one dir per run):
     "events_streaming_dir_table",
+    # r17: the bloom gate's truth leg (distinct ordering customers — an
+    # SF-scaling frame the r16 audit missed) now routes through
+    # bounded_broadcast, bounded by the order count the gate already
+    # pays for filter sizing:
+    "sketch_bloom_membership",
 ]
 
 
@@ -6440,12 +6452,20 @@ for _n in _RETIRED_R14:
 #                          scan — same windowed-subrange family the
 #                          registry keeps via g_subseq_degree
 #                          (subseq_route) and the sorted-section gates
+#   g_transpose_nation     a hop on the transposed graph plans as the
+#                          reverse-direction hop g_both_neighbors_nation
+#                          already gates on both legs; transpose's value
+#                          semantics stay parity-swept (fourth row: the
+#                          repo-wide broadcast audit pulled
+#                          sketch_bloom_membership into tier A, and the
+#                          arithmetic needs registry 146 at |A| = 17)
 # Retired rows keep full-value parity (test_oracle_parity sweeps the
 # union) and their bench lines (bench resolves from the union), exactly
 # like the r14 cohort.
 
 _RETIRED_R17 = [
     "g_out_nation", "g_lookahead_big_buyers", "g_take_drop_parts",
+    "g_transpose_nation",
 ]
 
 for _n in _RETIRED_R17:
