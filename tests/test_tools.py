@@ -279,3 +279,74 @@ def test_floor_series_parse_and_median(tmp_path):
     p3 = _write(tmp_path / "c.json",
                 {"tail": '... "sched_floor":13.41,"sched_floors":[13.41,5.84,4.69]}'})
     assert _floor_series(p3) == [13.41, 5.84, 4.69]
+
+
+def test_broadcast_sites_match_adjudicated_allowlist():
+    """The r17 repo-wide forced-broadcast audit, frozen as an invariant
+    (PLANS.md "r17: repo-wide forced-broadcast audit"): every literal
+    F.broadcast / hint("broadcast") in non-test source is adjudicated as
+    schema-, cardinality-, or contract-bounded, or lives behind
+    bounded_broadcast's size guard. A NEW site anywhere fails this test
+    until it is adjudicated here — the r16 audit missed the bloom gate's
+    SF-scaling truth leg precisely because nothing pinned the sweep.
+
+    Detector: line-level scan with the enclosing `def` tracked by
+    indentation; doc mentions (lines carrying RST double-backticks) are
+    excluded. Update the allowlist ONLY together with a PLANS.md
+    adjudication of the new site's bound."""
+    import os
+    import re
+    from collections import Counter
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fermor_spark")
+    sites: Counter = Counter()
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, os.path.dirname(root))
+            func_stack: list = []
+            for ln in open(path).read().split("\n"):
+                m = re.match(r"(\s*)def\s+(\w+)", ln)
+                if m:
+                    indent = len(m.group(1))
+                    func_stack = [f for f in func_stack if f[0] < indent]
+                    func_stack.append((indent, m.group(2)))
+                s = ln.strip()
+                if s.startswith("#") or "``" in ln:
+                    continue
+                if ("F.broadcast(" in ln or 'hint("broadcast")' in ln
+                        or "hint('broadcast')" in ln):
+                    sites[(rel, func_stack[-1][1] if func_stack
+                           else "<module>")] += 1
+
+    # every count below carries an adjudication in PLANS.md r17:
+    # bounded (nation/region/1-row/per-group/contract) or guarded
+    allow = {
+        ("fermor_spark/hints.py", "bounded_broadcast"): 1,   # THE guard
+        ("fermor_spark/iterate.py", "pagerank"): 1,          # 1-row dangling mass
+        ("fermor_spark/pipeline/dedup.py", "contamination_pairs"): 2,  # bench set by contract
+        ("fermor_spark/pipeline/dedup.py", "py"): 1,         # driver-built UF map
+        ("fermor_spark/pipeline/similarity.py", "brute_force_topk"): 1,  # query side by contract
+        ("fermor_spark/pipeline/text.py", "bigram_logprob"): 1,   # 1-row stats
+        ("fermor_spark/pipeline/text.py", "tfidf_top_terms"): 1,  # 1-row N
+        ("fermor_spark/queries.py", "pipeline_corpus_profile"): 1,  # per-lang rows
+        ("fermor_spark/queries.py", "q10_returned_items"): 1,  # nation
+        ("fermor_spark/queries.py", "q11_important_stock"): 2,  # nation + 1-row total
+        ("fermor_spark/queries.py", "q15_top_supplier"): 1,    # 1-row max
+        ("fermor_spark/queries.py", "q22_idle_customers"): 1,  # 1-row avg
+        ("fermor_spark/queries.py", "q2_min_cost_supplier"): 2,  # nation+region
+        ("fermor_spark/queries.py", "q5_local_supplier_volume"): 1,  # nation+region
+        ("fermor_spark/queries.py", "q7_volume_shipping"): 2,  # nation x2
+        ("fermor_spark/queries.py", "q8_market_share"): 3,     # nation x2 + region
+        ("fermor_spark/queries.py", "q9_product_profit"): 1,   # nation
+        ("fermor_spark/route.py", "_edge_join"): 1,  # opt-in/one-hop frontier
+        ("fermor_spark/sketches.py", "heavy_hitters"): 1,      # sketch row
+        ("fermor_spark/streaming.py", "enrich_with_dimension"): 1,  # dim by contract
+    }
+    assert dict(sites) == allow, (
+        "unadjudicated F.broadcast site(s): "
+        f"{dict(sites.items() - allow.items())} / removed: "
+        f"{dict(allow.items() - sites.items())}")
