@@ -2,13 +2,18 @@
 """One-command round close: chain the three close-time checks and fail
 loudly if any gate blocks.
 
-    python tools/close_round.py [--round N] [--skip-suite]
+    python tools/close_round.py [--round N] [--skip-suite] [--skip-sweep]
 
 1. tools/round_close_check.py — bench regression gate vs the previous
    driver record (>2x unexplained line blocks).
 2. tools/gate_staleness.py --allow-pending — coverage-rotation
    invariant (stale row or unqueued never-gated registration blocks).
-3. tools/suite_state.py — full pytest core + parity sweep, recorded to
+3. tools/empty_sweep.py x3 (empty/nulls/extreme) — the degenerate-input
+   matrix over every registered∪retired query (any crash blocks; ~25
+   min). In the chain since r17: the r16 close skipped it while the
+   round changed four swept operators (VERDICT r16 #2 process note).
+   --skip-sweep only when the three modes already ran at THIS tree.
+4. tools/suite_state.py — full pytest core + parity sweep, recorded to
    SUITE_STATE.json (any failure blocks). --skip-suite re-uses counts
    already recorded this session (suite_state --skip-run).
 """
@@ -35,11 +40,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--skip-suite", action="store_true")
+    ap.add_argument("--skip-sweep", action="store_true")
     args = ap.parse_args()
 
     checks = [
         ("round_close_check.py", []),
         ("gate_staleness.py", ["--allow-pending"]),
+    ]
+    if not args.skip_sweep:
+        checks += [("empty_sweep.py", ["--mode", m])
+                   for m in ("empty", "nulls", "extreme")]
+    checks += [
         ("suite_state.py",
          (["--round", str(args.round)] if args.round is not None else [])
          + (["--skip-run"] if args.skip_suite else [])),
