@@ -25,6 +25,10 @@ class DomainRoute(Route):
     def _with(self, df: DataFrame, etype: str | None = None) -> "DomainRoute":
         r = type(self)(self.g, df, etype or self.etype)
         r._broadcast_frontier = getattr(self, "_broadcast_frontier", False)
+        # same one-hop auto-hint semantics as Route._with: a DSL chain
+        # rooted at is_/one_of gets the point-frontier broadcast on its
+        # first hop too (and _edge_join consumes it identically)
+        r._bcast_auto = getattr(self, "_bcast_auto", False)
         return r
 
 

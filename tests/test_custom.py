@@ -27,6 +27,13 @@ def test_hiring_dsl(spark):
     # company of stephen's applications' jobs
     assert g.people().is_("stephen").applications().jobs().company().id_set() == {
         "blueprints", "rexster"}
+    # the one-hop auto hint rides DSL chains with core semantics (r17):
+    # set by is_, survives a filter, consumed by the first hop
+    pointed = g.people().is_("stephen").where("id IS NOT NULL")
+    assert getattr(pointed, "_bcast_auto", False)
+    hopped = pointed.applications()
+    assert type(hopped).__name__ == "HiringRoute"
+    assert not getattr(hopped, "_bcast_auto", True)
 
 
 def test_stream_static_enrich(spark):
