@@ -860,27 +860,40 @@ def shortest_path_weighted(
             return g.spark.createDataFrame(out, "id string, dist double")
     dist = (src_df.select("id").where(F.col("id").isNotNull())
             .distinct().withColumn("dist", F.lit(0.0)))
+    # Convergence probe FUSED into the relaxation aggregate (r17 opt,
+    # guide §2.4 "remove shuffles outright"): the old shape paid TWO jobs
+    # per round — an eager checkpoint of the min-aggregate, then a probe
+    # that re-JOINED the new table against the old one (its own exchanges)
+    # just to ask "did any distance improve". Tagging the carried rows
+    # lets ONE groupBy compute both the new minimum and the old distance
+    # (min over the tagged subset — old has exactly one row per id), so
+    # improvement is a plain filter over the aggregate's own output: the
+    # probe join's exchanges vanish and the lazy checkpoint + filtered
+    # count materialize in a single job per round (the SCC-trim pattern).
+    # Identical semantics: new dist = min(old, relaxed candidates);
+    # improved ⟺ some id is new (old null) or strictly better.
+    prev = None
     for i in range(max_iter):
         relaxed = (
             dist.join(adj, dist["id"] == adj["u"], "inner")
             .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
         )
+        cand = dist.select(
+            "id", "dist", F.lit(True).alias("_old")
+        ).unionByName(relaxed.select("id", "dist", F.lit(False).alias("_old")))
         new = (
-            dist.unionByName(relaxed)
-            .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
+            cand.groupBy("id")
+            .agg(F.min("dist").alias("dist"),
+                 F.min(F.when(F.col("_old"), F.col("dist"))).alias("_od"))
+            .localCheckpoint(eager=False)
         )
-        new = _persist(new)
-        improved = (
-            new.alias("n")
-            .join(dist.alias("o"), "id", "left")
-            .where(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
-            .limit(1)
-            .count()
-        )
-        if i > 0:
-            dist.unpersist()
-        dist = new
+        improved = new.where(
+            F.col("_od").isNull() | (F.col("dist") < F.col("_od"))
+        ).count()  # materializes the checkpoint AND probes in one job
+        if prev is not None:
+            prev.unpersist()
+        prev = new
+        dist = new.select("id", "dist")
         LAST_BF_ROUNDS = i + 1
         if improved == 0:
             break
