@@ -70,6 +70,43 @@ def _id_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out
 
 
+def _id_token_array(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _a) — the document's token ARRAY materialized once per row
+    behind a Generate barrier (explode of a one-element array), the r17
+    shuffle-free sibling of _id_tokens. The barrier matters: referencing
+    `tokens(text)` from several sibling expressions re-inlines the split
+    per use after Catalyst's projection collapse (the known quadratic
+    hazard documented at fingerprint/quality_score); a Generate output is
+    an attribute, so every downstream expression reads the one
+    materialized array. Same conditional under-parallelism repartition as
+    _id_tokens, but over DOC rows (pre-explode — strictly fewer bytes
+    moved when it fires). Null text yields a null array row; callers
+    filter with size(_a) >= 1, which matches posexplode's empty/null
+    emission exactly."""
+    from fermor_spark.session import estimated_plan_bytes
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    if (df.rdd.getNumPartitions() < target
+            and estimated_plan_bytes(df) >= _REPARTITION_MIN_BYTES):
+        base = base.repartition(target, "id")
+    return base.select(
+        "id", F.explode(F.array(tokens(F.col("_t")))).alias("_a"))
+
+
+def _zip_bigrams(col: str = "_a"):
+    """ARRAY<STRUCT<0,1>> of consecutive token pairs from a token-array
+    column — arrays_zip of the array with its one-shifted self (both
+    built-in collection expressions, no per-element lambda: higher-order
+    transform() measured ~2x slower than the window form at sf0.1, while
+    this form measured neutral — PLANS r17). Replaces the lead()-window
+    bigram build, whose exchange shuffled the ENTIRE exploded token table
+    by id just to pair neighbors (guide §2.4)."""
+    n = F.greatest(F.size(col) - 1, F.lit(0))
+    return F.arrays_zip(F.slice(col, 1, n), F.slice(col, 2, n))
+
+
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     chunk_tokens: int = 128, overlap: int = 16) -> DataFrame:
     """Sliding-window token chunking → one row per (id, chunk_index,
@@ -124,13 +161,16 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the model tables are corpus-sized aggregates, not broadcasts — the
     join shuffles on the bigram key, which AQE skew-handles for stop-word
     prefixes."""
-    toks = _id_tokens(df, id_col, text_col)
-    wl = Window.partitionBy("id").orderBy("pos")
+    # r17: neighbor pairing via arrays_zip over the barrier-materialized
+    # token array (see _zip_bigrams) — the lead() window here shuffled the
+    # whole exploded token table by id before any aggregation; the model
+    # tables' own keyed exchanges (big / pre) are the only shuffles left.
+    ta = _id_token_array(df, id_col, text_col)
     bg = (
-        toks.withColumn("nxt", F.lead("tok").over(wl))
-        .where(F.col("nxt").isNotNull())
-        .select("id", F.concat_ws(" ", "tok", "nxt").alias("big"),
-                F.col("tok").alias("pre"))
+        ta.select("id", F.explode(_zip_bigrams()).alias("_p"))
+        .select("id",
+                F.concat_ws(" ", F.col("_p.0"), F.col("_p.1")).alias("big"),
+                F.col("_p.0").alias("pre"))
     )
     bc = bg.groupBy("big").agg(F.count("*").alias("cb"))
     uc = bg.groupBy("pre").agg(F.count("*").alias("cu"))
@@ -392,11 +432,17 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
              .select("id", F.col("g.n").alias("n"), F.col("g.ng").alias("ng"))
              .where(F.col("ng").isNotNull()))
     ng = grams.groupBy("id", "n", "ng").agg(F.count("*").alias("c"))
-    mxw = Window.partitionBy("id", "n")
-    top = (ng.withColumn("_mc", F.max("c").over(mxw))
-           .where(F.col("c") == F.col("_mc"))
-           .groupBy("id", "n")
-           .agg(F.max(F.col("c") * F.length("ng")).alias("chars")))
+    # top gram per (id, n) as ONE aggregation (r17 opt, guide §2.3): a
+    # lexicographic struct max picks the largest count and, among ties,
+    # the largest char mass — identical to the previous max-window +
+    # filter + re-aggregate, minus the window's exchange+sort, and with
+    # map-side partial aggregation so only one row per (id, n) per map
+    # partition reaches the shuffle instead of the full n-gram table.
+    top = (ng.groupBy("id", "n")
+           .agg(F.max(F.struct(
+               F.col("c"), (F.col("c") * F.length("ng")).alias("chars")))
+               .alias("_m"))
+           .select("id", "n", F.col("_m.chars").alias("chars")))
     tops = top.groupBy("id").agg(
         *[F.max(F.when(F.col("n") == n, F.col("chars")))
           .alias(f"top{n}_chars") for n in (2, 3, 4)])
@@ -646,31 +692,39 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     explode → two per-doc aggregations keyed on id (map-side combinable) —
     row-linear, no self-join, no window over the whole corpus.
     """
-    toks = _id_tokens(df, id_col, text_col)
-    tok_stats = toks.groupBy("id").agg(
-        F.count("*").alias("n_tokens"),
-        F.countDistinct("tok").alias("_d"),
-    )
-    wl = Window.partitionBy("id").orderBy("pos")
-    bg = (
-        toks.withColumn("_nxt", F.lead("tok").over(wl))
-        .where(F.col("_nxt").isNotNull())
-        .select("id", F.concat_ws(" ", "tok", "_nxt").alias("bg"))
-    )
-    bg_stats = (
-        bg.groupBy("id", "bg").agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"))
-    )
-    return (
-        tok_stats.join(bg_stats, "id", "left")
-        .select(
-            "id",
-            "n_tokens",
-            F.round(F.lit(1.0) - F.col("_d") * 1.0 / F.col("n_tokens"), 4)
-            .alias("dup_token_frac"),
-            F.round(F.col("_mx") * 1.0 / F.col("_tot"), 4).alias("top_bigram_frac"),
-        )
+    # r17 rewrite (guide §1.1 first-principles + §2.4): every output here
+    # is a PER-DOCUMENT number, so the fundamentally required shuffle
+    # count is ZERO — yet the old shape paid four exchanges (an (id, tok)
+    # distinct expand, the lead()-window's full token-table shuffle, two
+    # aggregate exchanges) plus a join. All three metrics are now array
+    # expressions over the barrier-materialized token array (see
+    # _id_token_array for why the barrier matters): token/distinct counts
+    # are size()/array_distinct(), and the top-bigram count is a
+    # max-run-length fold over the SORTED bigram array (equal bigrams are
+    # adjacent after array_sort, so the longest run IS the mode count).
+    # Measured at sf0.1: 4 -> 0 Exchanges, 0.71 -> 0.49 s warm, exact
+    # value parity including the one-token/no-bigram null. Row set
+    # unchanged: size(_a) >= 1 ⟺ posexplode emitted at least one token
+    # (empty text still tokenizes to [""] — one token, no bigram).
+    ta = _id_token_array(df, id_col, text_col).where(F.size("_a") >= 1)
+    mx = F.expr("""aggregate(
+        array_sort(transform(arrays_zip(slice(_a, 1, greatest(size(_a)-1, 0)),
+                                        slice(_a, 2, greatest(size(_a)-1, 0))),
+                             p -> concat(p['0'], ' ', p['1']))),
+        struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0 AS best),
+        (acc, x) -> struct(x AS prev,
+                           IF(x = acc.prev, acc.run + 1, 1) AS run,
+                           GREATEST(acc.best,
+                                    IF(x = acc.prev, acc.run + 1, 1)) AS best),
+        acc -> acc.best)""")
+    n = F.size("_a")
+    return ta.select(
+        "id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct("_a")) * 1.0 / n, 4)
+        .alias("dup_token_frac"),
+        F.when(n >= 2, F.round(mx * 1.0 / (n - 1), 4))
+        .alias("top_bigram_frac"),
     )
 
 
