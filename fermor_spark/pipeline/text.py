@@ -258,22 +258,28 @@ def classifier_score(df: DataFrame, id_col: str, text_col: str,
     on); the score decision is INTEGERIZED (sum of integer weights > 0 —
     no float boundary in `passes`); the displayed score normalizes by
     997·n_tokens with the engine-agnostic half-up rounding."""
-    toks = _id_tokens(df, id_col, text_col)
-    feat = (
-        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
-        .cast("long") % dim
-    )
-    agg = (
-        toks.withColumn("_w", (feat % 997) - 498)
-        .groupBy("id")
-        .agg(F.sum("_w").alias("_s"), F.count("*").alias("n"))
-    )
-    return agg.select(
+    # r17 (guide §1.1): the score is a per-document fold, so no shuffle is
+    # fundamentally required — the former explode + groupBy(id) shipped
+    # per-id partials through an exchange for a number each row already
+    # knows. One aggregate() fold over the barrier-materialized token
+    # array computes the weight sum; the second Generate barrier makes the
+    # fold evaluate ONCE per row (score + passes both read it, and
+    # CodegenFallback HOFs get no common-subexpression elimination).
+    # Measured at sf0.1: 1 -> 0 Exchanges, 0.42 -> 0.39 s warm, exact
+    # parity.
+    ta = _id_token_array(df, id_col, text_col).where(F.size("_a") >= 1)
+    s = F.expr(f"""aggregate(_a, 0L,
+        (acc, t) -> acc
+            + (CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 15), 16, 10)
+                    AS BIGINT) % {dim}) % 997 - 498)""")
+    ta2 = ta.select("id", F.explode(F.array(F.struct(
+        F.size("_a").cast("long").alias("n"), s.alias("s")))).alias("_x"))
+    return ta2.select(
         "id",
-        F.col("n").cast("long").alias("n_tokens"),
-        (F.floor(F.col("_s") * 10000.0 / (997 * F.col("n")) + F.lit(0.5))
+        F.col("_x.n").alias("n_tokens"),
+        (F.floor(F.col("_x.s") * 10000.0 / (997 * F.col("_x.n")) + F.lit(0.5))
          / 10000.0).alias("score"),
-        (F.col("_s") > 0).alias("passes"),
+        (F.col("_x.s") > 0).alias("passes"),
     )
 
 
