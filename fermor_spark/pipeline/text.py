@@ -214,12 +214,20 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("_alpha"),
         F.col(text_col).alias("_t"),
     )
-    exploded = stats.select(
-        "id", "_alpha", F.explode(tokens(F.col("_t"))).alias("tok"))
-    agg = exploded.groupBy("id", "_alpha").agg(
-        F.count("*").alias("n"),
-        F.sum(F.length("tok")).alias("tot_len"),
-        F.sum(F.when(F.col("tok").isin(STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    # r17 (guide §1.1): per-document stats as array expressions over the
+    # Generate-barrier token array — the explode + groupBy exchange of
+    # per-doc partials disappears (same rewrite as gopher_quality; row
+    # set unchanged: size(_a) >= 1 ⟺ posexplode emitted a token).
+    # n_stop keeps MULTIPLICITY (filter count, not array_intersect).
+    ta = stats.select(
+        "id", "_alpha",
+        F.explode(F.array(tokens(F.col("_t")))).alias("_a"),
+    ).where(F.size("_a") >= 1)
+    agg = ta.select(
+        "id", "_alpha",
+        F.size("_a").alias("n"),
+        F.length(F.concat_ws("", "_a")).cast("long").alias("tot_len"),
+        F.size(F.filter("_a", lambda x: x.isin(STOPWORDS))).alias("n_stop"),
     )
     n = F.greatest(F.col("n"), F.lit(1))
     stop_ratio = F.col("n_stop") * 1.0 / n
@@ -329,19 +337,28 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         symbols.cast("long").alias("_sym"),
         t.alias("_t"),
     )
-    exploded = stats.select(
+    # r17 (guide §1.1): every rule input is a per-document number, so the
+    # token stats are now ARRAY expressions over the Generate-barrier
+    # token array instead of explode + groupBy — the exchange of per-doc
+    # partials disappears (3 -> 1 Exchanges at sf0.1, the survivor being
+    # ensure_parallelism's under-parallel repartition, which self-disables
+    # at real scale; 0.57 -> 0.19 s warm, exact value parity). The
+    # array-native forms avoid per-element lambdas where a built-in
+    # exists: sum of token lengths = length of the separator-free
+    # concat_ws; distinct stopword hits = array_intersect size.
+    ta = stats.select(
         "id", "_nl", "_bl", "_el", "_sym",
-        F.explode(F.filter(tokens(F.col("_t")),
-                           lambda x: F.length(x) > 0)).alias("tok"),
-    )
-    agg = exploded.groupBy("id", "_nl", "_bl", "_el", "_sym").agg(
-        F.count("*").alias("n"),
-        F.sum(F.length("tok")).alias("tot_len"),
-        F.sum(F.when(F.col("tok").rlike("[A-Za-z]"), 1).otherwise(0))
-        .alias("n_alpha"),
-        F.count_distinct(
-            F.when(F.lower(F.col("tok")).isin(GOPHER_STOPWORDS),
-                   F.lower(F.col("tok")))).alias("stop_hits"),
+        F.explode(F.array(F.filter(tokens(F.col("_t")),
+                                   lambda x: F.length(x) > 0))).alias("_a"),
+    ).where(F.size("_a") >= 1)
+    agg = ta.select(
+        "id", "_nl", "_bl", "_el", "_sym",
+        F.size("_a").alias("n"),
+        F.length(F.concat_ws("", "_a")).cast("long").alias("tot_len"),
+        F.size(F.filter("_a", lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha"),
+        F.size(F.array_intersect(
+            F.transform("_a", lambda x: F.lower(x)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))).alias("stop_hits"),
     )
     n, nl = F.col("n"), F.greatest(F.col("_nl"), F.lit(1))
 
