@@ -526,27 +526,36 @@ def c4_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.instr(F.lower(t), "lorem ipsum").alias("_lo"),
         t.alias("_t"),
     )
+    # r17 (guide §1.1): line filtering is per-document work — the former
+    # posexplode + groupBy + collect_list + sort reassembly paid an
+    # exchange of every line just to rebuild each document on the other
+    # side. A filter() over the barrier-materialized line array keeps
+    # original order BY CONSTRUCTION and never leaves the row.
     base = stats.select(
         "id", "n_sentences", "_br", "_lo",
-        F.posexplode(F.split("_t", "\n")).alias("pos", "line"),
-    )
-    lw = F.size(F.filter(F.split(F.trim("line"), r"\s+"),
-                         lambda x: F.length(x) > 0))
-    keep = (
-        F.substring(F.rtrim("line"), -1, 1).isin(".", "!", "?", '"')
-        & (lw >= 3)
-        & ~F.lower(F.col("line")).contains("javascript")
-    )
-    marked = base.withColumn("_keep", keep)
-    agg = marked.groupBy("id", "n_sentences", "_br", "_lo").agg(
-        F.count("*").alias("n_lines"),
-        F.sum(F.col("_keep").cast("int")).alias("kept_lines"),
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(
-                    F.when(F.col("_keep"), F.struct("pos", "line")))),
-                lambda x: x["line"])).alias("cleaned_text"))
+        F.explode(F.array(F.split("_t", "\n"))).alias("_ls"),
+    ).where(F.size("_ls") >= 1)
+
+    def _keep(line):
+        lw = F.size(F.filter(F.split(F.trim(line), r"\s+"),
+                             lambda x: F.length(x) > 0))
+        return (
+            F.substring(F.rtrim(line), -1, 1).isin(".", "!", "?", '"')
+            & (lw >= 3)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    # second barrier: kept_lines and cleaned_text both read the filtered
+    # array, and fallback-evaluated HOFs get no common-subexpression
+    # elimination — materialize the filter once per row
+    kept = base.select(
+        "id", "n_sentences", "_br", "_lo",
+        F.size("_ls").alias("n_lines"),
+        F.explode(F.array(F.filter("_ls", _keep))).alias("_kept"))
+    agg = kept.select(
+        "id", "n_sentences", "_br", "_lo", "n_lines",
+        F.size("_kept").alias("kept_lines"),
+        F.array_join("_kept", "\n").alias("cleaned_text"))
     return agg.select(
         "id",
         F.col("n_lines").cast("long").alias("n_lines"),
@@ -569,15 +578,26 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from fermor_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
-    exploded = df.select(
+    # r17 (guide §1.1): per-language hit counts are per-document numbers —
+    # filter sizes over the Generate-barrier (lowercased) token array
+    # replace the explode + groupBy exchange. Each token still pays one
+    # isin probe per language, exactly as the per-language sum(when())
+    # aggregates did. Row set unchanged: size >= 1 ⟺ posexplode emitted.
+    ta = df.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        F.explode(F.array(tokens(F.lower(F.col(text_col))))).alias("_a"),
+    ).where(F.size("_a") >= 1)
+    def _hits(words):
+        # single-arg lambda: PySpark HOFs dispatch on the lambda's ARITY
+        # (a second parameter would receive the element index column)
+        return F.size(F.filter("_a", lambda x: x.isin(words)))
+
+    agg = ta.select(
+        "id",
+        F.size("_a").alias("_n"),
+        *[_hits(words).alias(f"_hit_{lang}")
+          for lang, words in sorted(LANG_PROFILES.items())],
     )
-    profile_aggs = [
-        F.sum(F.when(F.col("tok").isin(words), 1).otherwise(0)).alias(f"_hit_{lang}")
-        for lang, words in sorted(LANG_PROFILES.items())
-    ]
-    agg = exploded.groupBy("id").agg(F.count("*").alias("_n"), *profile_aggs)
     n = F.greatest(F.col("_n"), F.lit(1))
     scored = F.array(*[
         F.struct(
