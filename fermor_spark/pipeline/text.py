@@ -422,20 +422,40 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     df = ensure_parallelism(df)
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
 
-    # _tc materializes in its own select below the explode (same Generate
-    # projection rule as gopher_quality: a sibling expression in the
-    # explode's select re-evaluates per exploded line — length() is an
-    # O(chars) scan, so the fused form costs O(chars x lines) per doc)
-    lines = base.select("id", F.length("_t").alias("_tc"), "_t").select(
-        "id", "_tc", F.explode(F.split("_t", "\n")).alias("line"))
-    lc = lines.groupBy("id", "_tc", "line").agg(F.count("*").alias("c"))
-    lagg = lc.groupBy("id", "_tc").agg(
-        F.sum("c").alias("n_lines"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-        .alias("dup_lines"),
-        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
-        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line"))
-              .otherwise(0)).alias("dup_line_chars"))
+    # r17 (guide §1.1): the duplicated-line stats are per-document — the
+    # former two-level groupBy shuffled one row per distinct line per doc
+    # just to count in-document repeats. A max-run fold over the SORTED
+    # line array (equal lines adjacent ⟹ runs = per-line counts) computes
+    # dup_lines / dup_line_chars inside the row; the finish lambda
+    # flushes the last run. Line mass = length of the separator-free
+    # concat (sum over lines of length). Row set unchanged: size >= 1 ⟺
+    # the old explode emitted a line (empty text splits to [""]).
+    la = base.select(
+        "id", F.length("_t").alias("_tc"),
+        F.explode(F.array(F.split("_t", "\n"))).alias("_ls"),
+    ).where(F.size("_ls") >= 1)
+    dup = F.expr("""aggregate(
+        array_sort(_ls),
+        struct(CAST(NULL AS STRING) AS prev, 0L AS run,
+               0L AS dl, 0L AS dc),
+        (a, x) -> CASE WHEN x = a.prev
+            THEN struct(x AS prev, a.run + 1 AS run, a.dl AS dl, a.dc AS dc)
+            ELSE struct(x AS prev, 1L AS run,
+                        a.dl + IF(a.run > 1, a.run, 0L) AS dl,
+                        a.dc + IF(a.run > 1, a.run * length(a.prev), 0L)
+                            AS dc) END,
+        a -> struct(a.dl + IF(a.run > 1, a.run, 0L) AS dl,
+                    a.dc + IF(a.run > 1, a.run * length(a.prev), 0L)
+                        AS dc))""")
+    lagg = la.select(
+        "id", "_tc",
+        F.size("_ls").cast("long").alias("n_lines"),
+        F.length(F.concat_ws("", "_ls")).cast("long").alias("line_chars"),
+        F.explode(F.array(dup)).alias("_d"),
+    ).select(
+        "id", "_tc", "n_lines", "line_chars",
+        F.col("_d.dl").alias("dup_lines"),
+        F.col("_d.dc").alias("dup_line_chars"))
 
     toks = base.select(
         "id", F.posexplode(F.filter(tokens(F.col("_t")),
