@@ -299,12 +299,16 @@ def test_banding_plans_are_union_free(spark, registry):
 
 
 def test_gopher_repetition_single_window_pass(spark):
-    """Plan contract for the r13 gopher_repetition fusion: the n-gram
-    side runs ONE window over the exploded token table (lead(1..3)
-    evaluated together in a single Window node) feeding one grouped
-    count — never the per-n loop's three window sorts over a recomputed
-    explode. The lines side contributes zero Window nodes, and the
-    (id, n)-partitioned top max-window is the only other one."""
+    """Plan contract for the r13 gopher_repetition fusion, tightened by
+    the r17 per-row dup-line fold: the n-gram side runs ONE window over
+    the exploded token table (lead(1..3) evaluated together in a single
+    Window node) — never the per-n loop's three window sorts over a
+    recomputed explode — and the former (id, n)-partitioned top
+    max-window is now a lexicographic struct-max aggregate, so the lead
+    window is the ONLY Window in the plan. The duplicated-line side
+    contributes no Window and no line-table shuffle: its two Generates
+    are single-row explode(array(...)) evaluation barriers (the line
+    array and the run-length fold), not a per-line explode."""
     from fermor_spark.pipeline.text import gopher_repetition
 
     d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
@@ -315,11 +319,11 @@ def test_gopher_repetition_single_window_pass(spark):
     # detail section — count the detail headers "(NN) Window"
     n_window = len(_re.findall(r"\(\d+\) Window", p))
     n_generate = len(_re.findall(r"\(\d+\) Generate", p))
-    assert n_window <= 2, (n_window, p)
+    assert n_window <= 1, (n_window, p)
     assert "Union" not in p
-    # three per-n legs would show three Generates over tokens; the fused
-    # plan has lines + tokens + the (n, ngram) array explode
-    assert n_generate <= 3, (n_generate, p)
+    # the two single-row line-side barriers + tokens + the (n, ngram)
+    # array explode; a per-n loop would add three Generates over tokens
+    assert n_generate <= 4, (n_generate, p)
 
 
 def test_doc_stats_project_below_generate(spark):
@@ -343,11 +347,15 @@ def test_doc_stats_project_below_generate(spark):
     # string index than the Generate that consumes the stats.
     from fermor_spark.pipeline.text import c4_filters
 
+    # gopher_repetition (r17 per-row dup-line fold): the per-line explode
+    # is gone — the run-length fold rides a single-row explode(array(
+    # aggregate(...))) barrier and the doc-length stat _tc sits below it,
+    # evaluated once per document by construction.
     for fn, gen_marker, stat_marker in (
             (gopher_quality, "Generate", "regexp_replace"),
             (quality_score, "Generate", "regexp_replace"),
             (c4_filters, "Generate", "regexp_replace"),
-            (gopher_repetition, "Generate explode(split(_t",
+            (gopher_repetition, "Generate explode(array(aggregate",
              "AS _tc")):
         plan = fn(d, "doc_id", "text")._jdf.queryExecution() \
             .executedPlan().toString()
