@@ -298,17 +298,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     else:
         h = F.xxhash64("tok")
     hashed = toks.select("id", h.alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+    # r17 (guide §4 expression cost): the per-bit vote sum(±1) is
+    # equivalent to unconditional set-bit counts — vote_i = 2*s_i - n
+    # with s_i = sum((h >> i) & 1) — so vote_i > 0 ⟺ 2*s_i > n. This
+    # drops the branch and the signed ±1 per (token × bit) from the
+    # aggregation update loop (60-64 columns × every token); measured
+    # 1.45× on the sf0.1 gate with exact parity against the per-bit-vote
+    # oracle SQL.
+    sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
         for i in range(bits)
     ]
-    agg = hashed.groupBy("id").agg(*votes)
+    agg = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *sums)
     sim = F.lit(0).cast("long")
     for i in range(bits):
         sim = sim + F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            2 * F.col(f"s{i}") > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
     return agg.select("id", sim.alias("simhash"))
 
