@@ -406,17 +406,21 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     comparisons are integerized; displayed ratios use the engine-agnostic
     half-up rounding.
 
-    Plan shape (r13 rewrite, value-parity-pinned): lines explode once;
-    tokens explode once and ONE window sort computes lead(1..3) together
-    (Spark evaluates all three in a single Window node), then a single
-    array-explode emits (n, ngram) pairs for n = 2, 3, 4 into ONE
-    (id, n, ngram) count aggregate, one (id, n)-partitioned max window,
-    and one conditional aggregate back to columns. The previous per-n
-    loop paid 3 window sorts + 3 groupBys over the re-computed token
-    explode and chained 2 joins — at corpus scale that is 3 full
-    shuffle-sorts of the token table where one suffices. Filtering on the
-    LAST lead alone is sufficient: within a partition lead(k) null
-    implies lead(k') null for every k' > k."""
+    Plan shape (r17 full per-row rewrite, value-parity-pinned): every
+    output is a per-document number, so the operator is now entirely
+    per-row — zero joins, zero windows, zero aggregation shuffles. The
+    token array materializes once behind a Generate barrier; for each
+    n the n-grams are arrays_zip of n aligned slices (no per-element
+    lambda), array_sort groups equal grams into adjacent runs (struct
+    compare), and a run-length fold tracks the best (count, count×gram
+    chars) pair — the same lexicographic (c, chars) maximum the previous
+    (id, n, ngram) count + struct-max aggregation computed, including
+    the documented char-mass tie-break; gram length is recovered from
+    the struct's token fields (+ n−1 joining spaces) without ever
+    building the gram string. The r13 shape (one lead window into one
+    (id, n, ngram) count, one struct-max) paid a full token-table window
+    sort plus two aggregation exchanges plus a join; at corpus scale the
+    fold removes every byte of token/gram traffic."""
     from fermor_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -431,7 +435,7 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # concat (sum over lines of length). Row set unchanged: size >= 1 ⟺
     # the old explode emitted a line (empty text splits to [""]).
     la = base.select(
-        "id", F.length("_t").alias("_tc"),
+        "id", "_t", F.length("_t").alias("_tc"),
         F.explode(F.array(F.split("_t", "\n"))).alias("_ls"),
     ).where(F.size("_ls") >= 1)
     dup = F.expr("""aggregate(
@@ -447,51 +451,57 @@ def gopher_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         a -> struct(a.dl + IF(a.run > 1, a.run, 0L) AS dl,
                     a.dc + IF(a.run > 1, a.run * length(a.prev), 0L)
                         AS dc))""")
-    lagg = la.select(
-        "id", "_tc",
+    # Top-n-gram char mass per row (r17, guide §1.1 first-principles):
+    # for each n the grams are arrays_zip of n aligned G-length slices
+    # of the token array (G = size − n + 1; built-in collection
+    # expressions, no per-element lambda); array_sort makes equal grams
+    # adjacent, and a run-length fold tracks the best (count, chars)
+    # pair with chars = count × (Σ token lengths + n−1 spaces) — the
+    # lexicographic (c, chars) maximum of the former count + struct-max
+    # aggregation, tie-break included. run = 0 states (no grams) finish
+    # at 0 chars, matching the old left-join + fill(0).
+    def _topn_chars(n: int):
+        G = f"greatest(size(_a) - {n - 1}, 0)"
+        slices = ", ".join(f"slice(_a, {j + 1}, {G})" for j in range(n))
+        fields = ", ".join(f"`{j}`: STRING" for j in range(n))
+        glen_prev = (" + ".join(f"length(a.prev.`{j}`)" for j in range(n))
+                     + f" + {n - 1}")
+        return F.expr(f"""aggregate(
+            array_sort(arrays_zip({slices})),
+            struct(CAST(NULL AS STRUCT<{fields}>) AS prev,
+                   0L AS run, 0L AS bc, 0L AS bchars),
+            (a, x) -> CASE
+                WHEN a.run > 0 AND x = a.prev
+                  THEN struct(x AS prev, a.run + 1 AS run,
+                              a.bc AS bc, a.bchars AS bchars)
+                WHEN a.run > 0 AND (a.run > a.bc OR (a.run = a.bc
+                        AND a.run * ({glen_prev}) > a.bchars))
+                  THEN struct(x AS prev, 1L AS run, a.run AS bc,
+                              a.run * ({glen_prev}) AS bchars)
+                ELSE struct(x AS prev, 1L AS run,
+                            a.bc AS bc, a.bchars AS bchars) END,
+            a -> CASE
+                WHEN a.run > 0 AND (a.run > a.bc OR (a.run = a.bc
+                        AND a.run * ({glen_prev}) > a.bchars))
+                  THEN a.run * ({glen_prev})
+                ELSE a.bchars END)""")
+
+    out = la.select(
+        "id", "_t", "_tc",
         F.size("_ls").cast("long").alias("n_lines"),
         F.length(F.concat_ws("", "_ls")).cast("long").alias("line_chars"),
         F.explode(F.array(dup)).alias("_d"),
     ).select(
         "id", "_tc", "n_lines", "line_chars",
         F.col("_d.dl").alias("dup_lines"),
-        F.col("_d.dc").alias("dup_line_chars"))
-
-    toks = base.select(
-        "id", F.posexplode(F.filter(tokens(F.col("_t")),
-                                    lambda x: F.length(x) > 0))
-        .alias("pos", "tok"))
-    w = Window.partitionBy("id").orderBy("pos")
-    led = toks.select(
-        "id", "tok",
-        *[F.lead("tok", i).over(w).alias(f"_l{i}") for i in (1, 2, 3)])
-    cols = [F.col("tok")] + [F.col(f"_l{i}") for i in (1, 2, 3)]
-    gram_structs = [
-        F.struct(F.lit(n).alias("n"),
-                 F.when(cols[n - 1].isNotNull(),
-                        F.concat_ws(" ", *cols[:n])).alias("ng"))
-        for n in (2, 3, 4)]
-    grams = (led.select("id", F.explode(F.array(*gram_structs)).alias("g"))
-             .select("id", F.col("g.n").alias("n"), F.col("g.ng").alias("ng"))
-             .where(F.col("ng").isNotNull()))
-    ng = grams.groupBy("id", "n", "ng").agg(F.count("*").alias("c"))
-    # top gram per (id, n) as ONE aggregation (r17 opt, guide §2.3): a
-    # lexicographic struct max picks the largest count and, among ties,
-    # the largest char mass — identical to the previous max-window +
-    # filter + re-aggregate, minus the window's exchange+sort, and with
-    # map-side partial aggregation so only one row per (id, n) per map
-    # partition reaches the shuffle instead of the full n-gram table.
-    top = (ng.groupBy("id", "n")
-           .agg(F.max(F.struct(
-               F.col("c"), (F.col("c") * F.length("ng")).alias("chars")))
-               .alias("_m"))
-           .select("id", "n", F.col("_m.chars").alias("chars")))
-    tops = top.groupBy("id").agg(
-        *[F.max(F.when(F.col("n") == n, F.col("chars")))
-          .alias(f"top{n}_chars") for n in (2, 3, 4)])
-
-    out = lagg.join(tops, "id", "left").na.fill(
-        {f"top{n}_chars": 0 for n in (2, 3, 4)})
+        F.col("_d.dc").alias("dup_line_chars"),
+        F.explode(F.array(F.filter(tokens(F.col("_t")),
+                                   lambda x: F.length(x) > 0))).alias("_a"),
+    ).select(
+        "id", "_tc", "n_lines", "line_chars", "dup_lines", "dup_line_chars",
+        _topn_chars(2).alias("top2_chars"),
+        _topn_chars(3).alias("top3_chars"),
+        _topn_chars(4).alias("top4_chars"))
 
     def r4(x):
         return F.floor(x * 10000 + F.lit(0.5)) / 10000

@@ -299,16 +299,16 @@ def test_banding_plans_are_union_free(spark, registry):
 
 
 def test_gopher_repetition_single_window_pass(spark):
-    """Plan contract for the r13 gopher_repetition fusion, tightened by
-    the r17 per-row dup-line fold: the n-gram side runs ONE window over
-    the exploded token table (lead(1..3) evaluated together in a single
-    Window node) — never the per-n loop's three window sorts over a
-    recomputed explode — and the former (id, n)-partitioned top
-    max-window is now a lexicographic struct-max aggregate, so the lead
-    window is the ONLY Window in the plan. The duplicated-line side
-    contributes no Window and no line-table shuffle: its two Generates
-    are single-row explode(array(...)) evaluation barriers (the line
-    array and the run-length fold), not a per-line explode."""
+    """Plan contract for the r17 fully per-row gopher_repetition: every
+    output is a per-document number, so the plan carries ZERO Window
+    nodes, zero joins and zero aggregation shuffles — the dup-line stats
+    are a run-length fold over the sorted line array and the top-n-gram
+    char masses are run-length folds over sorted arrays_zip gram arrays,
+    all behind single-row explode(array(...)) evaluation barriers (the
+    line array, the dup fold, and the token array — the only three
+    Generates). The pre-r17 shapes this pins against: the per-n loop's
+    three window sorts over recomputed explodes, and the r13 lead-window
+    + (id, n, ngram) count + struct-max form."""
     from fermor_spark.pipeline.text import gopher_repetition
 
     d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
@@ -319,11 +319,10 @@ def test_gopher_repetition_single_window_pass(spark):
     # detail section — count the detail headers "(NN) Window"
     n_window = len(_re.findall(r"\(\d+\) Window", p))
     n_generate = len(_re.findall(r"\(\d+\) Generate", p))
-    assert n_window <= 1, (n_window, p)
+    assert n_window == 0, (n_window, p)
     assert "Union" not in p
-    # the two single-row line-side barriers + tokens + the (n, ngram)
-    # array explode; a per-n loop would add three Generates over tokens
-    assert n_generate <= 4, (n_generate, p)
+    assert "Join" not in p
+    assert n_generate <= 3, (n_generate, p)
 
 
 def test_doc_stats_project_below_generate(spark):
