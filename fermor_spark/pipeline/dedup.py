@@ -27,30 +27,38 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, sh) exploded distinct word-n-gram shingles.
 
-    Row-linear formulation (explode tokens once, n-grams via lead() windows):
-    array-transform formulations re-inline the tokenization per position
-    after Catalyst's projection collapse — quadratic per document (see the
-    same fix in pipeline.text.fingerprint)."""
+    Per-row formulation (r17): the token array materializes ONCE per row
+    behind a Generate barrier (explode of a 1-element array — a bare
+    array expression re-inlines the tokenization per consumer after
+    Catalyst's projection collapse, the quadratic hazard documented at
+    pipeline.text.fingerprint), and the complete n-grams are the
+    arrays_zip of n aligned slices of that array — built-in collection
+    expressions only, no per-element lambda, no lead() windows, no
+    partition sort. Short documents (< n tokens) yield no shingles via
+    the greatest(0, ...) slice-length clamp, mirroring the SQL-oracle
+    formulation exactly.
+
+    The explicit keyed repartition stays (now over DOC rows — strictly
+    fewer bytes than the old exploded-token shuffle): it spreads the
+    high-CPU explode stage, is exempt from AQE partition coalescing
+    (which otherwise serializes the stage on 2 tasks), and the final
+    distinct plus every downstream per-id aggregation/join ride its
+    partitioning with no further exchange."""
+    from fermor_spark.pipeline.text import tokens
+
     sc = df.sparkSession.sparkContext
     n_parts = max(sc.defaultParallelism, df.rdd.getNumPartitions())
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     ).repartition(n_parts, "id")
-    # the explicit keyed repartition doubles as the window's exchange
-    # (same key -> no extra shuffle) and is exempt from AQE partition
-    # coalescing, which otherwise shrinks this small-bytes/high-CPU stage
-    # to 2 tasks (token explosion + lead windows serialized on 2 cores)
-    wl = Window.partitionBy("id").orderBy("pos")
-    gram_cols = [F.col("tok")] + [F.lead("tok", j).over(wl) for j in range(1, n)]
-    # complete n-grams only: a doc with fewer than n tokens yields none
-    # (mirrors the SQL-oracle formulation; a partial-shingle escape would
-    # silently diverge from it on short documents)
+    ta = base.select("id", F.explode(F.array(tokens(F.col("_t")))).alias("_a"))
+    ln = F.greatest(F.size("_a") - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice("_a", j + 1, ln) for j in range(n)])
     return (
-        toks.withColumn("sh", F.concat_ws(" ", *gram_cols))
-        .withColumn("_complete", F.lead("tok", n - 1).over(wl).isNotNull())
-        .where(F.col("_complete"))
-        .select("id", "sh")
+        ta.select("id", F.explode(zipped).alias("_g"))
+        .select(
+            "id",
+            F.concat_ws(" ", *[F.col(f"_g.{j}") for j in range(n)]).alias("sh"))
         .distinct()
     )
 
@@ -654,12 +662,31 @@ def duplicated_spans(
     via sequence+explode (row-linear in corpus characters, no UDF), one
     keyed count-shuffle on the k-gram hash (map-side partial combine), one
     hash-join of positions against the duplicated-gram set, and one
-    per-document window merge (partitioned by doc). Positions group on
+    per-document run merge computed IN the row from the doc's sorted
+    position array (r17 — see _doc_span_arrays; formerly a lag()+running-
+    sum window cascade over the position table). Positions group on
     xxhash64(gram) rather than the gram string to keep shuffle rows at 8
     bytes/key; a collision marking a unique gram duplicated has
     probability ~n^2/2^65 — negligible against the sampling noise of any
     downstream use, and the DuckDB oracle (which groups on the raw gram)
     driver-gates the equivalence at test scale."""
+    per = _doc_span_arrays(
+        _dup_positions(df, id_col, text_col, k, min_count), k, min_span)
+    return (
+        per.select("_id", F.explode("_sp").alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s.span_start").alias("span_start"),
+            F.col("_s.span_end").alias("span_end"),
+            (F.col("_s.span_end") - F.col("_s.span_start")).alias("span_len"))
+    )
+
+
+def _dup_positions(df: DataFrame, id_col: str, text_col: str,
+                   k: int, min_count: int) -> DataFrame:
+    """(_id, pos) — every character position whose k-gram occurs >=
+    min_count times corpus-wide (the ESD anchor set shared by
+    duplicated_spans and cut_spans)."""
     base = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .where(F.length("_t") >= k)
@@ -682,27 +709,43 @@ def duplicated_spans(
         .where(F.col("_cnt") >= min_count)
         .select("_gh")
     )
-    pos = grams.join(dup, "_gh").select("_id", "pos")
-    w = Window.partitionBy("_id").orderBy("pos")
-    runs = (
-        pos.withColumn(
-            "_brk",
-            F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0))
-            .otherwise(F.lit(1)))
-        .withColumn("_run", F.sum("_brk").over(w))
-    )
-    spans = (
-        runs.groupBy("_id", "_run")
-        .agg(F.min("pos").alias("span_start"),
-             (F.max("pos") + k).alias("span_end"))
-        .select(
-            F.col("_id").alias(id_col),
-            "span_start", "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_len"))
-    )
+    return grams.join(dup, "_gh").select("_id", "pos")
+
+
+def _doc_span_arrays(pos: DataFrame, k: int, min_span: int) -> DataFrame:
+    """(_id, _sp) — each document's maximal duplicated spans as a SORTED
+    array<struct<span_start:int,span_end:int>>, merged per row instead of
+    via the former lag()+running-sum window cascade (r17: Exchange + Sort
+    + 2 Windows + HashAggregate → one collect_list aggregate riding the
+    same _id exchange). Equal consecutive positions are adjacent after
+    sort_array, so a span STARTS at every position whose predecessor is
+    not position−1 and ENDS (exclusive, +k) at every position whose
+    successor is not position+1; pairing the i-th start with the i-th end
+    is exactly the maximal-run merge. Built from shifted-slice zips and
+    null-filters — the per-element work is branch-free comparisons, no
+    struct-building transform (the HOF shape that measured 2x slower than
+    codegen, PLANS r17). Documents whose every span is shorter than
+    ``min_span`` keep a row with an empty array (callers' left joins and
+    explodes drop or preserve it exactly as the former shapes did).
+    Per-row memory is one int per duplicated position — bounded by the
+    document's own character count, the same order as the text column
+    already carried on the row."""
+    per = pos.groupBy("_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps"))
+    ln = F.greatest(F.size("_ps") - 1, F.lit(0))
+    prevs = F.concat(F.array(F.lit(-2)), F.slice("_ps", 1, ln))
+    nexts = F.concat(F.slice("_ps", 2, ln), F.array(F.lit(-2)))
+    starts = F.filter(
+        F.zip_with("_ps", prevs, lambda p, q: F.when(p - q != 1, p)),
+        lambda x: x.isNotNull())
+    ends = F.filter(
+        F.zip_with("_ps", nexts, lambda p, q: F.when(q - p != 1, p + k)),
+        lambda x: x.isNotNull())
+    spans = F.arrays_zip(starts.alias("span_start"), ends.alias("span_end"))
     if min_span > 0:
-        spans = spans.where(F.col("span_len") >= min_span)
-    return spans
+        spans = F.filter(
+            spans, lambda s: s["span_end"] - s["span_start"] >= min_span)
+    return per.select("_id", spans.alias("_sp"))
 
 
 def span_coverage(
@@ -743,15 +786,24 @@ def cut_spans(
     array — a (position, accumulator) fold emitting substring segments;
     no UDF, no char-level explosion (the oracle re-derives the same text
     character-by-character, which is the test-scale formulation)."""
-    spans = duplicated_spans(df, id_col, text_col, k=k,
-                             min_count=min_count, min_span=min_span)
-    per_doc = spans.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("span_start", "span_end")))
-        .alias("_sp"),
-        F.sum("span_len").alias("cut_chars"))
+    # the span ARRAY comes straight from the per-row merge (r17): the
+    # former shape exploded spans to rows only to re-collect them here —
+    # a second aggregate pass dropped entirely by sharing _doc_span_arrays
+    # with duplicated_spans. _sp is already sorted by construction; the
+    # cast renames the zip's field names for the splice fold and matches
+    # the empty-array coalesce type below.
+    per = _doc_span_arrays(
+        _dup_positions(df, id_col, text_col, k, min_count), k, min_span)
+    per_doc = per.select(
+        "_id",
+        F.col("_sp").cast(
+            "array<struct<span_start:bigint,span_end:bigint>>").alias("_sp"),
+        F.aggregate(
+            "_sp", F.lit(0).cast("bigint"),
+            lambda a, s: a + (s["span_end"] - s["span_start"])
+        ).alias("cut_chars"))
     j = df.select(F.col(id_col).alias("_id"),
-                  F.col(text_col).alias("_t")).join(
-        per_doc.withColumnRenamed(id_col, "_id"), "_id", "left")
+                  F.col(text_col).alias("_t")).join(per_doc, "_id", "left")
     sp = F.coalesce(F.col("_sp"), F.array().cast(
         "array<struct<span_start:bigint,span_end:bigint>>"))
     acc0 = F.struct(F.lit(0).cast("bigint").alias("pos"),
