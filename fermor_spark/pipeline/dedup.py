@@ -101,16 +101,26 @@ def ngram_jaccard_pairs(
     ranked = sh.join(freq, "sh")
     if max_shingle_df is not None:
         ranked = ranked.where(F.col("_df") <= max_shingle_df)
-    wp = Window.partitionBy("id").orderBy("_df", "sh")
+    # Prefix selection IN the row (r17): each doc's shingles collected and
+    # sorted by (rarity, text) as one array, the first n − ⌈t·n⌉ + 1
+    # sliced out — one collect_list aggregate where the former shape paid
+    # the same id exchange PLUS a partition-wide sort and two window
+    # passes (row_number + count) over the ranked shingle table. The
+    # (_df, sh) struct sort is the window's exact ORDER BY ((id, sh)
+    # unique ⟹ no ties), and _n is the same post-cap shingle count.
+    per = ranked.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("_df", "sh"))).alias("_a"))
+    nsz = F.size("_a")
+    plen = F.greatest(
+        (nsz - F.ceil(F.lit(threshold) * nsz) + 1).cast("int"), F.lit(0))
     # persisted: consumed by BOTH legs of the blocking self-join — the
     # aliasing (id→id_a / id→id_b) sits above the exchange, so without a
-    # persist each leg recomputes the join+window upstream. ~(1-t) of the
-    # shingle rows, far smaller than the corpus.
+    # persist each leg recomputes the join+aggregate upstream. ~(1-t) of
+    # the shingle rows, far smaller than the corpus.
     prefix = (
-        ranked.withColumn("_rk", F.row_number().over(wp))
-        .withColumn("_n", F.count("*").over(Window.partitionBy("id")))
-        .where(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
-        .select("id", "sh", "_n")
+        per.select("id", F.explode(F.slice("_a", 1, plen)).alias("_s"),
+                   nsz.cast("long").alias("_n"))
+        .select("id", F.col("_s.sh").alias("sh"), "_n")
     )
     prefix = managed_cache(prefix)
 
