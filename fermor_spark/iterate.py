@@ -872,7 +872,6 @@ def shortest_path_weighted(
     # count materialize in a single job per round (the SCC-trim pattern).
     # Identical semantics: new dist = min(old, relaxed candidates);
     # improved ⟺ some id is new (old null) or strictly better.
-    prev = None
     for i in range(max_iter):
         relaxed = (
             dist.join(adj, dist["id"] == adj["u"], "inner")
@@ -890,9 +889,12 @@ def shortest_path_weighted(
         improved = new.where(
             F.col("_od").isNull() | (F.col("dist") < F.col("_od"))
         ).count()  # materializes the checkpoint AND probes in one job
-        if prev is not None:
-            prev.unpersist()
-        prev = new
+        # No explicit release of the previous round's checkpoint:
+        # Dataset.unpersist only uncaches CacheManager-registered plans and
+        # local-checkpoint RDD blocks are not registered there (a call here
+        # was a documented no-op — ADVICE r17). Each round's blocks are
+        # dereferenced when `dist` is rebound and reaped by ContextCleaner
+        # after GC; bench.py's per-query drain forces that promptly.
         dist = new.select("id", "dist")
         LAST_BF_ROUNDS = i + 1
         if improved == 0:

@@ -53,12 +53,15 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     ).repartition(n_parts, "id")
     ta = base.select("id", F.explode(F.array(tokens(F.col("_t")))).alias("_a"))
     ln = F.greatest(F.size("_a") - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice("_a", j + 1, ln) for j in range(n)])
+    # slices aliased: explicit struct field names (w0..wn-1) instead of
+    # arrays_zip's undocumented positional naming (ADVICE r17)
+    zipped = F.arrays_zip(
+        *[F.slice("_a", j + 1, ln).alias(f"w{j}") for j in range(n)])
     return (
         ta.select("id", F.explode(zipped).alias("_g"))
         .select(
             "id",
-            F.concat_ws(" ", *[F.col(f"_g.{j}") for j in range(n)]).alias("sh"))
+            F.concat_ws(" ", *[F.col(f"_g.w{j}") for j in range(n)]).alias("sh"))
         .distinct()
     )
 

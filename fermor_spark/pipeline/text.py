@@ -102,9 +102,14 @@ def _zip_bigrams(col: str = "_a"):
     transform() measured ~2x slower than the window form at sf0.1, while
     this form measured neutral — PLANS r17). Replaces the lead()-window
     bigram build, whose exchange shuffled the ENTIRE exploded token table
-    by id just to pair neighbors (guide §2.4)."""
+    by id just to pair neighbors (guide §2.4). The slices are aliased so
+    the struct field names are explicit (w1/w2) rather than relying on
+    arrays_zip's positional '0'/'1' naming of non-named children — an
+    undocumented Catalyst detail that has shifted across releases
+    (ADVICE r17)."""
     n = F.greatest(F.size(col) - 1, F.lit(0))
-    return F.arrays_zip(F.slice(col, 1, n), F.slice(col, 2, n))
+    return F.arrays_zip(F.slice(col, 1, n).alias("w1"),
+                        F.slice(col, 2, n).alias("w2"))
 
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
@@ -169,8 +174,8 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bg = (
         ta.select("id", F.explode(_zip_bigrams()).alias("_p"))
         .select("id",
-                F.concat_ws(" ", F.col("_p.0"), F.col("_p.1")).alias("big"),
-                F.col("_p.0").alias("pre"))
+                F.concat_ws(" ", F.col("_p.w1"), F.col("_p.w2")).alias("big"),
+                F.col("_p.w1").alias("pre"))
     )
     bc = bg.groupBy("big").agg(F.count("*").alias("cb"))
     uc = bg.groupBy("pre").agg(F.count("*").alias("cu"))
@@ -275,6 +280,9 @@ def classifier_score(df: DataFrame, id_col: str, text_col: str,
     # CodegenFallback HOFs get no common-subexpression elimination).
     # Measured at sf0.1: 1 -> 0 Exchanges, 0.42 -> 0.39 s warm, exact
     # parity.
+    # dim is interpolated into a SQL expression below — coerce to a plain
+    # int so a hostile/odd argument cannot inject SQL (ADVICE r17)
+    dim = int(dim)
     ta = _id_token_array(df, id_col, text_col).where(F.size("_a") >= 1)
     s = F.expr(f"""aggregate(_a, 0L,
         (acc, t) -> acc
