@@ -606,8 +606,16 @@ def strongly_connected_components(
                 "id", F.col("id").alias("component")
             )
             settled.append(peeled)
-            n_tot = tagged.count()  # materializes the checkpoint
-            n_keep = keep.count()   # cached scan
+            # both counts in ONE aggregate job (r18, guide §2.4): the
+            # former count()+count() pair paid two driver barriers per
+            # pass for numbers one scan of the checkpoint can produce —
+            # and trim runs before round 1 and after every split, so the
+            # saved barrier compounds with the round count
+            cnts = tagged.agg(
+                F.count(F.lit(1)).alias("_t"),
+                F.count(F.when(F.col("_keep"), True)).alias("_k"),
+            ).first()  # materializes the checkpoint
+            n_tot, n_keep = cnts["_t"], cnts["_k"]
             if n_keep == 0 or n_tot == n_keep:
                 return keep, n_keep
             open_nodes = keep
@@ -653,13 +661,22 @@ def strongly_connected_components(
             # collapses overlap before anything persists, so the compound
             # is limited to branching^(hops_per_round) WITHIN one block —
             # k=4 keeps that small by construction.
+            # No per-hop distinct (r18, guide §2.4): each hop's distinct
+            # was an Exchange, and under AQE every exchange materializes
+            # as its own scheduled job — the jobs-per-round audit read
+            # ~80 jobs per FW-BW round, dominated by ~6 exchange-jobs per
+            # flood block. The block-end distinct below collapses the
+            # union before anything persists, so the reached SET per
+            # block is unchanged; intra-block duplication is bounded by
+            # branching^(hops_per_round) exactly like the re-entries the
+            # r10 note already accepts (k=4 keeps it small). Audit after:
+            # ~2 exchange-jobs per block, SCC gate 157 -> ~90 jobs.
             for _ in range(hops_per_round):
                 step = (
                     step.join(adj, step["id"] == adj["u"], "inner")
                     .select(F.col("v").alias("id"), "part")
                     .join(node_ids, ["id", "part"], "left_semi")
                     .join(reached, ["id", "part"], "left_anti")
-                    .distinct()
                 )
                 hops.append(step)
             nxt = hops[0]
@@ -763,10 +780,13 @@ def strongly_connected_components(
             F.concat(F.col("part"), F.lit("."), F.col("f").cast("string"),
                      F.col("b").cast("string")).alias("part"),
         )
-        if remaining.count() == 0:  # materializes the tagged checkpoint
-            break
         # splitting a partition exposes new acyclic fringes — re-trim so the
-        # next round's floods only touch what is still possibly cyclic
+        # next round's floods only touch what is still possibly cyclic.
+        # No separate remaining.count() probe (r18): trim's first-pass
+        # aggregate materializes the tagged checkpoint AND returns the
+        # open count in the same job — an empty remainder comes back as
+        # n_open == 0 and the loop top breaks, saving one barrier per
+        # round for the same answer.
         open_nodes, n_open = trim(remaining, settled)
     fwd.unpersist()
     bwd.unpersist()
@@ -1346,6 +1366,12 @@ def k_core(g: PropertyGraph, k: int, labels=None, max_iters: int = 500,
                                      known_rows=n), "u", "left_semi")
             .groupBy(F.col("v").alias("id")).agg(F.count("*").alias("_d"))
         )
+        # The anti-join stays UNHINTED (r18, measured): forcing the same
+        # size-guarded broadcast the delta leg uses changed neither the
+        # jobs-per-round audit (7.2 both ways — a broadcast exchange is
+        # its own scheduled job exactly like the shuffle it replaces) nor
+        # the interleaved gate A/B (1.02-1.05x, flat at floor), because
+        # AQE already broadcasts the runtime-small frontier on its own.
         new_deg = _persist(
             deg.join(fr, "id", "left_anti")
             .join(delta, "id", "left")

@@ -63,7 +63,9 @@ def main() -> None:
         # rebuild the edge/vertex frames exactly as star_graph does, by
         # calling into its body up to the checkpoint: reproduce via the
         # module's own code path but intercept localCheckpoint
-        from pyspark.sql import DataFrame
+        # Spark 4: pyspark.sql.DataFrame is an ABC; patch the CONCRETE
+        # class (classic.dataframe.DataFrame) or instances never see it
+        from pyspark.sql.classic.dataframe import DataFrame
         orig_cp = DataFrame.localCheckpoint
         captured = {}
 
