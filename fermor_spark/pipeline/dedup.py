@@ -675,24 +675,44 @@ def duplicated_spans(
     via sequence+explode (row-linear in corpus characters, no UDF), one
     keyed count-shuffle on the k-gram hash (map-side partial combine), one
     hash-join of positions against the duplicated-gram set, and one
-    per-document run merge computed IN the row from the doc's sorted
-    position array (r17 — see _doc_span_arrays; formerly a lag()+running-
-    sum window cascade over the position table). Positions group on
+    per-document window merge (partitioned by doc). Positions group on
     xxhash64(gram) rather than the gram string to keep shuffle rows at 8
     bytes/key; a collision marking a unique gram duplicated has
     probability ~n^2/2^65 — negligible against the sampling noise of any
     downstream use, and the DuckDB oracle (which groups on the raw gram)
-    driver-gates the equivalence at test scale."""
-    per = _doc_span_arrays(
-        _dup_positions(df, id_col, text_col, k, min_count), k, min_span)
-    return (
-        per.select("_id", F.explode("_sp").alias("_s"))
+    driver-gates the equivalence at test scale.
+
+    The window merge is the MEASURED shape (r18): the r17 per-row
+    rewrite (sort_array(collect_list(pos)) + shifted-slice span pairing,
+    adopted on a neutral local A/B for its structural two-fewer-passes
+    argument) was re-measured at a 4x-replicated sf0.1 per VERDICT r17
+    #5 and ran 1.22-1.32x SLOWER tree-interleaved on duplicated_spans
+    (1.13-1.19x on cut_spans) — the giant per-doc position arrays cost
+    more in the collect_list aggregate than the window's partition sort,
+    and the gap GREW with SF. Reverted to the window cascade; the
+    collect-based variant lives in git history (1bab61e) with both
+    measurements."""
+    pos = _dup_positions(df, id_col, text_col, k, min_count)
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = (
+        pos.withColumn(
+            "_brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0))
+            .otherwise(F.lit(1)))
+        .withColumn("_run", F.sum("_brk").over(w))
+    )
+    spans = (
+        runs.groupBy("_id", "_run")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + k).alias("span_end"))
         .select(
             F.col("_id").alias(id_col),
-            F.col("_s.span_start").alias("span_start"),
-            F.col("_s.span_end").alias("span_end"),
-            (F.col("_s.span_end") - F.col("_s.span_start")).alias("span_len"))
+            "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"))
     )
+    if min_span > 0:
+        spans = spans.where(F.col("span_len") >= min_span)
+    return spans
 
 
 def _dup_positions(df: DataFrame, id_col: str, text_col: str,
@@ -723,42 +743,6 @@ def _dup_positions(df: DataFrame, id_col: str, text_col: str,
         .select("_gh")
     )
     return grams.join(dup, "_gh").select("_id", "pos")
-
-
-def _doc_span_arrays(pos: DataFrame, k: int, min_span: int) -> DataFrame:
-    """(_id, _sp) — each document's maximal duplicated spans as a SORTED
-    array<struct<span_start:int,span_end:int>>, merged per row instead of
-    via the former lag()+running-sum window cascade (r17: Exchange + Sort
-    + 2 Windows + HashAggregate → one collect_list aggregate riding the
-    same _id exchange). Equal consecutive positions are adjacent after
-    sort_array, so a span STARTS at every position whose predecessor is
-    not position−1 and ENDS (exclusive, +k) at every position whose
-    successor is not position+1; pairing the i-th start with the i-th end
-    is exactly the maximal-run merge. Built from shifted-slice zips and
-    null-filters — the per-element work is branch-free comparisons, no
-    struct-building transform (the HOF shape that measured 2x slower than
-    codegen, PLANS r17). Documents whose every span is shorter than
-    ``min_span`` keep a row with an empty array (callers' left joins and
-    explodes drop or preserve it exactly as the former shapes did).
-    Per-row memory is one int per duplicated position — bounded by the
-    document's own character count, the same order as the text column
-    already carried on the row."""
-    per = pos.groupBy("_id").agg(
-        F.sort_array(F.collect_list("pos")).alias("_ps"))
-    ln = F.greatest(F.size("_ps") - 1, F.lit(0))
-    prevs = F.concat(F.array(F.lit(-2)), F.slice("_ps", 1, ln))
-    nexts = F.concat(F.slice("_ps", 2, ln), F.array(F.lit(-2)))
-    starts = F.filter(
-        F.zip_with("_ps", prevs, lambda p, q: F.when(p - q != 1, p)),
-        lambda x: x.isNotNull())
-    ends = F.filter(
-        F.zip_with("_ps", nexts, lambda p, q: F.when(q - p != 1, p + k)),
-        lambda x: x.isNotNull())
-    spans = F.arrays_zip(starts.alias("span_start"), ends.alias("span_end"))
-    if min_span > 0:
-        spans = F.filter(
-            spans, lambda s: s["span_end"] - s["span_start"] >= min_span)
-    return per.select("_id", spans.alias("_sp"))
 
 
 def span_coverage(
@@ -799,24 +783,18 @@ def cut_spans(
     array — a (position, accumulator) fold emitting substring segments;
     no UDF, no char-level explosion (the oracle re-derives the same text
     character-by-character, which is the test-scale formulation)."""
-    # the span ARRAY comes straight from the per-row merge (r17): the
-    # former shape exploded spans to rows only to re-collect them here —
-    # a second aggregate pass dropped entirely by sharing _doc_span_arrays
-    # with duplicated_spans. _sp is already sorted by construction; the
-    # cast renames the zip's field names for the splice fold and matches
-    # the empty-array coalesce type below.
-    per = _doc_span_arrays(
-        _dup_positions(df, id_col, text_col, k, min_count), k, min_span)
-    per_doc = per.select(
-        "_id",
-        F.col("_sp").cast(
-            "array<struct<span_start:bigint,span_end:bigint>>").alias("_sp"),
-        F.aggregate(
-            "_sp", F.lit(0).cast("bigint"),
-            lambda a, s: a + (s["span_end"] - s["span_start"])
-        ).alias("cut_chars"))
+    # reverted with duplicated_spans to the window form (r18): the shared
+    # per-row span-array variant measured 1.13-1.19x slower tree-
+    # interleaved at a 4x-replicated sf0.1 (see duplicated_spans)
+    spans = duplicated_spans(df, id_col, text_col, k=k,
+                             min_count=min_count, min_span=min_span)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("span_start", "span_end")))
+        .alias("_sp"),
+        F.sum("span_len").alias("cut_chars"))
     j = df.select(F.col(id_col).alias("_id"),
-                  F.col(text_col).alias("_t")).join(per_doc, "_id", "left")
+                  F.col(text_col).alias("_t")).join(
+        per_doc.withColumnRenamed(id_col, "_id"), "_id", "left")
     sp = F.coalesce(F.col("_sp"), F.array().cast(
         "array<struct<span_start:bigint,span_end:bigint>>"))
     acc0 = F.struct(F.lit(0).cast("bigint").alias("pos"),

@@ -326,14 +326,19 @@ def test_gopher_repetition_single_window_pass(spark):
 
 
 def test_dedup_family_window_free(spark):
-    """Plan contract for the r17 per-row dedup rewrites: shingle_table
-    builds complete n-grams as arrays_zip slices of the barrier token
-    array (no lead() windows), the ESD span merge is a run-length pairing
-    over each doc's sorted position array (no lag()+running-sum window
-    cascade), and ngram_jaccard's PPJoin prefix slices each doc's
-    rarity-sorted shingle array in the row (no row_number/count window
-    pair). All three plans must carry ZERO Window nodes — the pre-r17
-    shapes paid a partition-wide sort each."""
+    """Plan contract for the KEPT r17 per-row dedup rewrites:
+    shingle_table builds complete n-grams as arrays_zip slices of the
+    barrier token array (no lead() windows) and ngram_jaccard's PPJoin
+    prefix slices each doc's rarity-sorted shingle array in the row (no
+    row_number/count window pair) — both plans carry ZERO Window nodes.
+
+    The ESD span pair (duplicated_spans / cut_spans) is deliberately NOT
+    pinned window-free anymore: its r17 per-row merge was adopted on a
+    neutral local A/B and REVERTED in r18 after the VERDICT-mandated
+    4x-SF tree A/B read it 1.13-1.32x slower than the window cascade
+    (the per-doc collect_list of every duplicated position costs more
+    than the window's partition sort, and the gap grows with SF). The
+    spans plans are pinned to the measured window shape instead."""
     import re as _re
 
     from fermor_spark.pipeline.dedup import (cut_spans, duplicated_spans,
@@ -343,16 +348,22 @@ def test_dedup_family_window_free(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     for name, df in (
             ("shingle_table", shingle_table(d, "doc_id", "text", 3)),
-            ("duplicated_spans",
-             duplicated_spans(d, "doc_id", "text", k=20, min_count=2)),
-            ("cut_spans",
-             cut_spans(d, "doc_id", "text", k=20, min_count=2, min_span=40)),
             ("ngram_jaccard_pairs",
              ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)),
     ):
         p = plan_of(df)
         n_window = len(_re.findall(r"\(\d+\) Window", p))
         assert n_window == 0, (name, n_window)
+    for name, df, max_w in (
+            ("duplicated_spans",
+             duplicated_spans(d, "doc_id", "text", k=20, min_count=2), 2),
+            ("cut_spans",
+             cut_spans(d, "doc_id", "text", k=20, min_count=2, min_span=40),
+             2),
+    ):
+        p = plan_of(df)
+        n_window = len(_re.findall(r"\(\d+\) Window", p))
+        assert 1 <= n_window <= max_w, (name, n_window)
 
 
 def test_doc_stats_project_below_generate(spark):
