@@ -230,16 +230,23 @@ def read_wet(spark: SparkSession, path: str,
 
 
 def write_warc(df: DataFrame, path: str, url_col: str = "url",
-               payload_col: str = "payload", n_files: int = 4,
+               payload_col: str = "payload", n_files: int | None = 4,
                compress: bool = True,
                record_type: str = "response") -> None:
     """Fixture/export sink: bucket rows into ``n_files`` WARC files under
     ``path`` (task-local writes, one file per bucket — the corpus-sink
     pattern). Bucketing hashes the url so output is deterministic under
-    any input partitioning. ``record_type='conversion'`` emits the WET
-    (extracted-text) layout instead — conversion records with a raw
-    text/plain block and no HTTP envelope, under ``.wet``/``.wet.gz``
-    filenames so read_wet's default glob finds them.
+    any input partitioning. ``n_files=None`` derives the file count from
+    the session's core count (``defaultParallelism``) — the file is the
+    crawl-scale parallelism unit for BOTH the per-record gzip writer here
+    and every downstream read_warc consumer (one file = one scan task),
+    so a fixed small count serializes the whole front half of a crawl
+    pipeline on a wide cluster. Any n_files yields the same record SET,
+    so aggregate consumers are layout-invariant. ``record_type=
+    'conversion'`` emits the WET (extracted-text) layout instead —
+    conversion records with a raw text/plain block and no HTTP envelope,
+    under ``.wet``/``.wet.gz`` filenames so read_wet's default glob finds
+    them.
 
     Null-row rule (the sink analog of the ANN family's null-vector rule):
     a row with a null url or null payload contributes NO record — there is
@@ -252,11 +259,22 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
     if record_type not in ("response", "conversion"):
         raise ValueError(f"record_type must be 'response' or 'conversion', "
                          f"got {record_type!r}")
+    if n_files is None:
+        n_files = max(4, df.sparkSession.sparkContext.defaultParallelism)
     os.makedirs(path, exist_ok=True)
     bucketed = df.select(
         F.col(url_col).alias("url"), F.col(payload_col).alias("payload"),
         (F.abs(F.xxhash64(url_col)) % n_files).alias("_b"),
     ).where(F.col("url").isNotNull() & F.col("payload").isNotNull())
+    # Spread buckets over n_files tasks EXPLICITLY: the groupBy below
+    # hashes on _b into spark.sql.shuffle.partitions and AQE then
+    # coalesces the (tiny-bytes, gzip-CPU-heavy) post-shuffle partitions
+    # toward ONE task — the per-record gzip loop, the actual cost of the
+    # sink, ran serial regardless of n_files. A user repartition with an
+    # explicit count is exempt from AQE coalescing, and its
+    # HashPartitioning(_b, n_files) satisfies the groupBy's clustering
+    # requirement, so no second exchange is added (guide §2.4/§2.5).
+    bucketed = bucketed.repartition(n_files, "_b")
     base_ext = "wet" if record_type == "conversion" else "warc"
     ext = f"{base_ext}.gz" if compress else base_ext
 
@@ -274,7 +292,7 @@ def write_warc(df: DataFrame, path: str, url_col: str = "url",
 
 
 def write_wet(df: DataFrame, path: str, url_col: str = "url",
-              payload_col: str = "payload", n_files: int = 4,
+              payload_col: str = "payload", n_files: int | None = 4,
               compress: bool = True) -> None:
     """WET (extracted-text) fixture/export sink: write_warc in the
     conversion-record layout — Common Crawl's pre-extracted sibling
