@@ -436,13 +436,19 @@ def connected_components(g: PropertyGraph, labels=None,
     adj = _loop_adjacency(g, labels, "both")
     universe = g.vertices_with_edge(labels) if incident_only else g.vertex_ids()
 
+    # Both stars need min(v) per u attached back to every (u, v) row. A
+    # groupBy + self-join pays the grouping exchange AND a join pass per
+    # star (2 stars x rounds); a min() window over partitionBy(u) attaches
+    # the same constant-per-group value in ONE exchange + sort (§2.4 —
+    # "window partitioned by the same key as a preceding aggregation does
+    # not need a second shuffle"; here the aggregation IS the window).
+    _wu = Window.partitionBy("u")
+
     def large_star(e: DataFrame) -> DataFrame:
         # symmetric view so Γ(u) sees both orientations
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        nm = (sym.groupBy("u").agg(F.min("v").alias("mn"))
-              .select("u", F.least(F.col("mn"), F.col("u")).alias("m")))
         return (
-            sym.join(nm, "u")
+            sym.withColumn("m", F.least(F.min("v").over(_wu), F.col("u")))
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -450,16 +456,17 @@ def connected_components(g: PropertyGraph, labels=None,
         )
 
     def small_star(e: DataFrame) -> DataFrame:
-        # input is parent-pointer-shaped: (u, v) with v < u after large-star
-        nm = (e.groupBy("u").agg(F.min("v").alias("m")))
-        hang = (
-            e.join(nm, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(nm.select("u", F.col("m").alias("v")))
+        # input is parent-pointer-shaped: (u, v) with v < u after large-star.
+        # Emitting (u, m) once per EDGE rather than once per group (the old
+        # union of the 1-row-per-u aggregate) is set-identical because the
+        # final distinct collapses the duplicates.
+        withm = e.withColumn("m", F.min("v").over(_wu))
+        return (
+            withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(withm.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        return hang
 
     edges = _persist(
         adj.where(F.col("u") != F.col("v")).select("u", "v").distinct())
